@@ -1,0 +1,74 @@
+"""Query rank-identity: Spark engine vs golden model on the reference-style
+query set (SURVEY.md §5.1) — bm25 exact path (compat reference + fixed,
+with and without synonyms), WAND fast path, and the full vsm funnel
+pipeline."""
+
+import pytest
+
+from helpers import assert_ranked_equal
+from tiny_search_engine_spark.config import QueryConfig
+from tiny_search_engine_spark.golden.model import GoldenQueryEngine
+from tiny_search_engine_spark.query import QueryEngine
+from tiny_search_engine_spark.synth import make_queries
+
+QUERIES = [(i, q) for i, q in enumerate(make_queries(30, seed=42))]
+
+
+def _golden_topk(tiny_golden, cfg, synonyms=None, mode="bm25"):
+    g = GoldenQueryEngine(tiny_golden, synonyms=synonyms, cfg=cfg)
+    out = {}
+    for qid, q in QUERIES:
+        if mode == "bm25":
+            res = g.bm25_topk(q)
+            out[qid] = [(r.doc_sign, r.bm25) for r in res]
+        else:
+            res = g.search(q)
+            out[qid] = [(r.doc_sign, r.final_score) for r in res]
+    return out
+
+
+def _spark_topk(df, score_col):
+    rows = df.collect()
+    out: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append((r["doc_id"], r[score_col]))
+    return out
+
+
+@pytest.mark.parametrize("compat", ["reference", "fixed"])
+def test_bm25_exact_parity(spark, tiny_store, tiny_golden, compat):
+    cfg = QueryConfig(profile="reference", compat=compat)
+    eng = QueryEngine(spark, tiny_store, cfg)
+    got = _spark_topk(eng.bm25_topk(QUERIES), "bm25")
+    want = _golden_topk(tiny_golden, cfg)
+    for qid, _q in QUERIES:
+        assert_ranked_equal(got.get(qid, []), want.get(qid, []), ctx=f"q{qid} ({_q!r})")
+
+
+def test_bm25_exact_parity_with_synonyms(spark, tiny_store, tiny_golden, synonyms):
+    cfg = QueryConfig(profile="reference", compat="reference")
+    eng = QueryEngine(spark, tiny_store, cfg, synonyms=synonyms)
+    got = _spark_topk(eng.bm25_topk(QUERIES), "bm25")
+    want = _golden_topk(tiny_golden, cfg, synonyms=synonyms)
+    for qid, _q in QUERIES:
+        assert_ranked_equal(got.get(qid, []), want.get(qid, []), ctx=f"q{qid} ({_q!r})")
+
+
+def test_wand_equals_exact(spark, tiny_store, tiny_golden):
+    """Block-max WAND is an exact top-k: must equal the exhaustive path
+    under the clean semantics (compat=fixed, no synonyms)."""
+    cfg = QueryConfig(profile="standard", compat="fixed")
+    eng = QueryEngine(spark, tiny_store, cfg)
+    got = _spark_topk(eng.wand_topk(QUERIES), "bm25")
+    want = _golden_topk(tiny_golden, cfg)
+    for qid, _q in QUERIES:
+        assert_ranked_equal(got.get(qid, []), want.get(qid, []), ctx=f"q{qid} ({_q!r})")
+
+
+def test_full_pipeline_vsm_parity(spark, tiny_store, tiny_golden):
+    cfg = QueryConfig(profile="reference", compat="reference")
+    eng = QueryEngine(spark, tiny_store, cfg)
+    got = _spark_topk(eng.search(QUERIES), "final_score")
+    want = _golden_topk(tiny_golden, cfg, mode="search")
+    for qid, _q in QUERIES:
+        assert_ranked_equal(got.get(qid, []), want.get(qid, []), ctx=f"q{qid} ({_q!r})")

@@ -1,0 +1,358 @@
+"""Index build: source table → parquet/Iceberg segment store.
+
+Spark-first re-expression of the reference's startup build
+(/root/reference/src/table.cpp:28-80,147-337): the reference's per-doc
+accumulation + deferred batch idf/weight pass maps 1:1 onto Spark's
+partial→final aggregation; everything below is declarative DataFrame ops
+except tokenization and posting encoding (Arrow-vectorized UDFs).
+
+Scale design (the part the reference has no answer for):
+
+* tokenize is a narrow ``mapInPandas`` — no shuffle.
+* per-(doc,term) tf is ONE shuffle (``groupBy(doc_id, term_sign)``); all
+  term- and doc-level stats are partial-aggregated map-side first.
+* posting build shuffles on **(term_sign, shard)** where
+  shard = pmod(doc_id, n_shards(term)) and n_shards(term) scales with the
+  term's document frequency (census from term_stats). This is the salted
+  repartition-by-term with explicit skew splitting for stopword-heavy
+  terms: `the`/`return`/`def` get thousands of doc-range shards at scale,
+  the long tail gets exactly one — no group ever exceeds
+  ``postings_per_shard`` postings regardless of corpus size.
+* postings are written partitioned by ``bucket = pmod(term_sign, N)`` so
+  query-time term lookups prune partitions at the parquet layer.
+* every stage is checkpoint-resumable: a stage whose output dir carries
+  Spark's ``_SUCCESS`` marker (+ our ``_lineage.json``) is skipped on
+  re-run; a partially-written stage (no marker) is rebuilt.
+
+Stage DAG::
+
+    docs ──► tokens ──► doc_term ──► term_stats ──► postings
+      │                    │              │
+      └────────────────────┴──► doc_stats ┘   (+ meta: N, avg_doc_len)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compress import encode_posting
+from .config import BuildConfig
+from .hashing import DOC_KEY_SEP
+from .tokenizer import make_tokenize_iterator
+
+POSTING_BUCKETS = 64  # term-hash write partitions (query-side pruning)
+
+
+def _utcnow() -> str:
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+
+
+@dataclass
+class SegmentStore:
+    """Paths + readers for a built index."""
+
+    root: str
+
+    @property
+    def docs_path(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    @property
+    def tokens_path(self) -> str:
+        return os.path.join(self.root, "tokens")
+
+    @property
+    def doc_term_path(self) -> str:
+        return os.path.join(self.root, "doc_term")
+
+    @property
+    def term_stats_path(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def postings_path(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def lineage_path(self) -> str:
+        return os.path.join(self.root, "lineage")
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+    def meta(self) -> dict:
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.docs_path)
+
+    def tokens(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.tokens_path)
+
+    def doc_term(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.doc_term_path)
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.term_stats_path)
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.postings_path)
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _write_lineage(store: SegmentStore, stage: str, payload: dict) -> None:
+    os.makedirs(store.lineage_path, exist_ok=True)
+    payload = {"stage": stage, "written_at": _utcnow(), **payload}
+    with open(os.path.join(store.lineage_path, f"{stage}.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+
+
+POSTINGS_SCHEMA = (
+    "term_sign long, shard int, bucket int, n_docs long, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "block_last array<long>, block_max_tf array<int>, block_min_dl array<int>, "
+    "bytes_total long"
+)
+
+
+def _make_posting_encoder(block_size: int):
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term_sign_, shard = int(key[0]), int(key[1])
+        enc = encode_posting(
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["doc_len"].to_numpy(),
+            block_size=block_size,
+        )
+        return pd.DataFrame(
+            {
+                "term_sign": [term_sign_],
+                "shard": [shard],
+                "bucket": [term_sign_ % POSTING_BUCKETS],
+                "n_docs": [enc.n_docs],
+                "doc_bytes": [enc.doc_bytes],
+                "tf_bytes": [enc.tf_bytes],
+                "dl_bytes": [enc.dl_bytes],
+                "block_last": [enc.block_last],
+                "block_max_tf": [enc.block_max_tf],
+                "block_min_dl": [enc.block_min_dl],
+                "bytes_total": [enc.bytes_total],
+            }
+        )
+
+    return encode
+
+
+def with_doc_id(source_df: DataFrame) -> DataFrame:
+    """Natural-key doc signature + per-row integrity hash.
+
+    Reference: doc_sign = hash(url) (/root/reference/src/table.cpp:171);
+    here the natural key is (repo, path, commit) per BASELINE.json
+    input_hint; content_sha256 is the per-row invariant column."""
+    return source_df.withColumn(
+        "doc_id", F.xxhash64(F.concat_ws(DOC_KEY_SEP, "repo", "path", "commit"))
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def build_index(
+    spark: SparkSession,
+    source_df: DataFrame,
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+    resume: bool = True,
+) -> SegmentStore:
+    """Build (or resume building) the segment store under *out_dir*."""
+    cfg = cfg or BuildConfig()
+    store = SegmentStore(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    t_start = time.time()
+    stop_terms = sorted(cfg.stopwords)
+    stop_signs_df = None
+
+    # ---- stage: docs_raw (doc_id + sha256; content preserved) ----
+    if not (resume and _stage_done(store.docs_path + "_raw")):
+        with_doc_id(source_df).write.mode("overwrite").parquet(store.docs_path + "_raw")
+        _write_lineage(store, "docs_raw", {})
+    docs_raw = spark.read.parquet(store.docs_path + "_raw")
+
+    # ---- stage: tokens (narrow mapInPandas; no shuffle) ----
+    if not (resume and _stage_done(store.tokens_path)):
+        tok_fn = make_tokenize_iterator(cfg.tokenizer, "doc_id", "content")
+        tokens = (
+            docs_raw.select("doc_id", "content")
+            .mapInPandas(tok_fn, "doc_id long, pos int, term string, offset int, length int, dup int")
+            .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
+        )
+        tokens.write.mode("overwrite").parquet(store.tokens_path)
+        _write_lineage(store, "tokens", {"tokenizer": cfg.tokenizer})
+    tokens = spark.read.parquet(store.tokens_path)
+
+    if stop_terms:
+        stop_signs_df = (
+            spark.createDataFrame([(t,) for t in stop_terms], "term string")
+            .select(F.xxhash64(F.lower("term")).alias("term_sign"))
+            .distinct()
+        )
+
+    # ---- stage: doc_term — THE one tokenize-side shuffle ----
+    # per-(doc,term) tf == reference's reverse-iteration max-dup trick
+    # (/root/reference/src/table.cpp:271,284-290) expressed as count(*)
+    doc_term_path = os.path.join(store.root, "doc_term")
+    if not (resume and _stage_done(doc_term_path)):
+        doc_term = tokens.groupBy("doc_id", "term_sign").agg(
+            F.count("*").alias("tf"),
+            F.min("pos").alias("first_idx"),
+            F.first("term").alias("term"),
+            F.first("length").alias("term_len"),
+        )
+        doc_term.write.mode("overwrite").parquet(doc_term_path)
+        _write_lineage(store, "doc_term", {})
+    doc_term = spark.read.parquet(doc_term_path)
+
+    # ---- stage: term_stats (stopwords excluded from the inverted side,
+    # like /root/reference/src/table.cpp:273-275) ----
+    if not (resume and _stage_done(store.term_stats_path)):
+        dt = doc_term
+        if stop_signs_df is not None:
+            dt = dt.join(F.broadcast(stop_signs_df), "term_sign", "left_anti")
+        # N = forward-table size = docs with >=1 token (the reference rejects
+        # empty docs, table.cpp:270)
+        n_docs = tokens.select("doc_id").distinct().count()
+        term_stats = dt.groupBy("term_sign").agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("ttf"),
+            F.first("term").alias("term"),
+            F.first("term_len").alias("term_len"),
+        )
+        # total-tf idf quirk (ttf, NOT df) incl. the unsigned-wrap for
+        # ttf > N: /root/reference/src/math_util.cpp:19-23, callers
+        # /root/reference/src/table.cpp:295,304 — see config.reference_idf
+        diff = F.lit(n_docs).cast("double") - F.col("ttf")
+        wrapped = (F.lit(float(2**64)) + diff).cast("float").cast("double") + 0.5
+        term_stats = term_stats.withColumn(
+            "idf",
+            F.log(
+                F.when(diff >= 0, diff + 0.5).otherwise(wrapped)
+                / (F.col("ttf") + 0.5)
+            ),
+        )
+        term_stats.write.mode("overwrite").parquet(store.term_stats_path)
+        _write_lineage(store, "term_stats", {"n_docs": n_docs})
+    term_stats = spark.read.parquet(store.term_stats_path)
+
+    # ---- stage: docs (doc_stats folded in) ----
+    if not (resume and _stage_done(store.docs_path)):
+        # per-occurrence weights: wei = idf (tf multiply commented out in the
+        # reference, table.cpp:319); stopword occurrences contribute 0;
+        # vec_module/wei_sum sum per OCCURRENCE (dups counted each time,
+        # table.cpp:309-327)
+        occ = tokens.join(
+            term_stats.select("term_sign", "idf"), "term_sign", "left"
+        ).withColumn("wei", F.coalesce(F.col("idf"), F.lit(0.0)))
+        doc_stats = occ.groupBy("doc_id").agg(
+            F.count("*").alias("n_terms"),
+            # doc_len = LAST token offset+length (node_def.cpp:100-103)
+            F.max_by(F.col("offset") + F.col("length"), F.col("pos")).alias("doc_len"),
+            F.sqrt(F.sum(F.pow(F.col("wei"), F.lit(2.0)))).alias("vec_module"),
+            F.sum("wei").alias("wei_sum"),
+        )
+        docs = docs_raw.join(doc_stats, "doc_id", "inner")  # inner: drops empty docs
+        docs.write.mode("overwrite").parquet(store.docs_path)
+        _write_lineage(store, "docs", {})
+    docs = spark.read.parquet(store.docs_path)
+
+    # ---- stage: postings (salted repartition-by-term, doc-shard salt) ----
+    if not (resume and _stage_done(store.postings_path)):
+        dt = doc_term
+        if stop_signs_df is not None:
+            dt = dt.join(F.broadcast(stop_signs_df), "term_sign", "left_anti")
+        # df census → shard count per term (skew splitting)
+        census = term_stats.select(
+            "term_sign",
+            F.least(
+                F.lit(cfg.max_shards),
+                F.ceil(F.col("df") / F.lit(cfg.postings_per_shard)).cast("int"),
+            ).alias("n_shards"),
+        )
+        dl = docs.select("doc_id", "doc_len")
+        enriched = (
+            dt.join(census, "term_sign")  # Catalyst broadcasts when small; at
+            # 100 TB census is ~vocab-sized → still broadcastable after
+            # pruning to 2 columns
+            .join(dl, "doc_id")
+            .withColumn("shard", F.pmod(F.col("doc_id"), F.col("n_shards")).cast("int"))
+        )
+        encoder = _make_posting_encoder(cfg.block_size)
+        postings = enriched.select(
+            "term_sign", "shard", "doc_id", "tf", "doc_len"
+        ).groupBy("term_sign", "shard").applyInPandas(encoder, POSTINGS_SCHEMA)
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(store.postings_path)
+        # skew metrics from the written postings (cheap: metadata columns)
+        p = spark.read.parquet(store.postings_path)
+        m = p.agg(
+            F.count("*").alias("n_lists"),
+            F.sum("n_docs").alias("n_postings"),
+            F.sum("bytes_total").alias("bytes_total"),
+            F.max("n_docs").alias("max_list"),
+            F.avg("n_docs").alias("mean_list"),
+            F.max("bytes_total").alias("max_list_bytes"),
+        ).collect()[0]
+        skew = float(m["max_list"]) / max(float(m["mean_list"]), 1e-9)
+        per_bucket = [
+            {k: (float(v) if isinstance(v, float) else v) for k, v in r.asDict().items()}
+            for r in p.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_lists"),
+                F.sum("n_docs").alias("n_postings"),
+                F.sum("bytes_total").alias("bytes"),
+                F.max("n_docs").alias("max_list"),
+            )
+            .orderBy("bucket")
+            .collect()
+        ]
+        _write_lineage(
+            store,
+            "postings",
+            {
+                "n_lists": m["n_lists"],
+                "n_postings": m["n_postings"],
+                "bytes_total": m["bytes_total"],
+                "max_list": m["max_list"],
+                "mean_list": m["mean_list"],
+                "skew_factor": skew,
+                "postings_per_shard": cfg.postings_per_shard,
+                "block_size": cfg.block_size,
+                "per_bucket": per_bucket,
+            },
+        )
+
+    # ---- meta ----
+    n_docs = docs.count()
+    avg_doc_len = docs.agg(F.avg("doc_len")).collect()[0][0]
+    meta = {
+        "version": 1,
+        "tokenizer": cfg.tokenizer,
+        "n_docs": n_docs,
+        "avg_doc_len": float(avg_doc_len or 0.0),
+        "block_size": cfg.block_size,
+        "postings_per_shard": cfg.postings_per_shard,
+        "stopwords": stop_terms,
+        "built_at": _utcnow(),
+        "build_seconds": round(time.time() - t_start, 3),
+    }
+    with open(store.meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    _write_lineage(store, "build", {"build_seconds": meta["build_seconds"], "n_docs": n_docs})
+    return store

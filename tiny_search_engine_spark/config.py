@@ -1,0 +1,94 @@
+"""Engine configuration: BM25 profiles, compat modes, build knobs.
+
+The reference hard-codes k1=2.0, k2=1.0, b=0.75
+(/root/reference/src/table.cpp:785-787) while BASELINE.json's metric names
+the textbook k1=1.2, b=0.75 — so constants are a config *profile*:
+``reference`` is used for rank-identity tests, ``standard`` for the
+product-facing default.
+
+Compat modes capture the reference's effective (buggy) query semantics
+(/root/reference/src/table.cpp:418-471 argument-order bug — see
+golden/model.py): ``reference`` replicates them bit-for-bit, ``fixed``
+implements the obviously-intended semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Profile:
+    k1: float
+    k2: float
+    b: float
+
+
+def reference_idf(ttf: int, n_docs: int) -> float:
+    """The reference's idf with its unsigned-wrap quirk, pinned in float64.
+
+    /root/reference/src/math_util.cpp:19-23 computes
+    ``log((float(doc_num - doc_freq) + 0.5) / (float(doc_freq) + 0.5))``
+    where ``doc_num - doc_freq`` is **size_t arithmetic**: when the total
+    term frequency exceeds N (stopword-heavy code tokens: `the`, `return`,
+    `def` …) the subtraction wraps to ~2^64 and the float32 cast lands on
+    ~1.8446744e19 — a huge POSITIVE idf, not NaN. The float32 cast is
+    structural (it defines the wrapped value) and is kept; everything else
+    is float64 (the documented deterministic refinement, SURVEY.md §4.5).
+    """
+    import numpy as np
+
+    diff = n_docs - ttf
+    if diff >= 0:
+        divisor = diff + 0.5
+    else:
+        divisor = float(np.float32((1 << 64) + diff)) + 0.5
+    return math.log(divisor / (ttf + 0.5))
+
+
+BM25_PROFILES: dict[str, BM25Profile] = {
+    # /root/reference/src/table.cpp:785-787
+    "reference": BM25Profile(k1=2.0, k2=1.0, b=0.75),
+    # BASELINE.json metric (textbook Robertson constants; k2 term dropped = 1x
+    # factor only when tf_q==1; we keep k2 so the formula stays one code path)
+    "standard": BM25Profile(k1=1.2, k2=1.0, b=0.75),
+}
+
+# /root/reference/conf/sys.conf:32-36
+MAX_SYN_TERM_RECALL = 10
+MAX_2ND_SORT_NUM = 200
+MAX_RESULT_NUM = 20
+
+
+@dataclass
+class BuildConfig:
+    """Knobs for the index build (see build.py)."""
+
+    tokenizer: str = "code"  # 'code' | 'ws'  (tokenizer.py)
+    # posting-list physical format
+    block_size: int = 128  # docs per block-max block
+    # doc-sharding: a term with df > postings_per_shard is split across
+    # ceil(df / postings_per_shard) doc-hash shards (capped at max_shards).
+    # This IS the north rule's "salted repartition-by-term with explicit
+    # skew splitting for stopword-heavy terms": the salt is the doc shard,
+    # heavy (high-df) terms get many shards, light terms get one.
+    postings_per_shard: int = 1 << 20
+    max_shards: int = 1 << 15
+    # stopwords (term strings) — excluded from postings like
+    # /root/reference/src/table.cpp:273-275
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    # write the exploded token table (forward index) — needed by the exact
+    # parity / feature path; the WAND fast path doesn't read it
+    write_tokens: bool = True
+
+
+@dataclass
+class QueryConfig:
+    profile: str = "reference"  # BM25 constants profile
+    compat: str = "reference"  # 'reference' (bug-faithful) | 'fixed'
+    k: int = MAX_RESULT_NUM
+    max_2nd_sort: int = MAX_2ND_SORT_NUM
+    max_syn_recall: int = MAX_SYN_TERM_RECALL
+    ranker: str = "bm25"  # 'bm25' | 'vsm' (reference final score is vsm,
+    # /root/reference/src/table.cpp:709)

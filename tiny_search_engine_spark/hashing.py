@@ -1,0 +1,111 @@
+"""64-bit term/doc signatures shared by the Spark engine and the golden model.
+
+The reference uses ``std::hash<std::string>`` as its term/doc signature
+(/root/reference/src/str_util.cpp:116-119). The concrete hash values are
+irrelevant to ranking — only identity matters — so the engine canonicalizes
+on **xxhash64 with seed 42**, which Spark evaluates JVM-side via
+``F.xxhash64`` (whole-stage-codegen'd, no Python in the hot path).
+
+This module provides a pure-Python XXH64 (public algorithm,
+https://github.com/Cyan4973/xxHash spec) so the pure-Python golden model
+produces bit-identical signs. ``tests/test_hashing.py`` asserts equality
+against Spark's ``F.xxhash64`` output.
+"""
+
+from __future__ import annotations
+
+_MASK64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+SPARK_XXHASH_SEED = 42
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _MASK64
+    acc = _rotl(acc, 31)
+    return (acc * _P1) & _MASK64
+
+
+def _merge_round(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _MASK64
+
+
+def xxhash64(data: bytes, seed: int = SPARK_XXHASH_SEED) -> int:
+    """Unsigned XXH64 of *data* (standard algorithm, 8/4/1-byte tail)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK64
+        v2 = (seed + _P2) & _MASK64
+        v3 = seed & _MASK64
+        v4 = (seed - _P1) & _MASK64
+        limit = n - 32
+        while i <= limit:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK64
+        h = _merge_round(h, v1)
+        h = _merge_round(h, v2)
+        h = _merge_round(h, v3)
+        h = _merge_round(h, v4)
+    else:
+        h = (seed + _P5) & _MASK64
+    h = (h + n) & _MASK64
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _MASK64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _MASK64
+        h = (_rotl(h, 23) * _P2 + _P3) & _MASK64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK64
+        h = (_rotl(h, 11) * _P1) & _MASK64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _MASK64
+    h ^= h >> 29
+    h = (h * _P3) & _MASK64
+    h ^= h >> 32
+    return h
+
+
+def xxhash64_signed(data: bytes, seed: int = SPARK_XXHASH_SEED) -> int:
+    """XXH64 reinterpreted as a signed int64 — matches Spark ``F.xxhash64``."""
+    h = xxhash64(data, seed)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def term_sign(term: str) -> int:
+    """Canonical term signature: signed XXH64(lower(term)), seed 42.
+
+    Case-folded like the reference (/root/reference/src/segment.cpp:68).
+    Spark-side equivalent: ``F.xxhash64(F.lower(F.col("term")))``.
+    """
+    return xxhash64_signed(term.lower().encode("utf-8"))
+
+
+DOC_KEY_SEP = "\x01"
+
+
+def doc_sign(repo: str, path: str, commit: str) -> int:
+    """Canonical doc signature over the natural key (repo, path, commit).
+
+    The reference keys docs by hash(url) (/root/reference/src/table.cpp:171);
+    our natural key is the input_hint triple. Spark-side equivalent:
+    ``F.xxhash64(F.concat_ws(DOC_KEY_SEP, "repo", "path", "commit"))``.
+    """
+    return xxhash64_signed(DOC_KEY_SEP.join((repo, path, commit)).encode("utf-8"))

@@ -1,0 +1,531 @@
+"""Query engine over the segment store.
+
+Three paths, all batch (queries are a DataFrame, like the reference's
+stdin loop /root/reference/src/main.cpp:75-90 re-expressed as a table):
+
+* ``bm25_topk``   — exact OR-recall + BM25 top-k, fully declarative
+  DataFrame ops (one join against the per-(doc,term) table + window
+  top-k). Replicates the reference's effective query semantics — incl.
+  the C4 argument-order bug (/root/reference/src/table.cpp:418-471,
+  SURVEY.md §2 C4) — as join/window algebra under ``compat="reference"``.
+* ``search``      — the full reference pipeline: recall → 1st sort funnel
+  (term_hits desc, recall_by_syn asc, doc_len asc; table.cpp:404-414) →
+  D1-D10 features for the top-200 (table.cpp:665-668) → final sort by
+  vsm (table.cpp:709) → top-k. Features run in ONE Arrow-batched
+  ``applyInPandas`` per query group (the reference's OpenMP loop,
+  table.cpp:665, becomes executor parallelism).
+* ``wand_topk``   — block-max WAND over the compressed postings: the
+  sub-linear scale path (novel vs the reference). Exact w.r.t. the clean
+  BM25 semantics (compat="fixed", no synonyms); equality vs ``bm25_topk``
+  is a test invariant.
+
+Query-side info (tokens, dups, term_map, synonym expansions) is computed
+driver-side with the shared tokenizer — the query set is small by
+definition — and shipped as broadcast-sized DataFrames; the document side
+never leaves the executors.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .build import SegmentStore
+from .compress import decode_posting
+from .config import BM25_PROFILES, QueryConfig
+from .hashing import term_sign
+from .tokenizer import text_len, tokenize_with_stats
+
+
+@dataclass
+class QueryInfo:
+    query_id: int
+    query: str
+    signs: list[int]
+    dups: list[int]
+    term_map: dict[int, list]  # sign -> [tf, first_idx, offsets]
+    query_len: int
+    syns: list[list[str]]  # per term
+    wei: list[float] | None = None  # per occurrence (idf; stopwords 0)
+    vec_module: float = 0.0
+    wei_sum: float = 0.0
+
+
+class SynonymDict:
+    """C2: cluster dict + the reference's length/substring filter
+    (/root/reference/src/synonyms.cpp:57-84)."""
+
+    def __init__(self, clusters: list[list[str]] | None):
+        self.clusters = clusters or []
+        self.of: dict[str, int] = {}
+        for cid, cl in enumerate(self.clusters):
+            for t in cl:
+                self.of.setdefault(t, cid)
+
+    def get(self, term: str) -> list[str]:
+        cid = self.of.get(term)
+        if cid is None:
+            return []
+        out = []
+        for cand in self.clusters[cid]:
+            if len(term.encode()) > len(cand.encode()) and term.find(cand) == -1:
+                continue
+            out.append(cand)
+        return out
+
+
+class QueryEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SegmentStore,
+        cfg: QueryConfig | None = None,
+        synonyms: list[list[str]] | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.cfg = cfg or QueryConfig()
+        meta = store.meta()
+        self.mode = meta["tokenizer"]
+        self.n_docs = int(meta["n_docs"])
+        self.avg_doc_len = float(meta["avg_doc_len"])
+        self.stop_signs = {term_sign(w) for w in meta.get("stopwords", [])}
+        self.syn = SynonymDict(synonyms)
+        self._doc_term = None
+
+    # ------------------------------------------------------------------
+    # query-side prep (driver; query sets are small)
+    # ------------------------------------------------------------------
+
+    def query_infos(self, queries: list[tuple[int, str]]) -> list[QueryInfo]:
+        out = []
+        for qid, q in queries:
+            toks, dups, tmap = tokenize_with_stats(q, self.mode)
+            out.append(
+                QueryInfo(
+                    query_id=qid,
+                    query=q,
+                    signs=[term_sign(t.term) for t in toks],
+                    dups=dups,
+                    term_map={k: [v[0], v[1], list(v[2])] for k, v in tmap.items()},
+                    query_len=text_len(toks),
+                    syns=[self.syn.get(t.term) for t in toks],
+                )
+            )
+        self._fill_query_weights(out)
+        return out
+
+    def _fill_query_weights(self, qis: list[QueryInfo]) -> None:
+        """Per-occurrence wei=idf, vec_module, wei_sum
+        (/root/reference/src/table.cpp:620-631): distributed idf lookup for
+        the (small) union of query-term signs, then driver-side sums."""
+        signs = sorted({s for qi in qis for s in qi.signs})
+        idf_map: dict[int, float] = {}
+        if signs:
+            rows = (
+                self.store.term_stats(self.spark)
+                .filter(F.col("term_sign").isin(signs))
+                .select("term_sign", "idf")
+                .collect()
+            )
+            idf_map = {r["term_sign"]: r["idf"] for r in rows}
+        for qi in qis:
+            mod = 0.0
+            ws = 0.0
+            wei = [0.0] * len(qi.signs)
+            for i, s in enumerate(qi.signs):
+                if s in self.stop_signs:
+                    continue
+                w = idf_map.get(s, 0.0)
+                wei[i] = w
+                mod += w * w
+                ws += w
+            qi.wei = wei
+            qi.vec_module = math.sqrt(mod)
+            qi.wei_sum = ws
+
+    def _event_rows(self, qis: list[QueryInfo]) -> list[tuple]:
+        """Recall 'events' in reference processing order: for each query
+        term i (dup==1 only, table.cpp:349-351) the original-term event
+        (kind=0), then its synonym events (kind=1, j capped at 10,
+        table.cpp:377, identical-sign syn skipped table.cpp:379-380).
+
+        Row: (query_id, sign, i, kind, j, tf_q_own, tf_q0, tf_q1)
+        where tf_q_own is the term's own in-query tf, tf_q0/tf_q1 the
+        tf of query tokens 0 / 1 (C4-bug donors; table.cpp:457-459)."""
+        rows = []
+        for qi in qis:
+            if not qi.signs:
+                continue
+            tf_q0 = qi.term_map[qi.signs[0]][0]
+            tf_q1 = qi.term_map[qi.signs[1]][0] if len(qi.signs) > 1 else 0
+            for i, s in enumerate(qi.signs):
+                if qi.dups[i] > 1:
+                    continue
+                rows.append((qi.query_id, s, i, 0, 0, qi.term_map[s][0], tf_q0, tf_q1))
+                for j, syn in enumerate(qi.syns[i][: self.cfg.max_syn_recall]):
+                    ss = term_sign(syn)
+                    if ss == s:
+                        continue
+                    tf_own = qi.term_map.get(ss, [0])[0]  # default-insert → 0
+                    rows.append((qi.query_id, ss, i, 1, j + 1, tf_own, tf_q0, tf_q1))
+        return rows
+
+    # ------------------------------------------------------------------
+    # match-record construction (shared by bm25_topk and search)
+    # ------------------------------------------------------------------
+
+    def _records(self, qis: list[QueryInfo]) -> DataFrame:
+        """Per-(query, doc, term) match records with the compat-resolved
+        in-query tf, plus per-(query,doc) recall_by_syn.
+
+        Declarative translation of recall + fill_match_term_info
+        (table.cpp:343-471): the event table joins the per-(doc,term)
+        postings view; the discovery event per (query,doc) is the
+        window-min over the reference's processing order (i, kind, j);
+        the C4 bug rewrites the discovery record's in-query stats."""
+        spark = self.spark
+        compat_ref = self.cfg.compat == "reference"
+        ev = spark.createDataFrame(
+            self._event_rows(qis),
+            "query_id long, term_sign long, i int, kind int, j int, "
+            "tf_q_own int, tf_q0 int, tf_q1 int",
+        )
+        # non-stopword per-(doc,term) table (the uncompressed posting view);
+        # stop terms never entered term_stats, so an inner join on it both
+        # resolves idf and enforces the stopword gate (table.cpp:273-275)
+        dt = self.store.doc_term(spark).select(
+            "doc_id", "term_sign", F.col("tf").alias("tf_d")
+        )
+        ts = self.store.term_stats(spark).select("term_sign", "idf", "term_len")
+        dt = dt.join(ts, "term_sign")  # drops stopworded + unknown terms
+
+        m = dt.join(F.broadcast(ev), "term_sign")
+        w = Window.partitionBy("query_id", "doc_id").orderBy("i", "kind", "j")
+        m = m.withColumn("ev_rank", F.row_number().over(w))
+        # discovery event attributes, broadcast down the group
+        wg = Window.partitionBy("query_id", "doc_id")
+        m = (
+            m.withColumn("disc_i", F.first("i").over(w))
+            .withColumn("disc_kind", F.first("kind").over(w))
+            .withColumn("disc_sign", F.first("term_sign").over(w))
+        )
+        if compat_ref:
+            # arg-order bug: recall_by_syn = (bool)i of the discovery call
+            m = m.withColumn("recall_by_syn", F.col("disc_i") != 0)
+        else:
+            m = m.withColumn("recall_by_syn", F.col("disc_kind") == 1)
+
+        # record selection:
+        #  * every original-term event yields a record (dedup'd by sign —
+        #    signs are unique among kept original terms)
+        #  * a synonym event yields a record ONLY if it is the discovery
+        #    event (docs already in res_map are skipped, table.cpp:388-393)
+        #  * an original record whose sign was already inserted by a
+        #    discovery synonym is dropped (match_term_map collision,
+        #    table.cpp:361-363)
+        is_disc = F.col("ev_rank") == 1
+        keep = (F.col("kind") == 0) | is_disc
+        m = m.filter(keep)
+        m = m.withColumn(
+            "syn_disc_sign",
+            F.max(F.when((F.col("kind") == 1) & is_disc, F.col("term_sign"))).over(wg),
+        )
+        m = m.filter(
+            (F.col("kind") == 1)
+            | F.col("syn_disc_sign").isNull()
+            | (F.col("term_sign") != F.col("syn_disc_sign"))
+        )
+        # two original events can share a sign only via dup-skip (excluded);
+        # one record per (query,doc,sign) now holds.
+
+        # compat-resolved in-query tf (fill_match_term_info, table.cpp:443-471)
+        if compat_ref:
+            tf_q = (
+                F.when(
+                    is_disc & (F.col("disc_i") != 0) & (F.col("kind") == 0),
+                    F.col("tf_q0"),  # original term i>0 discovery → term 0 stats
+                )
+                .when(
+                    is_disc & (F.col("disc_i") != 0) & (F.col("kind") == 1),
+                    F.col("tf_q1"),  # synonym discovery, i>=1 → term 1 stats
+                )
+                .otherwise(F.col("tf_q_own"))  # incl. syn i==0 → default-insert 0
+            )
+        else:
+            tf_q = F.col("tf_q_own")
+        m = m.withColumn("tf_q", tf_q)
+        m = m.withColumn("hit_freq", F.least("tf_q", "tf_d"))
+        m = m.withColumn("is_syn_disc", is_disc & (F.col("kind") == 1))
+        return m.select(
+            "query_id", "doc_id", "term_sign", "i", "kind", "j",
+            "tf_q", "tf_d", "hit_freq", "idf", "term_len",
+            "recall_by_syn", "is_syn_disc", "disc_i",
+        )
+
+    # ------------------------------------------------------------------
+    # path 1: exact BM25 top-k (declarative)
+    # ------------------------------------------------------------------
+
+    def bm25_topk(self, queries: list[tuple[int, str]], k: int | None = None) -> DataFrame:
+        """Top-k by BM25 over all recalled candidates.
+
+        Physical plan: broadcast(events) ⋈ doc_term → window-resolved
+        records → groupBy(query,doc) sum → join doc_len → window top-k
+        (TakeOrderedAndProject shape per query)."""
+        k = k or self.cfg.k
+        prof = BM25_PROFILES[self.cfg.profile]
+        qis = self.query_infos(queries)
+        recs = self._records(qis)
+        docs = self.store.docs(self.spark).select("doc_id", "doc_len")
+        adl = self.avg_doc_len
+        kd = prof.k1 * (1 - prof.b + prof.b * F.col("doc_len") / F.lit(adl))
+        contrib = (
+            F.col("idf")
+            * (F.col("tf_d") * (prof.k1 + 1) / (F.col("tf_d") + kd))
+            * (F.col("tf_q") * (prof.k2 + 1) / (F.col("tf_q") + F.lit(prof.k2)))
+        )
+        scored = (
+            recs.join(docs, "doc_id")
+            .withColumn("contrib", contrib)
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum("contrib").alias("bm25"),
+                F.sum("hit_freq").alias("term_hits"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "bm25", "term_hits")
+        )
+
+    # ------------------------------------------------------------------
+    # path 2: full reference pipeline (funnel + D1-D10 features + vsm rank)
+    # ------------------------------------------------------------------
+
+    def search(self, queries: list[tuple[int, str]], k: int | None = None) -> DataFrame:
+        """recall → 1st sort → features(top-200) → vsm rank → top-k.
+
+        Returns (query_id, rank, doc_id, final_score, vsm, bm25, term_hits,
+        features map)."""
+        k = k or self.cfg.k
+        spark = self.spark
+        qis = self.query_infos(queries)
+        qmap = {qi.query_id: qi for qi in qis}
+        recs = self._records(qis)
+        docs_slim = self.store.docs(spark).select(
+            "doc_id", "doc_len", "vec_module", "wei_sum", "content"
+        )
+        cand = recs.groupBy("query_id", "doc_id").agg(
+            F.sum("hit_freq").alias("term_hits"),
+            F.max(F.col("recall_by_syn").cast("int")).cast("boolean").alias("recall_by_syn"),
+            F.collect_list(
+                F.struct("term_sign", "i", "kind", "tf_q", "tf_d", "idf", "term_len", "is_syn_disc")
+            ).alias("matches"),
+        )
+        # 1st sort funnel: pinned refinement of table.cpp:404-414
+        wfun = Window.partitionBy("query_id").orderBy(
+            F.desc("term_hits"),
+            F.asc(F.col("recall_by_syn").cast("int")),
+            F.asc("doc_len"),
+            F.asc("doc_id"),
+        )
+        cand = (
+            cand.join(docs_slim.select("doc_id", "doc_len"), "doc_id")
+            .withColumn("funnel_rank", F.row_number().over(wfun))
+        )
+        top = cand.filter(F.col("funnel_rank") <= self.cfg.max_2nd_sort)
+        rest = cand.filter(F.col("funnel_rank") > self.cfg.max_2nd_sort).select(
+            "query_id", "doc_id", "term_hits",
+            F.lit(0.0).alias("final_score"), F.lit(0.0).alias("vsm"),
+            F.lit(0.0).alias("bm25"),
+        )
+
+        # doc-side arrays for the feature UDF (only for funnel survivors:
+        # a selective semi-join keeps this narrow at scale)
+        tokens = self.store.tokens(spark)
+        ts_idf = self.store.term_stats(spark).select("term_sign", "idf")
+        doc_arrays = (
+            tokens.join(top.select("doc_id").distinct(), "doc_id", "left_semi")
+            .join(ts_idf, "term_sign", "left")
+            .withColumn("wei", F.coalesce("idf", F.lit(0.0)))
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "term_sign", "offset", "length", "wei"))
+                ).alias("toks")
+            )
+        )
+        feat_in = top.join(doc_arrays, "doc_id").join(
+            docs_slim.select("doc_id", "vec_module", "wei_sum", "content"), "doc_id"
+        )
+
+        stop_signs = self.stop_signs
+        prof = BM25_PROFILES[self.cfg.profile]
+        avg_dl = self.avg_doc_len
+        qinfo_b = spark.sparkContext.broadcast(
+            {
+                qi.query_id: {
+                    "query": qi.query,
+                    "signs": qi.signs,
+                    "term_map": qi.term_map,
+                    "query_len": qi.query_len,
+                    "wei": qi.wei,
+                    "vec_module": qi.vec_module,
+                    "wei_sum": qi.wei_sum,
+                }
+                for qi in qmap.values()
+            }
+        )
+
+        from .features import compute_features_pdf  # late import (executor-safe)
+
+        out_schema = (
+            "query_id long, doc_id long, term_hits long, final_score double, "
+            "vsm double, bm25 double"
+        )
+
+        def feat_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = int(key[0])
+            qi = qinfo_b.value[qid]
+            return compute_features_pdf(qi, pdf, stop_signs, prof, avg_dl)
+
+        featured = feat_in.groupBy("query_id").applyInPandas(feat_fn, out_schema)
+        allc = featured.unionByName(rest.select(*featured.columns))
+        wfin = Window.partitionBy("query_id").orderBy(F.desc("final_score"), F.asc("doc_id"))
+        return (
+            allc.withColumn("rank", F.row_number().over(wfin))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "final_score", "vsm", "bm25", "term_hits")
+        )
+
+    # ------------------------------------------------------------------
+    # path 3: block-max WAND over compressed postings (scale path)
+    # ------------------------------------------------------------------
+
+    def wand_topk(self, queries: list[tuple[int, str]], k: int | None = None) -> DataFrame:
+        """Exact BM25 top-k via pruned evaluation of compressed postings
+        (compat="fixed" semantics, no synonyms — the clean product path).
+
+        Plan: query terms ⋈ postings (bucket-pruned parquet scan) →
+        per-(query, shard) pruned TAAT/WAND scoring in one Arrow batch →
+        global per-query top-k window merge. Shards are doc-ranges, so
+        per-shard top-k → global top-k is exact."""
+        k = k or self.cfg.k
+        spark = self.spark
+        prof = BM25_PROFILES[self.cfg.profile]
+        qis = self.query_infos(queries)
+        rows = []
+        for qi in qis:
+            for i, s in enumerate(qi.signs):
+                if qi.dups[i] > 1:
+                    continue
+                rows.append((qi.query_id, s, qi.term_map[s][0]))
+        if not rows:
+            return spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, bm25 double"
+            )
+        qterms = spark.createDataFrame(rows, "query_id long, term_sign long, tf_q int")
+        from .build import POSTING_BUCKETS
+
+        buckets = sorted({r[1] % POSTING_BUCKETS for r in rows})
+        post = self.store.postings(spark).filter(F.col("bucket").isin(buckets))
+        ts = self.store.term_stats(spark).select("term_sign", "idf")
+        joined = post.join(F.broadcast(qterms), "term_sign").join(ts, "term_sign")
+
+        k1, k2, b = prof.k1, prof.k2, prof.b
+        avg_dl = self.avg_doc_len
+        kk = k
+
+        def wand_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = int(key[0])
+            shard = int(key[1])
+            del shard
+            # per-list upper bounds (idf<=0 terms bounded by 0: their
+            # contribution is negative, so they can never lift a doc)
+            lists = []
+            for r in pdf.itertuples():
+                d, t, dl = decode_posting(r.doc_bytes, r.tf_bytes, r.dl_bytes)
+                qf = r.tf_q * (k2 + 1) / (r.tf_q + k2)
+                kd = k1 * (1 - b + b * dl / avg_dl)
+                contrib = r.idf * (t * (k1 + 1) / (t + kd)) * qf
+                if r.idf > 0:
+                    mtf = np.asarray(r.block_max_tf, dtype=np.float64)
+                    mdl = np.asarray(r.block_min_dl, dtype=np.float64)
+                    bkd = k1 * (1 - b + b * mdl / avg_dl)
+                    ub = float((r.idf * (mtf * (k1 + 1) / (mtf + bkd)) * qf).max())
+                else:
+                    ub = 0.0
+                lists.append((ub, d, contrib))
+            lists.sort(key=lambda x: -x[0])
+            # pruned TAAT: process lists in ub-desc order; once the suffix
+            # upper bound cannot beat the current k-th best lower bound, new
+            # docs are barred and updates restrict to already-seen docs
+            suffix = np.cumsum([0.0] + [ub for ub, _, _ in lists][::-1])[::-1]
+            doc_ids = np.empty(0, dtype=np.int64)
+            scores = np.empty(0, dtype=np.float64)
+            for li, (ub, d, contrib) in enumerate(lists):
+                if doc_ids.size >= kk:
+                    kth = np.partition(scores, scores.size - kk)[scores.size - kk]
+                    # strict <: an unseen doc could still TIE the kth score
+                    # and win the (score desc, doc_id asc) tiebreak
+                    if suffix[li] < kth:
+                        mask = np.isin(d, doc_ids, assume_unique=True)
+                        d, contrib = d[mask], contrib[mask]
+                        if d.size == 0:
+                            continue
+                        idx = np.searchsorted(doc_ids, d)
+                        scores[idx] += contrib
+                        continue
+                merged = np.concatenate([doc_ids, d])
+                msc = np.concatenate([scores, contrib])
+                order = np.argsort(merged, kind="stable")
+                merged, msc = merged[order], msc[order]
+                uniq, start = np.unique(merged, return_index=True)
+                sums = np.add.reduceat(msc, start)
+                doc_ids, scores = uniq, sums
+            if doc_ids.size == 0:
+                return pd.DataFrame({"query_id": [], "doc_id": [], "bm25": []}).astype(
+                    {"query_id": "int64", "doc_id": "int64", "bm25": "float64"}
+                )
+            n = min(kk, doc_ids.size)
+            # top-k with (score desc, doc_id asc) tiebreak
+            order = np.lexsort((doc_ids, -scores))[:n]
+            return pd.DataFrame(
+                {
+                    "query_id": np.full(n, qid, dtype=np.int64),
+                    "doc_id": doc_ids[order],
+                    "bm25": scores[order],
+                }
+            )
+
+        per_shard = joined.groupBy("query_id", "shard").applyInPandas(
+            wand_fn, "query_id long, doc_id long, bm25 double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+        return (
+            per_shard.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "bm25")
+        )
+
+
+def assert_content_sha256(spark: SparkSession, store: SegmentStore, source_df: DataFrame) -> int:
+    """Per-row invariant (BASELINE.json input_hint): every doc's stored
+    content_sha256 equals sha256 of the source row. Returns #mismatches."""
+    from .build import with_doc_id
+
+    src = with_doc_id(source_df).select(
+        "doc_id", F.col("content_sha256").alias("src_sha")
+    )
+    st = store.docs(spark).select("doc_id", "content_sha256")
+    return st.join(src, "doc_id", "inner").filter(
+        F.col("content_sha256") != F.col("src_sha")
+    ).count()
