@@ -1,38 +1,540 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the inverted index over the sf0.001
+``documents`` table (adapted to the engine's source schema) and answer a
+batch of BM25 top-k queries via the block-max-WAND path.
+
+``queries()`` / ``oracle_sql()`` — one entry per SQL-expressible operator
+from SURVEY.md §2 plus the training-data pipeline ops (dedup, similarity
+search, text analysis). Tokenization used here is whitespace ('ws' mode)
+precisely because it is expressible identically in Spark and DuckDB SQL;
+the engine's richer 'code' tokenizer is covered by the pytest golden-parity
+suite instead (non-SQL-expressible paths: varbyte postings, WAND, the
+compat-bug recall semantics → tests/).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiny_search_engine_spark.pipeline import dedup, simsearch, textstats
+
+# ---------------------------------------------------------------------------
+# shared constants (must match the SQL below literally)
+# ---------------------------------------------------------------------------
+
+BM25_K1, BM25_K2, BM25_B = 1.2, 1.0, 0.75
+TOPK = 10
+
+# fixed query set over the documents-table vocabulary
+QUERY_SET: list[tuple[int, str]] = [
+    (0, "merge sort table"),
+    (1, "query filter join"),
+    (2, "the fast scan"),
+    (3, "stream batch window group"),
+    (4, "customer order line"),
+    (5, "hash join"),
+    (6, "data data data"),
+    (7, "zz_absent_token"),
+]
+
+STOPWORDS = textstats.STOPWORDS_EN  # the, a, of, to, in, and, is, for
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.tokens_view(_docs(spark, sf_dir))
+
+
+_TOKENS_SQL = (
+    "SELECT doc_id, term FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term "
+    "FROM documents) WHERE term <> ''"
+)
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QUERY_SET, "query_id long, query string")
+
+
+_QUERIES_SQL_VALUES = ", ".join(f"({i}, '{q}')" for i, q in QUERY_SET)
+_QTERMS_SQL = (
+    f"SELECT query_id, term, count(*) AS tf_q FROM ("
+    f"SELECT query_id, unnest(string_split_regex(query, ' ')) AS term "
+    f"FROM (VALUES {_QUERIES_SQL_VALUES}) AS q(query_id, query)) GROUP BY 1, 2"
+)
+
+# reference idf (total-tf + unsigned wrap, float64 pinned — config.reference_idf
+# without the float32 step, since this oracle is double-only on both engines)
+_IDF_SQL = (
+    "CASE WHEN {n} - ttf >= 0 THEN ln(({n} - ttf + 0.5) / (ttf + 0.5)) "
+    "ELSE ln((18446744073709551616.0 + ({n} - ttf) + 0.5) / (ttf + 0.5)) END"
+)
+
+
+def _idf_col(n_docs: int) -> F.Column:
+    diff = F.lit(float(n_docs)) - F.col("ttf")
+    wrapped = F.lit(float(2**64)) + diff + 0.5
+    return F.log(F.when(diff >= 0, diff + 0.5).otherwise(wrapped) / (F.col("ttf") + 0.5))
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index the sf0.001 documents corpus (engine source schema),
+    then batch BM25 top-k through the compressed-postings WAND path."""
+    from tiny_search_engine_spark.build import BuildConfig, build_index
+    from tiny_search_engine_spark.config import QueryConfig
+    from tiny_search_engine_spark.query import QueryEngine
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = _docs(spark, sf_dir).select(
+        F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "tse_entry_store")
+    shutil.rmtree(out, ignore_errors=True)
+    store = build_index(
+        spark, src, out, BuildConfig(tokenizer="ws", stopwords=frozenset(STOPWORDS))
+    )
+    eng = QueryEngine(spark, store, QueryConfig(profile="standard", compat="fixed"))
+    return eng.wand_topk(QUERY_SET, k=TOPK)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_token_counts(spark, sf_dir):
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.min("pos").alias("first_pos"))
+    )
+
+
+def _q_term_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
+        .withColumn("idf", F.round(_idf_col(n), 6))
+    )
+
+
+def _q_doc_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    toks = _tokens(spark, sf_dir)
+    ts = (
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .groupBy("term").agg(F.sum("tf").alias("ttf"))
+        .withColumn("idf", _idf_col(n))
+        .select("term", "idf")
+    )
+    return (
+        toks.join(ts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("doc_len"),
+            F.round(F.sum("idf"), 4).alias("wei_sum"),
+            F.round(F.sqrt(F.sum(F.col("idf") * F.col("idf"))), 4).alias("vec_module"),
+        )
+    )
+
+
+def _q_avg_doc_len(spark, sf_dir):
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.round(F.avg("n"), 6).alias("avg_doc_len"))
+    )
+
+
+def _q_bm25_topk(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    toks = _tokens(spark, sf_dir)
+    doc_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_d"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    avg_dl = dl.agg(F.avg("doc_len")).collect()[0][0]
+    ts = (
+        doc_term.groupBy("term")
+        .agg(F.sum("tf_d").alias("ttf"))
+        .withColumn("idf", _idf_col(n))
+        .select("term", "idf")
+    )
+    qt = (
+        _queries_df(spark)
+        .select("query_id", F.explode(F.split("query", " ")).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("tf_q"))
+    )
+    kd = F.lit(BM25_K1) * (1 - BM25_B + BM25_B * F.col("doc_len") / F.lit(float(avg_dl)))
+    contrib = (
+        F.col("idf")
+        * (F.col("tf_d") * (BM25_K1 + 1) / (F.col("tf_d") + kd))
+        * (F.col("tf_q") * (BM25_K2 + 1) / (F.col("tf_q") + F.lit(BM25_K2)))
+    )
+    scored = (
+        doc_term.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .join(ts, "term")
+        .withColumn("contrib", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def _q_term_hits_funnel(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    doc_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_d"))
+    qt = (
+        _queries_df(spark)
+        .select("query_id", F.explode(F.split("query", " ")).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("tf_q"))
+    )
+    hits = (
+        doc_term.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.least("tf_q", "tf_d")).alias("term_hits"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("term_hits"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "rank", "doc_id", "term_hits")
+    )
+
+
+def _q_stopword_stats(spark, sf_dir):
+    stop = [s.lower() for s in STOPWORDS]
+    return (
+        _tokens(spark, sf_dir)
+        .filter(~F.lower(F.col("term")).isin(stop))
+        .groupBy("term")
+        .agg(F.count("*").alias("ttf"))
+    )
+
+
+def _q_dup_exact(spark, sf_dir):
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes=4, shingle=3)
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), num_hashes=4, bands=2, shingle=3)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle=1, threshold=0.3)
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_knn_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    return simsearch.knn_cosine(emb, queries, k=5)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    return dedup.embedding_neardup_pairs(emb, threshold=0.3)
+
+
+def _q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def _q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "token_counts": _q_token_counts,
+        "term_stats": _q_term_stats,
+        "doc_stats": _q_doc_stats,
+        "avg_doc_len": _q_avg_doc_len,
+        "bm25_topk": _q_bm25_topk,
+        "term_hits_funnel": _q_term_hits_funnel,
+        "stopword_stats": _q_stopword_stats,
+        "dup_exact": _q_dup_exact,
+        "minhash_sigs": _q_minhash_sigs,
+        "lsh_pairs": _q_lsh_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_sigs": _q_simhash,
+        "knn_cosine": _q_knn_cosine,
+        "embedding_neardup": _q_embedding_neardup,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _sql_doc_term() -> str:
+    return f"SELECT doc_id, term, count(*) AS tf FROM ({_TOKENS_SQL}) GROUP BY 1, 2"
+
+
+def _sql_term_stats_inner() -> str:
+    n = "(SELECT count(*) FROM documents)"
+    idf = _IDF_SQL.format(n=n)
+    return (
+        f"SELECT term, count(*) AS df, sum(tf) AS ttf, {idf} AS idf "
+        f"FROM ({_sql_doc_term()}) GROUP BY term"
+    )
+
+
+_SHINGLES_SQL = (
+    "SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh FROM ("
+    "SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks "
+    "FROM documents), unnest(generate_series(1, len(toks) - 2)) AS t(i)"
+)
+
+
+def _sql_minhash(num_hashes: int = 4) -> str:
+    mins = ", ".join(
+        f"min(md5(concat('{i}:', sh))) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+
+
+def _sql_simhash() -> str:
+    hexmap = "0123456789abcdef"
+    votes = []
+    for j in range(dedup.SIMHASH_BITS):
+        nib = f"(strpos('{hexmap}', substring(h, {1 + j // 4}, 1)) - 1)"
+        bit = f"(({nib} >> {3 - j % 4}) % 2)"
+        votes.append(f"sum(CASE WHEN {bit} = 1 THEN tf ELSE -tf END) AS v{j}")
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << (dedup.SIMHASH_BITS - 1 - j)} ELSE 0 END)"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    tf = (
+        "SELECT doc_id, term, count(*) AS tf, md5(term) AS h FROM ("
+        "SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term "
+        "FROM documents) GROUP BY doc_id, term, md5(term)"
+    )
+    return (
+        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM ("
+        f"SELECT doc_id, {', '.join(votes)} FROM ({tf}) GROUP BY doc_id)"
+    )
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(toks) AS n_tokens,
+       round(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({STOPWORDS!r}, lower(x)))) AS DOUBLE) / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+       round(least(len(toks) / 100.0, 1.0) * 0.4
+             + (1 - CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 0.3
+             + least(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains({STOPWORDS!r}, lower(x)))) AS DOUBLE) / len(toks) ELSE 0.0 END * 4.0, 1.0) * 0.3, 6) AS quality
+FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents)
+"""
+
+
+def _sql_lang_id() -> str:
+    score_exprs = []
+    for lang in sorted(textstats.LANG_MARKERS):
+        markers = textstats.LANG_MARKERS[lang]
+        score_exprs.append(
+            f"len(list_filter(toks, x -> list_contains({markers!r}, x))) AS score_{lang}"
+        )
+    langs = sorted(textstats.LANG_MARKERS)
+    # argmax with lang-name-asc tiebreak
+    best = "CASE "
+    for lang in langs:
+        conds = [
+            f"score_{lang} >= score_{o}" if o > lang else f"score_{lang} > score_{o}"
+            for o in langs
+            if o != lang
+        ]
+        best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    best += "END"
+    return (
+        f"SELECT doc_id, {', '.join(f'score_{lg}' for lg in langs)}, {best} AS lang_pred FROM ("
+        f"SELECT doc_id, {', '.join(score_exprs)} FROM ("
+        f"SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks "
+        f"FROM documents))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n = "(SELECT count(*) FROM documents)"
+    doc_term = _sql_doc_term()
+    term_stats = _sql_term_stats_inner()
+    qterms = _QTERMS_SQL
+    stop_list = repr([s.lower() for s in STOPWORDS])
+    return {
+        "token_counts": (
+            "SELECT doc_id, term, count(*) AS tf, min(pos) AS first_pos FROM ("
+            "SELECT doc_id, toks[i] AS term, i - 1 AS pos FROM (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents), "
+            "unnest(generate_series(1, len(toks))) AS t(i)) GROUP BY doc_id, term"
+        ),
+        "term_stats": (
+            f"SELECT term, df, ttf, round(idf, 6) AS idf FROM ({term_stats})"
+        ),
+        "doc_stats": (
+            f"SELECT t.doc_id, count(*) AS doc_len, round(sum(s.idf), 4) AS wei_sum, "
+            f"round(sqrt(sum(s.idf * s.idf)), 4) AS vec_module "
+            f"FROM ({_TOKENS_SQL}) t JOIN ({term_stats}) s USING (term) GROUP BY t.doc_id"
+        ),
+        "avg_doc_len": (
+            f"SELECT round(avg(n), 6) AS avg_doc_len FROM ("
+            f"SELECT doc_id, count(*) AS n FROM ({_TOKENS_SQL}) GROUP BY doc_id)"
+        ),
+        "bm25_topk": f"""
+            WITH doc_term AS (SELECT doc_id, term, count(*) AS tf_d FROM ({_TOKENS_SQL}) GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS doc_len FROM ({_TOKENS_SQL}) GROUP BY 1),
+            adl AS (SELECT avg(doc_len) AS avg_dl FROM dl),
+            ts AS (SELECT term, sum(tf_d) AS ttf, {_IDF_SQL.format(n=n)} AS idf FROM doc_term GROUP BY term),
+            qt AS ({qterms}),
+            scored AS (
+              SELECT query_id, doc_id,
+                     round(sum(ts.idf
+                       * (tf_d * ({BM25_K1} + 1) / (tf_d + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len / adl.avg_dl)))
+                       * (tf_q * ({BM25_K2} + 1) / (tf_q + {BM25_K2}))), 4) AS bm25
+              FROM doc_term JOIN qt USING (term) JOIN dl USING (doc_id) JOIN ts USING (term), adl
+              GROUP BY query_id, doc_id)
+            SELECT query_id, rank, doc_id, bm25 FROM (
+              SELECT query_id, doc_id, bm25,
+                     row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+              FROM scored) WHERE rank <= {TOPK}
+        """,
+        "term_hits_funnel": f"""
+            WITH doc_term AS (SELECT doc_id, term, count(*) AS tf_d FROM ({_TOKENS_SQL}) GROUP BY 1, 2),
+            qt AS ({qterms}),
+            hits AS (SELECT query_id, doc_id, sum(least(tf_q, tf_d)) AS term_hits
+                     FROM doc_term JOIN qt USING (term) GROUP BY 1, 2)
+            SELECT query_id, rank, doc_id, term_hits FROM (
+              SELECT query_id, doc_id, term_hits,
+                     row_number() OVER (PARTITION BY query_id ORDER BY term_hits DESC, doc_id ASC) AS rank
+              FROM hits) WHERE rank <= 20
+        """,
+        "stopword_stats": (
+            f"SELECT term, count(*) AS ttf FROM ({_TOKENS_SQL}) "
+            f"WHERE NOT list_contains({stop_list}, lower(term)) GROUP BY term"
+        ),
+        "dup_exact": (
+            "SELECT md5(text) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "minhash_sigs": _sql_minhash(4),
+        "lsh_pairs": f"""
+            WITH sig AS ({_sql_minhash(4)}),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0, mh_1)) AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(concat_ws('|', mh_2, mh_3)) AS band_key FROM sig)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (SELECT DISTINCT doc_id, term AS sh FROM (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+              FROM documents)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT id_a, id_b, n_common,
+                   round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+        """,
+        "simhash_sigs": _sql_simhash(),
+        "knn_cosine": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_vec_id, e.vec_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+              FROM e, q)
+            SELECT query_vec_id, rank, vec_id, cosine FROM (
+              SELECT query_vec_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_vec_id ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.3
+        """,
+        "lang_id": _sql_lang_id(),
+        "quality_score": _QUALITY_SQL,
+        "token_count": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens, "
+            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_norm, "
+            "md5(array_to_string(list_sort(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), ' ')) AS fp_bag "
+            "FROM documents"
+        ),
+    }

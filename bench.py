@@ -1,0 +1,116 @@
+"""Benchmark harness: headline engine + pipeline queries at a given scale.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     TSE_BENCH_SYNTH_DOCS (override synthetic corpus size).
+
+The suite covers the two halves of the north rule: index-build throughput
+(synthetic source-code corpus at a size scaled to sf) and top-k BM25 query
+latency over the built segment store (WAND fast path + exact path), plus
+the training-data pipeline headliners (minhash-LSH dedup, knn).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tiny_search_engine_spark.build import BuildConfig, build_index
+from tiny_search_engine_spark.config import QueryConfig
+from tiny_search_engine_spark.pipeline import dedup, simsearch
+from tiny_search_engine_spark.query import QueryEngine
+from tiny_search_engine_spark.session import get_spark
+from tiny_search_engine_spark.synth import make_queries, make_stopwords, source_files
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_synth = int(os.environ.get("TSE_BENCH_SYNTH_DOCS", str(max(2000, int(200_000 * sf)))))
+
+    spark = get_spark(app_name="tse_bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    work = tempfile.mkdtemp(prefix="tse_bench_")
+    try:
+        # ---- index build over the synthetic source-code corpus ----
+        src = source_files(spark, n_synth, seed=42).cache()
+        n_src = src.count()  # materialize the generator outside the timing
+        store = timed(
+            "index_build",
+            lambda: build_index(
+                spark,
+                src,
+                os.path.join(work, "store"),
+                BuildConfig(tokenizer="code", stopwords=frozenset(make_stopwords())),
+            ),
+        )
+        extra["build_docs_per_sec"] = round(n_src / timings["index_build"], 1)
+        extra["n_docs"] = n_src
+
+        # ---- query paths over the built store ----
+        queries = [(i, q) for i, q in enumerate(make_queries(100, seed=7))]
+        eng = QueryEngine(spark, store, QueryConfig(profile="standard", compat="fixed"))
+        timed("wand_topk_100q", lambda: eng.wand_topk(queries, k=20).count())
+        timed("bm25_exact_100q", lambda: eng.bm25_topk(queries, k=20).count())
+        timed("search_pipeline_20q", lambda: eng.search(queries[:20], k=20).count())
+        extra["wand_qps"] = round(len(queries) / timings["wand_topk_100q"], 2)
+
+        # ---- pipeline ops over the driver documents/embeddings tables ----
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        timed("dedup_minhash_lsh", lambda: dedup.lsh_candidate_pairs(docs).count())
+        timed("dedup_simhash", lambda: dedup.simhash(docs).count())
+        timed(
+            "knn_cosine",
+            lambda: simsearch.knn_cosine(
+                emb,
+                emb.filter(F.col("vec_id") < 20).select(
+                    F.col("vec_id").alias("query_vec_id"), "embedding"
+                ),
+                k=10,
+            ).count(),
+        )
+        timed("bm25_topk_docs_oracle", lambda: entrymod._q_bm25_topk(spark, sf_dir).count())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+query suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Training-data pipeline ops: behavioral pins on crafted inputs (the
+DuckDB-oracle equivalence runs in scripts/check_oracles.py + driver)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_search_engine_spark.pipeline import dedup, simsearch, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "der schnelle braune fuchs und die katze ist das"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup(docs):
+    g = {r["fingerprint"]: r for r in dedup.exact_dup_groups(docs).collect()}
+    sizes = sorted(r["n_docs"] for r in g.values())
+    assert sizes == [1, 1, 1, 2]
+    dup = [r for r in g.values() if r["n_docs"] == 2][0]
+    assert dup["keep_id"] == 1
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["doc_id"]: (r["mh_0"], r["mh_1"]) for r in dedup.minhash_signatures(docs, num_hashes=2).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_lsh_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, shingle=1, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] > 0.7  # one word differs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identical_and_near(docs):
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert s[1] == s[2]
+    ham_near = bin((s[1] ^ s[3]) & 0xFFFFFFFF).count("1")
+    ham_far = bin((s[1] ^ s[4]) & 0xFFFFFFFF).count("1")
+    assert ham_near < ham_far
+
+
+def test_knn_self_is_top1(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_vec_id"), "embedding")
+    top = simsearch.knn_cosine(emb, q, k=3).filter(F.col("rank") == 1).collect()
+    for r in top:
+        assert r["vec_id"] == r["query_vec_id"]
+        assert abs(r["cosine"] - 1.0) < 1e-5
+
+
+def test_knn_lsh_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_vec_id"), "embedding")
+    exact = simsearch.knn_cosine(emb, q, k=5)
+    approx = simsearch.knn_lsh(emb, q, dim=16, k=5, n_planes=4)
+    rec = simsearch.ann_recall(exact, approx)
+    # 4 planes → 16 buckets over 200 vecs; self always in own bucket
+    assert rec > 0.2
+    # the query vector itself must always be retrievable (same bucket)
+    self_hits = approx.filter(F.col("vec_id") == F.col("query_vec_id")).count()
+    assert self_hits == 10
+
+
+def test_lang_id_markers(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, "world hello")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: (r["fp_norm"], r["fp_bag"]) for r in textstats.fingerprint(df).collect()}
+    assert fp[1][0] == fp[2][0]  # case+whitespace-insensitive
+    assert fp[2][0] != fp[3][0]  # order matters for fp_norm
+    assert fp[2][1] == fp[3][1]  # but not for the bag fingerprint
+
+
+def test_quality_and_token_count(docs):
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["stopword_ratio"] > 0
+    tc = {r["doc_id"]: r for r in textstats.token_count(docs).collect()}
+    assert tc[1]["n_ws_tokens"] == 9
+    assert tc[1]["n_bpe_tokens"] == 9

@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (each op is shaped for 100 TB, not just the test tables):
+
+* exact     — one hash-groupBy; the group key is a 128-bit digest so the
+  shuffle carries 16 B + id per row.
+* MinHash   — signatures are per-row column algebra (no shuffle); LSH
+  banding turns near-dup search into an equi-join on (band, band_key),
+  i.e. a shuffle keyed by tiny strings instead of an O(n²) cross join.
+* SimHash   — per-row 32-bit signature via bit-vote column algebra;
+  candidate pairs = equi-join on rotated prefix bands (not implemented
+  here — signature only).
+* n-gram Jaccard — exploded-shingle self-equi-join + count ratio;
+  bounded by shingle frequency (cap hot shingles like hot terms).
+* embedding cosine — exact pairwise over an LSH/IVF-bucketed join at
+  scale; brute-force pair join here (test tables are small), the
+  bucketed variant lives in simsearch.py.
+
+The min-over-md5-hex MinHash trick keeps signatures ANSI-SQL-expressible
+(both Spark and DuckDB produce identical lowercase hex md5), so the DuckDB
+oracle can verify bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import WS_SPLIT
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups keyed by md5(text): (fingerprint, n_docs,
+    min_doc_id). Groups of size 1 are included (full census)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingle array, SQL-expressible: slide over the token
+    array with transform(sequence(...))."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    md5(i || ':' || shingle). Pure column algebra; deterministic;
+    cross-engine (md5 hex compares identically as strings)."""
+    sh = _shingles(text_col, shingle)
+    cols = [F.col(id_col)]
+
+    def hasher(i: int):
+        prefix = f"{i}:"
+        # NB: the lambda must be unary — F.transform treats a second
+        # parameter as the element-index argument
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    for i in range(num_hashes):
+        cols.append(F.array_min(F.transform(sh, hasher(i))).alias(f"mh_{i}"))
+    # docs shorter than one shingle have no signature: omit them (matches
+    # the SQL oracle; also prevents an all-NULL LSH band that would bucket
+    # every degenerate doc together — a skew bomb at corpus scale)
+    return df.select(*cols).filter(F.col("mh_0").isNotNull())
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """MinHash-LSH: band the signature, equi-join on (band, key) →
+    candidate near-dup pairs (a < b). The join is the scale path: hot
+    bands behave like hot terms and are handled by AQE skew join."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle)
+    band_rows = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        )
+        band_rows.append(
+            sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard similar pairs: explode distinct shingles,
+    self-equi-join on shingle, |∩| / (|A|+|B|-|∩|) ≥ threshold."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, shingle))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over whitespace tokens weighted by tf.
+
+    Bit j of md5(token) is derived from its hex nibbles (SQL-expressible
+    on both engines: strpos('0123456789abcdef', nibble)); each bit votes
+    +tf / -tf; signature bit = vote > 0."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
+    t = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = t.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("h", F.md5(F.col("term")))
+    hexmap = "0123456789abcdef"
+    agg_cols = []
+    for j in range(SIMHASH_BITS):
+        nib_val = F.expr(f"instr('{hexmap}', substring(h, {1 + j // 4}, 1)) - 1")
+        bit = F.shiftright(nib_val, 3 - j % 4) % 2
+        vote = F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))
+        agg_cols.append(F.sum(vote).alias(f"v{j}"))
+    votes = tf.groupBy(id_col).agg(*agg_cols)
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(1 << (SIMHASH_BITS - 1 - j))).otherwise(0)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Brute-force pair join (fine at test scale); at 100 TB route through
+    simsearch.lsh_buckets first so the join is bucket-local."""
+    from .simsearch import _dot, _norm
+
+    v = df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm"))
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("cosine", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

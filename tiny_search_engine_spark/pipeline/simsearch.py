@@ -1,0 +1,135 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``knn_cosine`` — exact brute-force top-k cosine: query set ⋈ corpus
+  (broadcast the small query side), dot product via zip_with/aggregate
+  (JVM-side), per-query top-k window. The baseline the ANN paths must
+  recall-match.
+* ``lsh_buckets`` / ``knn_lsh`` — random-hyperplane LSH: deterministic
+  seeded planes (pure function of (seed, plane, dim) via md5 → no stored
+  model), bucket = sign-bit string; candidate set = same-bucket rows
+  (multi-probe: exact Hamming-1 neighbors optional). At scale the bucket
+  join replaces the full cross product; recall measured vs knn_cosine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    # cast to double BEFORE multiplying: float32 products drift vs the
+    # (double-casting) SQL oracles and lose precision at high dim
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double"))
+    )
+
+
+def knn_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (query side broadcast)."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn")
+    )
+    q = queries.select(
+        F.col(qid_col), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6)
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes: component (p, d) is a
+    pure function of (seed, p, d) via sha256 → uniform(-1, 1)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()
+            u = int.from_bytes(h[:8], "little") / float(1 << 64)  # [0,1)
+            row.append(2.0 * u - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit LSH bucket per vector: bucket = Σ 2^p · [v·plane_p > 0]."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+        arr = F.array(*[F.lit(x) for x in plane])
+        proj = _dot(F.col(vec_col), arr)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (bucket-local join — the 100 TB shape), then exact cosine rerank."""
+    c = lsh_buckets(corpus, dim, n_planes, seed, id_col, vec_col).select(
+        id_col, F.col(vec_col).alias("cv"), "bucket"
+    )
+    q = lsh_buckets(queries, dim, n_planes, seed, qid_col, vec_col).select(
+        qid_col, F.col(vec_col).alias("qv"), "bucket"
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+        ),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
+    )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, qid_col: str = "query_vec_id", id_col: str = "vec_id") -> float:
+    """Recall@k of the ANN result vs the exact result (driver-side scalar)."""
+    e = exact.select(qid_col, id_col)
+    a = approx.select(qid_col, id_col)
+    hit = e.join(a, [qid_col, id_col], "inner").count()
+    total = e.count()
+    return hit / total if total else 1.0

@@ -1,0 +1,113 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure column algebra (whole-stage codegen) —
+no Python in the hot path; each has an equivalent ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenizer, SQL-expressible on both engines
+WS_SPLIT = r"\s+"
+
+# deterministic per-language marker tokens (tiny n-gram-ish heuristic; the
+# `documents` test table uses en/de/fr/es/zh sources with shared vocab, so
+# markers double as a worked example rather than a real lang-id model)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "to", "in", "and", "is", "for"]
+
+
+def tokens_view(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exploded whitespace tokens with position: (id, pos, term)."""
+    arr = F.filter(F.split(F.col(text_col), WS_SPLIT), lambda x: x != "")
+    return (
+        df.select(id_col, F.posexplode(arr).alias("pos", "term"))
+    )
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword-regex count
+    (word pieces = letter runs, digit runs, single punctuation)."""
+    ws_arr = F.filter(F.split(F.col(text_col), WS_SPLIT), lambda x: x != "")
+    return df.select(
+        id_col,
+        F.size(ws_arr).alias("n_ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score: char length, token
+    count, mean token length, punctuation ratio, stopword ratio."""
+    t = F.col(text_col)
+    ws_arr = F.filter(F.split(t, WS_SPLIT), lambda x: x != "")
+    n_tok = F.size(ws_arr)
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}]", ""))
+    stop_lit = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(ws_arr, lambda x: F.array_contains(stop_lit, F.lower(x))))
+    mean_tok_len = F.when(n_tok > 0, (
+        F.aggregate(ws_arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        / n_tok
+    )).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1 - punct_ratio) * 0.3
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-token language scores + argmax label (deterministic
+    tie-break: language name ascending)."""
+    ws_arr = F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
+    cols = [F.col(id_col)]
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        c = F.size(F.filter(ws_arr, lambda x: F.array_contains(markers, x)))
+        cols.append(c.alias(f"score_{lang}"))
+        score_cols.append((lang, f"score_{lang}"))
+    out = df.select(*cols)
+    # argmax with name-asc tiebreak via a struct-max trick
+    best = F.greatest(*[
+        F.struct(F.col(c).alias("s"), F.lit(-ord(lang[0]) * 256 - ord(lang[1])).alias("o"),
+                 F.lit(lang).alias("lang"))
+        for lang, c in score_cols
+    ])
+    return out.withColumn("lang_pred", best["lang"])
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalization fingerprint: md5 of (lowercased, whitespace-collapsed,
+    trimmed) text, plus md5 of the sorted token multiset — two standard
+    near-dup-canonicalization fingerprints."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_SPLIT, " "))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
+    sorted_join = F.array_join(F.array_sort(toks), " ")
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fp_norm"),
+        F.md5(sorted_join).alias("fp_bag"),
+    )
