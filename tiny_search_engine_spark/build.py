@@ -228,8 +228,9 @@ def build_index(
         if stop_signs_df is not None:
             dt = dt.join(F.broadcast(stop_signs_df), "term_sign", "left_anti")
         # N = forward-table size = docs with >=1 token (the reference rejects
-        # empty docs, table.cpp:270)
-        n_docs = tokens.select("doc_id").distinct().count()
+        # empty docs, table.cpp:270); distinct over doc_term (already
+        # pre-aggregated) is cheaper than over the raw occurrence table
+        n_docs = doc_term.select("doc_id").distinct().count()
         term_stats = dt.groupBy("term_sign").agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("ttf"),
@@ -338,9 +339,11 @@ def build_index(
             },
         )
 
-    # ---- meta ----
-    n_docs = docs.count()
-    avg_doc_len = docs.agg(F.avg("doc_len")).collect()[0][0]
+    # ---- meta (one action for both aggregates) ----
+    mrow = docs.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("adl")
+    ).collect()[0]
+    n_docs, avg_doc_len = mrow["n"], mrow["adl"]
     meta = {
         "version": 1,
         "tokenizer": cfg.tokenizer,

@@ -94,19 +94,22 @@ def lsh_candidate_pairs(
     bands behave like hot terms and are handled by AQE skew join."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle)
-    band_rows = []
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+    # one projection + posexplode (NOT an N-branch union, which would
+    # recompute the shingle/signature pipeline once per band)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
             )
-        )
-        band_rows.append(
-            sig.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -436,7 +436,12 @@ class QueryEngine:
         from .build import POSTING_BUCKETS
 
         buckets = sorted({r[1] % POSTING_BUCKETS for r in rows})
-        post = self.store.postings(spark).filter(F.col("bucket").isin(buckets))
+        signs = sorted({r[1] for r in rows})
+        # bucket list prunes parquet PARTITIONS; the isin on term_sign is
+        # pushed into the scan for row-group skipping within buckets
+        post = self.store.postings(spark).filter(
+            F.col("bucket").isin(buckets) & F.col("term_sign").isin(signs)
+        )
         ts = self.store.term_stats(spark).select("term_sign", "idf")
         joined = post.join(F.broadcast(qterms), "term_sign").join(ts, "term_sign")
 
