@@ -113,7 +113,12 @@ def entry(spark: SparkSession) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "tse_entry_store")
     shutil.rmtree(out, ignore_errors=True)
     store = build_index(
-        spark, src, out, BuildConfig(tokenizer="ws", stopwords=frozenset(STOPWORDS))
+        spark,
+        src,
+        out,
+        # fast path: fused map-side tokenize+reduce, no positional token
+        # table (WAND needs only the compressed postings)
+        BuildConfig(tokenizer="ws", stopwords=frozenset(STOPWORDS), write_tokens=False),
     )
     eng = QueryEngine(spark, store, QueryConfig(profile="standard", compat="fixed"))
     return eng.wand_topk(QUERY_SET, k=TOPK)

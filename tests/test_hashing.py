@@ -26,5 +26,13 @@ def test_spark_parity_basic(spark):
 @settings(max_examples=200, deadline=None)
 def test_sign_deterministic(s):
     assert term_sign(s) == term_sign(s)
-    assert term_sign(s.upper()) == term_sign(s.lower())
+    # the invariant is sign = hash(lower(term)) — NOT upper/lower agreement
+    # (e.g. 'ß'.upper() == 'SS', found by hypothesis)
+    assert term_sign(s) == term_sign(s.lower())
     assert -(2**63) <= term_sign(s) < 2**63
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_sign_ascii_case_insensitive(s):
+    assert term_sign(s.upper()) == term_sign(s.lower())

@@ -1,0 +1,45 @@
+"""Streaming ingestion: availableNow drain → epoch delta segments →
+compaction == batch build over the same corpus."""
+
+import os
+
+from tiny_search_engine_spark.build import BuildConfig, build_index
+from tiny_search_engine_spark.streaming import compact, ingest_available_now
+from tiny_search_engine_spark.synth import make_stopwords, source_files
+
+
+def _postings_map(spark, store):
+    from tiny_search_engine_spark.compress import decode_posting
+
+    out = {}
+    for r in store.postings(spark).collect():
+        d, t, dl = decode_posting(bytes(r["doc_bytes"]), bytes(r["tf_bytes"]), bytes(r["dl_bytes"]))
+        out.setdefault(r["term_sign"], []).extend(zip(d.tolist(), t.tolist()))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_stream_ingest_and_compact(spark, tmp_path):
+    cfg = BuildConfig(stopwords=frozenset(make_stopwords()), postings_per_shard=64)
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    store_root = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    # two "arrivals" of documents
+    batch1 = source_files(spark, 40, seed=21)
+    batch2 = source_files(spark, 80, seed=21).filter("substring(path, 9, 1) != ''")
+    # write disjoint halves: docs 0..39 then 40..79
+    batch1.write.mode("overwrite").parquet(os.path.join(inbox, "b1"))
+    n1 = ingest_available_now(spark, inbox + "/*", store_root, ck)
+    assert n1 >= 1
+    full = source_files(spark, 80, seed=21)
+    second_half = full.join(batch1, ["repo", "path", "commit"], "left_anti")
+    second_half.write.mode("overwrite").parquet(os.path.join(inbox, "b2"))
+    n2 = ingest_available_now(spark, inbox + "/*", store_root, ck)
+    assert n2 >= 1
+
+    compacted = compact(spark, None, store_root, str(tmp_path / "out"), cfg)
+    reference = build_index(spark, full, str(tmp_path / "ref"), cfg)
+    assert _postings_map(spark, compacted) == _postings_map(spark, reference)
+    assert compacted.meta()["n_docs"] == reference.meta()["n_docs"] == 80
+    assert compacted.meta()["avg_doc_len"] == reference.meta()["avg_doc_len"]

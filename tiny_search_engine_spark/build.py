@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from .compress import encode_posting
 from .config import BuildConfig
 from .hashing import DOC_KEY_SEP
-from .tokenizer import make_tokenize_iterator
+from .tokenizer import DOC_TERM_SCHEMA, make_doc_term_iterator, make_tokenize_iterator
 
 POSTING_BUCKETS = 64  # term-hash write partitions (query-side pruning)
 
@@ -128,29 +128,36 @@ POSTINGS_SCHEMA = (
 
 
 def _make_posting_encoder(block_size: int):
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term_sign_, shard = int(key[0]), int(key[1])
-        enc = encode_posting(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["doc_len"].to_numpy(),
-            block_size=block_size,
-        )
-        return pd.DataFrame(
-            {
-                "term_sign": [term_sign_],
-                "shard": [shard],
-                "bucket": [term_sign_ % POSTING_BUCKETS],
-                "n_docs": [enc.n_docs],
-                "doc_bytes": [enc.doc_bytes],
-                "tf_bytes": [enc.tf_bytes],
-                "dl_bytes": [enc.dl_bytes],
-                "block_last": [enc.block_last],
-                "block_max_tf": [enc.block_max_tf],
-                "block_min_dl": [enc.block_min_dl],
-                "bytes_total": [enc.bytes_total],
-            }
-        )
+    """mapInPandas encoder over JVM-pre-grouped lists: input rows are
+    (term_sign, shard, doc_ids, tfs, dls) — one row per posting list, many
+    lists per Arrow batch. The groupBy+collect_list happens JVM-side (with
+    map-side partial aggregation); Python only sees aligned numpy arrays,
+    so per-group pandas overhead is gone (was one 1-row DataFrame per group
+    with applyInPandas — measurable at millions of tiny terms)."""
+
+    def encode(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "term_sign", "shard", "bucket", "n_docs", "doc_bytes", "tf_bytes",
+                "dl_bytes", "block_last", "block_max_tf", "block_min_dl", "bytes_total",
+            )}
+            for row in pdf.itertuples():
+                enc = encode_posting(
+                    row.doc_ids, row.tfs, row.dls, block_size=block_size
+                )
+                ts = int(row.term_sign)
+                out["term_sign"].append(ts)
+                out["shard"].append(int(row.shard))
+                out["bucket"].append(ts % POSTING_BUCKETS)
+                out["n_docs"].append(enc.n_docs)
+                out["doc_bytes"].append(enc.doc_bytes)
+                out["tf_bytes"].append(enc.tf_bytes)
+                out["dl_bytes"].append(enc.dl_bytes)
+                out["block_last"].append(enc.block_last)
+                out["block_max_tf"].append(enc.block_max_tf)
+                out["block_min_dl"].append(enc.block_min_dl)
+                out["bytes_total"].append(enc.bytes_total)
+            yield pd.DataFrame(out)
 
     return encode
 
@@ -178,6 +185,14 @@ def build_index(
     store = SegmentStore(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
+    stage_seconds: dict[str, float] = {}
+    _t = {"last": t_start}
+
+    def _mark(stage: str) -> None:
+        now = time.time()
+        stage_seconds[stage] = round(now - _t["last"], 3)
+        _t["last"] = now
+
     stop_terms = sorted(cfg.stopwords)
     stop_signs_df = None
 
@@ -186,18 +201,24 @@ def build_index(
         with_doc_id(source_df).write.mode("overwrite").parquet(store.docs_path + "_raw")
         _write_lineage(store, "docs_raw", {})
     docs_raw = spark.read.parquet(store.docs_path + "_raw")
+    _mark("docs_raw")
 
-    # ---- stage: tokens (narrow mapInPandas; no shuffle) ----
-    if not (resume and _stage_done(store.tokens_path)):
-        tok_fn = make_tokenize_iterator(cfg.tokenizer, "doc_id", "content")
-        tokens = (
-            docs_raw.select("doc_id", "content")
-            .mapInPandas(tok_fn, "doc_id long, pos int, term string, offset int, length int, dup int")
-            .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
-        )
-        tokens.write.mode("overwrite").parquet(store.tokens_path)
-        _write_lineage(store, "tokens", {"tokenizer": cfg.tokenizer})
-    tokens = spark.read.parquet(store.tokens_path)
+    # ---- stage: tokens (positional token table — ONLY for the exact
+    # feature-parity path; the fast path never materializes occurrences) ----
+    if cfg.write_tokens:
+        if not (resume and _stage_done(store.tokens_path)):
+            tok_fn = make_tokenize_iterator(cfg.tokenizer, "doc_id", "content")
+            tokens = (
+                docs_raw.select("doc_id", "content")
+                .mapInPandas(tok_fn, "doc_id long, pos int, term string, offset int, length int, dup int")
+                .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
+            )
+            tokens.write.mode("overwrite").parquet(store.tokens_path)
+            _write_lineage(store, "tokens", {"tokenizer": cfg.tokenizer})
+        tokens = spark.read.parquet(store.tokens_path)
+    else:
+        tokens = None
+    _mark("tokens")
 
     if stop_terms:
         stop_signs_df = (
@@ -206,20 +227,41 @@ def build_index(
             .distinct()
         )
 
-    # ---- stage: doc_term — THE one tokenize-side shuffle ----
-    # per-(doc,term) tf == reference's reverse-iteration max-dup trick
-    # (/root/reference/src/table.cpp:271,284-290) expressed as count(*)
-    doc_term_path = os.path.join(store.root, "doc_term")
+    # ---- stage: doc_term ----
+    # per-(doc,term) tf == the reference's reverse-iteration max-dup trick
+    # (/root/reference/src/table.cpp:271,284-290) expressed as count(*).
+    # Fast path: the per-doc reduction happens INSIDE the tokenize
+    # mapInPandas (B2 fused map-side, segment.cpp:78-101) — no token-level
+    # shuffle ever exists; doc_len/n_terms ride along on each row.
+    doc_term_path = store.doc_term_path
     if not (resume and _stage_done(doc_term_path)):
-        doc_term = tokens.groupBy("doc_id", "term_sign").agg(
-            F.count("*").alias("tf"),
-            F.min("pos").alias("first_idx"),
-            F.first("term").alias("term"),
-            F.first("length").alias("term_len"),
-        )
+        if tokens is not None:
+            per_doc = tokens.groupBy("doc_id").agg(
+                F.max_by(F.col("offset") + F.col("length"), F.col("pos")).alias("doc_len"),
+                F.count("*").alias("n_terms"),
+            )
+            doc_term = (
+                tokens.groupBy("doc_id", "term_sign")
+                .agg(
+                    F.count("*").alias("tf"),
+                    F.min("pos").alias("first_idx"),
+                    F.first("term").alias("term"),
+                    F.first("length").alias("term_len"),
+                )
+                .join(per_doc, "doc_id")
+            )
+        else:
+            dt_fn = make_doc_term_iterator(cfg.tokenizer, "doc_id", "content")
+            doc_term = (
+                docs_raw.select("doc_id", "content")
+                .mapInPandas(dt_fn, DOC_TERM_SCHEMA)
+                .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
+                .withColumn("term_len", F.length("term"))
+            )
         doc_term.write.mode("overwrite").parquet(doc_term_path)
-        _write_lineage(store, "doc_term", {})
+        _write_lineage(store, "doc_term", {"fused_tokenize": tokens is None})
     doc_term = spark.read.parquet(doc_term_path)
+    _mark("doc_term")
 
     # ---- stage: term_stats (stopwords excluded from the inverted side,
     # like /root/reference/src/table.cpp:273-275) ----
@@ -252,27 +294,29 @@ def build_index(
         term_stats.write.mode("overwrite").parquet(store.term_stats_path)
         _write_lineage(store, "term_stats", {"n_docs": n_docs})
     term_stats = spark.read.parquet(store.term_stats_path)
+    _mark("term_stats")
 
     # ---- stage: docs (doc_stats folded in) ----
     if not (resume and _stage_done(store.docs_path)):
         # per-occurrence weights: wei = idf (tf multiply commented out in the
         # reference, table.cpp:319); stopword occurrences contribute 0;
         # vec_module/wei_sum sum per OCCURRENCE (dups counted each time,
-        # table.cpp:309-327)
-        occ = tokens.join(
+        # table.cpp:309-327). Computed from doc_term: Σ_occ wei² == Σ_t tf·idf²
+        # algebraically — no occurrence table required.
+        dt_idf = doc_term.join(
             term_stats.select("term_sign", "idf"), "term_sign", "left"
         ).withColumn("wei", F.coalesce(F.col("idf"), F.lit(0.0)))
-        doc_stats = occ.groupBy("doc_id").agg(
-            F.count("*").alias("n_terms"),
-            # doc_len = LAST token offset+length (node_def.cpp:100-103)
-            F.max_by(F.col("offset") + F.col("length"), F.col("pos")).alias("doc_len"),
-            F.sqrt(F.sum(F.pow(F.col("wei"), F.lit(2.0)))).alias("vec_module"),
-            F.sum("wei").alias("wei_sum"),
+        doc_stats = dt_idf.groupBy("doc_id").agg(
+            F.first("n_terms").alias("n_terms"),
+            F.first("doc_len").alias("doc_len"),
+            F.sqrt(F.sum(F.col("tf") * F.pow(F.col("wei"), F.lit(2.0)))).alias("vec_module"),
+            F.sum(F.col("tf") * F.col("wei")).alias("wei_sum"),
         )
         docs = docs_raw.join(doc_stats, "doc_id", "inner")  # inner: drops empty docs
         docs.write.mode("overwrite").parquet(store.docs_path)
         _write_lineage(store, "docs", {})
     docs = spark.read.parquet(store.docs_path)
+    _mark("docs")
 
     # ---- stage: postings (salted repartition-by-term, doc-shard salt) ----
     if not (resume and _stage_done(store.postings_path)):
@@ -287,19 +331,34 @@ def build_index(
                 F.ceil(F.col("df") / F.lit(cfg.postings_per_shard)).cast("int"),
             ).alias("n_shards"),
         )
-        dl = docs.select("doc_id", "doc_len")
-        enriched = (
-            dt.join(census, "term_sign")  # Catalyst broadcasts when small; at
-            # 100 TB census is ~vocab-sized → still broadcastable after
-            # pruning to 2 columns
-            .join(dl, "doc_id")
-            .withColumn("shard", F.pmod(F.col("doc_id"), F.col("n_shards")).cast("int"))
+        enriched = dt.join(census, "term_sign").withColumn(
+            # Catalyst broadcasts the 2-column census when small; at 100 TB
+            # it is ~vocab-sized → still broadcastable after pruning.
+            # doc_len rides on doc_term rows — no join against docs needed.
+            "shard",
+            F.pmod(F.col("doc_id"), F.col("n_shards")).cast("int"),
         )
         encoder = _make_posting_encoder(cfg.block_size)
-        postings = enriched.select(
-            "term_sign", "shard", "doc_id", "tf", "doc_len"
-        ).groupBy("term_sign", "shard").applyInPandas(encoder, POSTINGS_SCHEMA)
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(store.postings_path)
+        grouped = (
+            enriched.select("term_sign", "shard", "doc_id", "tf", "doc_len")
+            .groupBy("term_sign", "shard")
+            .agg(F.collect_list(F.struct("doc_id", "tf", "doc_len")).alias("pl"))
+            .select(
+                "term_sign",
+                "shard",
+                F.col("pl.doc_id").alias("doc_ids"),
+                F.col("pl.tf").alias("tfs"),
+                F.col("pl.doc_len").alias("dls"),
+            )
+        )
+        postings = grouped.mapInPandas(encoder, POSTINGS_SCHEMA)
+        # cluster rows by bucket before the partitioned write: otherwise
+        # every task opens a writer per bucket dir (tasks x 64 small files
+        # — measured 27s vs 7s at local[32] on 40k docs, and a small-file
+        # explosion at scale)
+        postings.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(store.postings_path)
         # skew metrics from the written postings (cheap: metadata columns)
         p = spark.read.parquet(store.postings_path)
         m = p.agg(
@@ -339,6 +398,7 @@ def build_index(
             },
         )
 
+    _mark("postings")
     # ---- meta (one action for both aggregates) ----
     mrow = docs.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("adl")
@@ -352,10 +412,11 @@ def build_index(
         "block_size": cfg.block_size,
         "postings_per_shard": cfg.postings_per_shard,
         "stopwords": stop_terms,
+        "write_tokens": cfg.write_tokens,
         "built_at": _utcnow(),
         "build_seconds": round(time.time() - t_start, 3),
     }
     with open(store.meta_path, "w") as f:
         json.dump(meta, f, indent=2)
-    _write_lineage(store, "build", {"build_seconds": meta["build_seconds"], "n_docs": n_docs})
+    _write_lineage(store, "build", {"build_seconds": meta["build_seconds"], "n_docs": n_docs, "stage_seconds": stage_seconds})
     return store

@@ -91,6 +91,21 @@ def _pair_sign(s1: int, s2: int) -> int:
     return (a << 32) | b
 
 
+def round_sig(x: float, digits: int = 3) -> float:
+    """D11 feature-export rounding: the reference rounds to N SIGNIFICANT
+    digits (stringstream setprecision, include/math_util.h:153-159 — not
+    decimal places). Applied only at export, never in the ranking path."""
+    if x == 0 or not math.isfinite(x):
+        return x
+    return float(f"{x:.{digits}g}")
+
+
+def export_feature_map(features: dict[str, float], digits: int = 3) -> dict[str, float]:
+    """D11: the FeatureMgr name→float map as dumped by the reference
+    (feature_mgr.h:44-71, values 3-significant-digit rounded)."""
+    return {k: round_sig(v, digits) for k, v in features.items()}
+
+
 def compute_features_pdf(
     qi: dict,
     pdf: pd.DataFrame,

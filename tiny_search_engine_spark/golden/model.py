@@ -141,13 +141,19 @@ class GoldenIndex:
         )
 
     def postings_rows(self) -> dict[int, list[tuple[int, int]]]:
-        """term_sign -> sorted [(doc_sign, tf)]."""
+        """term_sign -> sorted [(doc_sign, tf)].
+
+        tf comes from the doc's CURRENT (forward-table) term_map — for
+        "ghost" postings left behind by a duplicate-url overwrite
+        (table.cpp:264 vs 284-290) the term is absent there and the
+        reference's operator[] default-insert yields tf=0 at match time
+        (table.cpp:461); mirror that here."""
         out: dict[int, list[tuple[int, int]]] = {}
         for s, e in self.inv.items():
             lst = []
             for ds in e[3]:
-                tf = self.docs[ds].term_map[s][0]
-                lst.append((ds, tf))
+                ent = self.docs[ds].term_map.get(s)
+                lst.append((ds, ent[0] if ent else 0))
             out[s] = sorted(lst)
         return out
 

@@ -317,6 +317,12 @@ class QueryEngine:
         features map)."""
         k = k or self.cfg.k
         spark = self.spark
+        if not self.store.meta().get("write_tokens", True):
+            raise ValueError(
+                "search() needs the positional token table for D4-D8 features; "
+                "this store was built with BuildConfig(write_tokens=False) — "
+                "use bm25_topk()/wand_topk(), or rebuild with write_tokens=True"
+            )
         qis = self.query_infos(queries)
         qmap = {qi.query_id: qi for qi in qis}
         recs = self._records(qis)
@@ -520,6 +526,29 @@ class QueryEngine:
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "bm25")
         )
+
+
+ANSI_RED, ANSI_NONE = "\x1b[31m", "\x1b[0m"
+
+
+def highlight(df: DataFrame, query: str, text_col: str = "content", mode: str = "code") -> DataFrame:
+    """C8 (presentation-only, /root/reference/src/table.cpp:1023-1040):
+    wrap query-term matches in ANSI red. Token-boundary-aware via a word
+    regex; pure column expression (one regexp_replace per distinct term)."""
+    import re as _re
+
+    from .tokenizer import tokenize
+
+    col = F.col(text_col)
+    seen = set()
+    for t in tokenize(query, mode):
+        lw = t.term.lower()
+        if lw in seen:
+            continue
+        seen.add(lw)
+        pat = f"(?i)\\b({_re.escape(t.term)})\\b"
+        col = F.regexp_replace(col, pat, f"{ANSI_RED}$1{ANSI_NONE}")
+    return df.withColumn(f"{text_col}_highlighted", col)
 
 
 def assert_content_sha256(spark: SparkSession, store: SegmentStore, source_df: DataFrame) -> int:

@@ -23,6 +23,12 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # one BLAS thread per Python worker: parallelism belongs to Spark.
+    # Without this, N workers x default-N-thread OpenBLAS pools = N^2
+    # threads -> kernel-time thrash (measured 2.6x slower build at
+    # local[32] on 32 cores).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

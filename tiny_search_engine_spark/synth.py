@@ -168,6 +168,31 @@ def make_queries(n_queries: int, seed: int = 42) -> list[str]:
     return out
 
 
+def make_reference_corpus(n_lines: int = 200, seed: int = 42) -> list[str]:
+    """FIXTURES.md §3: reference-shaped TSV lines ``query\\ttitle\\turl\\tlabel``
+    with ~10% duplicate urls (different titles — exercises the reference's
+    duplicate-url forward-overwrite / inverted-keep-first semantics,
+    /root/reference/src/table.cpp:264,284-290) and a few short/invalid
+    lines (parser requires ≥3 columns, table.cpp:160-166)."""
+    lines = []
+    for i in range(n_lines):
+        rng = _doc_rng(seed * 77 + 3, i)
+        if i % 29 == 7:
+            lines.append(f"badline_with_one_field_{i}")
+            continue
+        if i % 31 == 11:
+            lines.append(f"query only\tandtitle_{i}")  # 2 cols → skipped
+            continue
+        n = int(rng.integers(3, 12))
+        title = " ".join(VOCAB[int(j)] for j in rng.integers(0, 800, n))
+        query = " ".join(VOCAB[int(j)] for j in rng.integers(0, 800, int(rng.integers(1, 4))))
+        url_i = i - 9 if (i % 10 == 9 and i > 9) else i  # ~10% dup urls
+        url = f"http://example.com/doc/{url_i}"
+        label = int(rng.integers(0, 3))
+        lines.append(f"{query}\t{title}\t{url}\t{label}")
+    return lines
+
+
 def make_stopwords(top_n: int = 12) -> list[str]:
     """Fixture stopword list (FIXTURES.md §4): head tokens + punctuation."""
     return sorted(set(_HEAD[:top_n])) + ["=", ";", ",", ".", "(", ")", "{", "}"]
