@@ -51,7 +51,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    work = tempfile.mkdtemp(prefix="tse_bench_")
+    from tiny_search_engine_spark.session import scratch_dir
+    work = scratch_dir("tse_bench_")
     try:
         # ---- index build over the synthetic source-code corpus ----
         src = source_files(spark, n_synth, seed=42).cache()
@@ -62,7 +63,13 @@ def main() -> None:
                 spark,
                 src,
                 os.path.join(work, "store"),
-                BuildConfig(tokenizer="code", stopwords=frozenset(make_stopwords())),
+                BuildConfig(
+                    tokenizer="code",
+                    stopwords=frozenset(make_stopwords()),
+                    write_tokens=False,
+                    copy_content=False,
+                    per_bucket_metrics=False,
+                ),
             ),
         )
         extra["build_docs_per_sec"] = round(n_src / timings["index_build"], 1)
@@ -73,8 +80,20 @@ def main() -> None:
         eng = QueryEngine(spark, store, QueryConfig(profile="standard", compat="fixed"))
         timed("wand_topk_100q", lambda: eng.wand_topk(queries, k=20).count())
         timed("bm25_exact_100q", lambda: eng.bm25_topk(queries, k=20).count())
-        timed("search_pipeline_20q", lambda: eng.search(queries[:20], k=20).count())
         extra["wand_qps"] = round(len(queries) / timings["wand_topk_100q"], 2)
+
+        # ---- full feature pipeline needs the positional token table +
+        # content (parity store; smaller corpus) ----
+        psrc = source_files(spark, max(2000, n_synth // 5), seed=42).cache()
+        psrc.count()
+        pstore = build_index(
+            spark,
+            psrc,
+            os.path.join(work, "parity_store"),
+            BuildConfig(tokenizer="code", stopwords=frozenset(make_stopwords())),
+        )
+        peng = QueryEngine(spark, pstore, QueryConfig(profile="standard", compat="fixed"))
+        timed("search_pipeline_20q", lambda: peng.search(queries[:20], k=20).count())
 
         # ---- pipeline ops over the driver documents/embeddings tables ----
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

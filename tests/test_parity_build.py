@@ -81,7 +81,7 @@ def test_content_sha256_invariant(spark, tiny_store, tiny_corpus):
 
 
 def test_lineage_written(tiny_store):
-    stages = {"docs_raw", "tokens", "doc_term", "term_stats", "docs", "postings", "build"}
+    stages = {"docs_raw", "tokens", "doc_term", "term_stats", "doc_stats", "postings", "build"}
     present = {f[:-5] for f in os.listdir(tiny_store.lineage_path) if f.endswith(".json")}
     assert stages <= present
     with open(os.path.join(tiny_store.lineage_path, "postings.json")) as f:

@@ -72,3 +72,38 @@ def test_full_pipeline_vsm_parity(spark, tiny_store, tiny_golden):
     want = _golden_topk(tiny_golden, cfg, mode="search")
     for qid, _q in QUERIES:
         assert_ranked_equal(got.get(qid, []), want.get(qid, []), ctx=f"q{qid} ({_q!r})")
+
+
+def test_wand_exact_across_heterogeneous_shard_counts(spark, tiny_store, tiny_golden):
+    """Regression: a query mixing a multi-shard (high-df) term with
+    single-shard (low-df) terms. Contributions of the same doc arrive via
+    different per-term shard functions; the fine-granularity routing must
+    still sum them in exactly one group (pre-fix, partial scores produced
+    duplicate docs with understated bm25)."""
+    from pyspark.sql import functions as F
+
+    ts = tiny_store.term_stats(spark).select("term", "df", "n_shards")
+    multi = ts.filter(F.col("n_shards") > 1).orderBy(F.desc("df")).limit(3).collect()
+    single = (
+        ts.filter((F.col("n_shards") == 1) & (F.col("df") >= 5))
+        .orderBy(F.desc("df"))
+        .limit(3)
+        .collect()
+    )
+    assert multi, "fixture must produce multi-shard terms (lower postings_per_shard)"
+    assert single
+    queries = []
+    for i, (m, s) in enumerate(zip(multi, single)):
+        queries.append((1000 + i, f"{m['term']} {s['term']}"))
+    queries.append((2000, f"{multi[0]['term']} {single[0]['term']} {single[1]['term']}"))
+
+    cfg = QueryConfig(profile="standard", compat="fixed")
+    eng = QueryEngine(spark, tiny_store, cfg)
+    got = _spark_topk(eng.wand_topk(queries), "bm25")
+    g = GoldenQueryEngine(tiny_golden, cfg=cfg)
+    for qid, q in queries:
+        want = [(r.doc_sign, r.bm25) for r in g.bm25_topk(q)]
+        # no duplicate docs in the result
+        ids = [d for d, _ in got.get(qid, [])]
+        assert len(ids) == len(set(ids)), f"duplicate docs for q{qid}"
+        assert_ranked_equal(got.get(qid, []), want, ctx=f"q{qid} ({q!r})")

@@ -26,9 +26,14 @@ Scale design (the part the reference has no answer for):
 
 Stage DAG::
 
-    docs ──► tokens ──► doc_term ──► term_stats ──► postings
-      │                    │              │
-      └────────────────────┴──► doc_stats ┘   (+ meta: N, avg_doc_len)
+    source ──► docs_raw (id-map+sha) ─► [tokens] ─► doc_term ─► term_stats ─► postings
+                                                       │             │
+                                                       └─► doc_stats ┘  (+ meta: N, avg_doc_len)
+
+Content bytes are written at most once (``copy_content``) and never
+shuffled; every per-stage aggregate (N, avg_doc_len, posting skew metrics)
+rides its stage's write action via ``Observation`` — a build is exactly
+one job per stage.
 """
 
 from __future__ import annotations
@@ -39,7 +44,7 @@ import time
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .compress import encode_posting
@@ -56,13 +61,29 @@ def _utcnow() -> str:
 
 @dataclass
 class SegmentStore:
-    """Paths + readers for a built index."""
+    """Paths + readers for a built index.
+
+    The store never duplicates document content: ``docs_raw`` holds the
+    id-map + per-row sha256 (+ content only when
+    ``BuildConfig.copy_content``), ``doc_stats`` holds the per-doc scoring
+    stats, and ``docs()`` is the lazy join view of the two — at 100 TB the
+    content bytes are written at most once and never shuffled."""
 
     root: str
 
     @property
+    def docs_raw_path(self) -> str:
+        return os.path.join(self.root, "docs_raw")
+
+    @property
+    def doc_stats_path(self) -> str:
+        return os.path.join(self.root, "doc_stats")
+
+    @property
     def docs_path(self) -> str:
-        return os.path.join(self.root, "docs")
+        # legacy alias (pre-split "docs" table) — the stats table is the
+        # stage whose _SUCCESS marker gates resume
+        return self.doc_stats_path
 
     @property
     def tokens_path(self) -> str:
@@ -92,8 +113,18 @@ class SegmentStore:
         with open(self.meta_path) as f:
             return json.load(f)
 
+    def docs_raw(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.docs_raw_path)
+
+    def doc_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.doc_stats_path)
+
     def docs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.docs_path)
+        """Forward-table view: id-map ⋈ per-doc stats (inner join drops
+        token-less docs, like the reference's empty-doc reject,
+        /root/reference/src/table.cpp:270). Lazy — consumers that only
+        need stats should read ``doc_stats`` directly."""
+        return self.docs_raw(spark).join(self.doc_stats(spark), "doc_id")
 
     def tokens(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.tokens_path)
@@ -120,7 +151,7 @@ def _write_lineage(store: SegmentStore, stage: str, payload: dict) -> None:
 
 
 POSTINGS_SCHEMA = (
-    "term_sign long, shard int, bucket int, n_docs long, "
+    "term_sign long, shard int, n_shards int, bucket int, n_docs long, "
     "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
     "block_last array<long>, block_max_tf array<int>, block_min_dl array<int>, "
     "bytes_total long"
@@ -138,8 +169,9 @@ def _make_posting_encoder(block_size: int):
     def encode(batches):
         for pdf in batches:
             out = {k: [] for k in (
-                "term_sign", "shard", "bucket", "n_docs", "doc_bytes", "tf_bytes",
-                "dl_bytes", "block_last", "block_max_tf", "block_min_dl", "bytes_total",
+                "term_sign", "shard", "n_shards", "bucket", "n_docs", "doc_bytes",
+                "tf_bytes", "dl_bytes", "block_last", "block_max_tf",
+                "block_min_dl", "bytes_total",
             )}
             for row in pdf.itertuples():
                 enc = encode_posting(
@@ -148,6 +180,7 @@ def _make_posting_encoder(block_size: int):
                 ts = int(row.term_sign)
                 out["term_sign"].append(ts)
                 out["shard"].append(int(row.shard))
+                out["n_shards"].append(int(row.n_shards))
                 out["bucket"].append(ts % POSTING_BUCKETS)
                 out["n_docs"].append(enc.n_docs)
                 out["doc_bytes"].append(enc.doc_bytes)
@@ -182,6 +215,8 @@ def build_index(
 ) -> SegmentStore:
     """Build (or resume building) the segment store under *out_dir*."""
     cfg = cfg or BuildConfig()
+    if cfg.max_shards & (cfg.max_shards - 1):
+        raise ValueError("max_shards must be a power of two (shard-alignment invariant)")
     store = SegmentStore(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
@@ -196,11 +231,21 @@ def build_index(
     stop_terms = sorted(cfg.stopwords)
     stop_signs_df = None
 
-    # ---- stage: docs_raw (doc_id + sha256; content preserved) ----
-    if not (resume and _stage_done(store.docs_path + "_raw")):
-        with_doc_id(source_df).write.mode("overwrite").parquet(store.docs_path + "_raw")
-        _write_lineage(store, "docs_raw", {})
-    docs_raw = spark.read.parquet(store.docs_path + "_raw")
+    # ---- stage: docs_raw (doc_id + per-row sha256 invariant; content is
+    # copied ONLY when cfg.copy_content — at 100 TB the engine must not
+    # duplicate the source table, so the fast path stores the id-map and
+    # reads content straight from the source scan) ----
+    if not (resume and _stage_done(store.docs_raw_path)):
+        raw = with_doc_id(source_df)
+        if not cfg.copy_content:
+            raw = raw.drop("content")
+        raw.write.mode("overwrite").parquet(store.docs_raw_path)
+        _write_lineage(store, "docs_raw", {"copy_content": cfg.copy_content})
+    docs_raw = spark.read.parquet(store.docs_raw_path)
+    if cfg.copy_content:
+        tokenize_src = docs_raw
+    else:
+        tokenize_src = with_doc_id(source_df)
     _mark("docs_raw")
 
     # ---- stage: tokens (positional token table — ONLY for the exact
@@ -209,7 +254,7 @@ def build_index(
         if not (resume and _stage_done(store.tokens_path)):
             tok_fn = make_tokenize_iterator(cfg.tokenizer, "doc_id", "content")
             tokens = (
-                docs_raw.select("doc_id", "content")
+                tokenize_src.select("doc_id", "content")
                 .mapInPandas(tok_fn, "doc_id long, pos int, term string, offset int, length int, dup int")
                 .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
             )
@@ -234,6 +279,7 @@ def build_index(
     # mapInPandas (B2 fused map-side, segment.cpp:78-101) — no token-level
     # shuffle ever exists; doc_len/n_terms ride along on each row.
     doc_term_path = store.doc_term_path
+    n_docs: int | None = None
     if not (resume and _stage_done(doc_term_path)):
         if tokens is not None:
             per_doc = tokens.groupBy("doc_id").agg(
@@ -253,14 +299,30 @@ def build_index(
         else:
             dt_fn = make_doc_term_iterator(cfg.tokenizer, "doc_id", "content")
             doc_term = (
-                docs_raw.select("doc_id", "content")
+                tokenize_src.select("doc_id", "content")
                 .mapInPandas(dt_fn, DOC_TERM_SCHEMA)
                 .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
                 .withColumn("term_len", F.length("term"))
             )
+        # N (forward-table size = docs with >=1 token, table.cpp:270) rides
+        # the write via observe(): exactly one doc_term row per doc has
+        # first_idx == 0 (the term occupying token position 0) — no
+        # separate distinct-count job over the table.
+        obs = Observation("doc_term_metrics")
+        doc_term = doc_term.observe(
+            obs, F.sum((F.col("first_idx") == 0).cast("long")).alias("n_docs")
+        )
         doc_term.write.mode("overwrite").parquet(doc_term_path)
-        _write_lineage(store, "doc_term", {"fused_tokenize": tokens is None})
+        n_docs = int(obs.get["n_docs"] or 0)
+        _write_lineage(store, "doc_term", {"fused_tokenize": tokens is None, "n_docs": n_docs})
+    else:
+        lin = os.path.join(store.lineage_path, "doc_term.json")
+        if os.path.exists(lin):
+            with open(lin) as f:
+                n_docs = json.load(f).get("n_docs")
     doc_term = spark.read.parquet(doc_term_path)
+    if n_docs is None:  # resumed store without lineage — one cheap scan
+        n_docs = doc_term.filter(F.col("first_idx") == 0).count()
     _mark("doc_term")
 
     # ---- stage: term_stats (stopwords excluded from the inverted side,
@@ -269,10 +331,6 @@ def build_index(
         dt = doc_term
         if stop_signs_df is not None:
             dt = dt.join(F.broadcast(stop_signs_df), "term_sign", "left_anti")
-        # N = forward-table size = docs with >=1 token (the reference rejects
-        # empty docs, table.cpp:270); distinct over doc_term (already
-        # pre-aggregated) is cheaper than over the raw occurrence table
-        n_docs = doc_term.select("doc_id").distinct().count()
         term_stats = dt.groupBy("term_sign").agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("ttf"),
@@ -291,13 +349,32 @@ def build_index(
                 / (F.col("ttf") + 0.5)
             ),
         )
+        # doc-shard count census (skew splitting): POWER-OF-TWO so every
+        # term's sharding refines every coarser term's — the WAND path
+        # groups a query at its finest granularity S and routes a coarser
+        # posting (m shards, m | S) to the S/m groups it covers; alignment
+        # makes per-shard top-k exact across terms. Stored here (not
+        # recomputed at query time) so build and query can never disagree.
+        raw_shards = F.ceil(F.col("df") / F.lit(cfg.postings_per_shard)).cast("double")
+        pow2 = F.pow(F.lit(2.0), F.ceil(F.log2(raw_shards))).cast("int")
+        term_stats = term_stats.withColumn(
+            "n_shards",
+            F.least(
+                F.lit(cfg.max_shards),
+                F.when(raw_shards <= 1, F.lit(1)).otherwise(pow2),
+            ),
+        )
         term_stats.write.mode("overwrite").parquet(store.term_stats_path)
         _write_lineage(store, "term_stats", {"n_docs": n_docs})
     term_stats = spark.read.parquet(store.term_stats_path)
     _mark("term_stats")
 
-    # ---- stage: docs (doc_stats folded in) ----
-    if not (resume and _stage_done(store.docs_path)):
+    # ---- stage: doc_stats (per-doc weights/norms; NO content join — the
+    # forward view docs() joins lazily, so content bytes are never
+    # shuffled or re-written) ----
+    avg_doc_len: float | None = None
+    stats_n: int | None = None
+    if not (resume and _stage_done(store.doc_stats_path)):
         # per-occurrence weights: wei = idf (tf multiply commented out in the
         # reference, table.cpp:319); stopword occurrences contribute 0;
         # vec_module/wei_sum sum per OCCURRENCE (dups counted each time,
@@ -312,25 +389,37 @@ def build_index(
             F.sqrt(F.sum(F.col("tf") * F.pow(F.col("wei"), F.lit(2.0)))).alias("vec_module"),
             F.sum(F.col("tf") * F.col("wei")).alias("wei_sum"),
         )
-        docs = docs_raw.join(doc_stats, "doc_id", "inner")  # inner: drops empty docs
-        docs.write.mode("overwrite").parquet(store.docs_path)
-        _write_lineage(store, "docs", {})
-    docs = spark.read.parquet(store.docs_path)
-    _mark("docs")
+        # avg_doc_len (B6, table.cpp:329-337) rides the write — no extra job
+        obs_ds = Observation("doc_stats_metrics")
+        doc_stats = doc_stats.observe(
+            obs_ds, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("dl")
+        )
+        doc_stats.write.mode("overwrite").parquet(store.doc_stats_path)
+        got = obs_ds.get
+        stats_n = int(got["n"] or 0)
+        avg_doc_len = float(got["dl"] or 0) / max(stats_n, 1)
+        _write_lineage(store, "doc_stats", {"n_docs": stats_n, "avg_doc_len": avg_doc_len})
+    else:
+        lin = os.path.join(store.lineage_path, "doc_stats.json")
+        if os.path.exists(lin):
+            with open(lin) as f:
+                j = json.load(f)
+            stats_n, avg_doc_len = j.get("n_docs"), j.get("avg_doc_len")
+    if stats_n is None or avg_doc_len is None:
+        row = spark.read.parquet(store.doc_stats_path).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("adl")
+        ).collect()[0]
+        stats_n, avg_doc_len = int(row["n"]), float(row["adl"] or 0.0)
+    _mark("doc_stats")
 
     # ---- stage: postings (salted repartition-by-term, doc-shard salt) ----
     if not (resume and _stage_done(store.postings_path)):
         dt = doc_term
         if stop_signs_df is not None:
             dt = dt.join(F.broadcast(stop_signs_df), "term_sign", "left_anti")
-        # df census → shard count per term (skew splitting)
-        census = term_stats.select(
-            "term_sign",
-            F.least(
-                F.lit(cfg.max_shards),
-                F.ceil(F.col("df") / F.lit(cfg.postings_per_shard)).cast("int"),
-            ).alias("n_shards"),
-        )
+        # shard census from term_stats (single source of truth for the
+        # query-side routing)
+        census = term_stats.select("term_sign", "n_shards")
         enriched = dt.join(census, "term_sign").withColumn(
             # Catalyst broadcasts the 2-column census when small; at 100 TB
             # it is ~vocab-sized → still broadcastable after pruning.
@@ -340,18 +429,29 @@ def build_index(
         )
         encoder = _make_posting_encoder(cfg.block_size)
         grouped = (
-            enriched.select("term_sign", "shard", "doc_id", "tf", "doc_len")
-            .groupBy("term_sign", "shard")
+            enriched.select("term_sign", "shard", "n_shards", "doc_id", "tf", "doc_len")
+            .groupBy("term_sign", "shard", "n_shards")  # n_shards: per-term constant
             .agg(F.collect_list(F.struct("doc_id", "tf", "doc_len")).alias("pl"))
             .select(
                 "term_sign",
                 "shard",
+                "n_shards",
                 F.col("pl.doc_id").alias("doc_ids"),
                 F.col("pl.tf").alias("tfs"),
                 F.col("pl.doc_len").alias("dls"),
             )
         )
         postings = grouped.mapInPandas(encoder, POSTINGS_SCHEMA)
+        # global skew metrics ride the write via observe() — no re-read job
+        obs_p = Observation("postings_metrics")
+        postings = postings.observe(
+            obs_p,
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("n_docs").alias("n_postings"),
+            F.sum("bytes_total").alias("bytes_total"),
+            F.max("n_docs").alias("max_list"),
+            F.max("bytes_total").alias("max_list_bytes"),
+        )
         # cluster rows by bucket before the partitioned write: otherwise
         # every task opens a writer per bucket dir (tasks x 64 small files
         # — measured 27s vs 7s at local[32] on 40k docs, and a small-file
@@ -359,51 +459,41 @@ def build_index(
         postings.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(store.postings_path)
-        # skew metrics from the written postings (cheap: metadata columns)
-        p = spark.read.parquet(store.postings_path)
-        m = p.agg(
-            F.count("*").alias("n_lists"),
-            F.sum("n_docs").alias("n_postings"),
-            F.sum("bytes_total").alias("bytes_total"),
-            F.max("n_docs").alias("max_list"),
-            F.avg("n_docs").alias("mean_list"),
-            F.max("bytes_total").alias("max_list_bytes"),
-        ).collect()[0]
-        skew = float(m["max_list"]) / max(float(m["mean_list"]), 1e-9)
-        per_bucket = [
-            {k: (float(v) if isinstance(v, float) else v) for k, v in r.asDict().items()}
-            for r in p.groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_lists"),
-                F.sum("n_docs").alias("n_postings"),
-                F.sum("bytes_total").alias("bytes"),
-                F.max("n_docs").alias("max_list"),
-            )
-            .orderBy("bucket")
-            .collect()
-        ]
-        _write_lineage(
-            store,
-            "postings",
-            {
-                "n_lists": m["n_lists"],
-                "n_postings": m["n_postings"],
-                "bytes_total": m["bytes_total"],
-                "max_list": m["max_list"],
-                "mean_list": m["mean_list"],
-                "skew_factor": skew,
-                "postings_per_shard": cfg.postings_per_shard,
-                "block_size": cfg.block_size,
-                "per_bucket": per_bucket,
-            },
-        )
+        m = obs_p.get
+        mean_list = float(m["n_postings"] or 0) / max(int(m["n_lists"] or 0), 1)
+        skew = float(m["max_list"] or 0) / max(mean_list, 1e-9)
+        lineage = {
+            "n_lists": m["n_lists"],
+            "n_postings": m["n_postings"],
+            "bytes_total": m["bytes_total"],
+            "max_list": m["max_list"],
+            "mean_list": mean_list,
+            "max_list_bytes": m["max_list_bytes"],
+            "skew_factor": skew,
+            "postings_per_shard": cfg.postings_per_shard,
+            "block_size": cfg.block_size,
+        }
+        if cfg.per_bucket_metrics:
+            # per-write-partition breakdown (1 extra scan of 3 metadata
+            # columns; bench path disables)
+            p = spark.read.parquet(store.postings_path)
+            lineage["per_bucket"] = [
+                {k: (float(v) if isinstance(v, float) else v) for k, v in r.asDict().items()}
+                for r in p.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_lists"),
+                    F.sum("n_docs").alias("n_postings"),
+                    F.sum("bytes_total").alias("bytes"),
+                    F.max("n_docs").alias("max_list"),
+                )
+                .orderBy("bucket")
+                .collect()
+            ]
+        _write_lineage(store, "postings", lineage)
 
     _mark("postings")
-    # ---- meta (one action for both aggregates) ----
-    mrow = docs.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("adl")
-    ).collect()[0]
-    n_docs, avg_doc_len = mrow["n"], mrow["adl"]
+    # ---- meta (from observed doc_stats aggregates — no extra job) ----
+    n_docs = stats_n
     meta = {
         "version": 1,
         "tokenizer": cfg.tokenizer,
@@ -413,6 +503,7 @@ def build_index(
         "postings_per_shard": cfg.postings_per_shard,
         "stopwords": stop_terms,
         "write_tokens": cfg.write_tokens,
+        "copy_content": cfg.copy_content,
         "built_at": _utcnow(),
         "build_seconds": round(time.time() - t_start, 3),
     }

@@ -81,6 +81,13 @@ class BuildConfig:
     # write the exploded token table (forward index) — needed by the exact
     # parity / feature path; the WAND fast path doesn't read it
     write_tokens: bool = True
+    # copy content bytes into the store's docs_raw table. False = store
+    # only the id-map + sha256 and read content from the source scan (at
+    # 100 TB the engine must not duplicate the corpus); True = the store
+    # is self-contained (search() feature path reads content from it)
+    copy_content: bool = True
+    # per-bucket posting metrics in lineage (1 extra metadata-column scan)
+    per_bucket_metrics: bool = True
 
 
 @dataclass

@@ -282,7 +282,7 @@ class QueryEngine:
         prof = BM25_PROFILES[self.cfg.profile]
         qis = self.query_infos(queries)
         recs = self._records(qis)
-        docs = self.store.docs(self.spark).select("doc_id", "doc_len")
+        docs = self.store.doc_stats(self.spark).select("doc_id", "doc_len")
         adl = self.avg_doc_len
         kd = prof.k1 * (1 - prof.b + prof.b * F.col("doc_len") / F.lit(adl))
         contrib = (
@@ -317,11 +317,13 @@ class QueryEngine:
         features map)."""
         k = k or self.cfg.k
         spark = self.spark
-        if not self.store.meta().get("write_tokens", True):
+        meta = self.store.meta()
+        if not meta.get("write_tokens", True) or not meta.get("copy_content", True):
             raise ValueError(
-                "search() needs the positional token table for D4-D8 features; "
-                "this store was built with BuildConfig(write_tokens=False) — "
-                "use bm25_topk()/wand_topk(), or rebuild with write_tokens=True"
+                "search() needs the positional token table + content for "
+                "D4-D8 features; this store was built with "
+                "BuildConfig(write_tokens=False) or copy_content=False — "
+                "use bm25_topk()/wand_topk(), or rebuild with both enabled"
             )
         qis = self.query_infos(queries)
         qmap = {qi.query_id: qi for qi in qis}
@@ -421,9 +423,17 @@ class QueryEngine:
         (compat="fixed" semantics, no synonyms — the clean product path).
 
         Plan: query terms ⋈ postings (bucket-pruned parquet scan) →
-        per-(query, shard) pruned TAAT/WAND scoring in one Arrow batch →
-        global per-query top-k window merge. Shards are doc-ranges, so
-        per-shard top-k → global top-k is exact."""
+        route every posting row to the query's FINEST doc-shard
+        granularity S (= max n_shards over its terms; shard counts are
+        powers of two, so a coarser m-shard posting covers exactly S/m of
+        the fine groups: those g with g ≡ shard mod m) → per-(query,
+        fine-shard) pruned TAAT/WAND scoring in one Arrow batch, masking
+        decoded docs to ``doc_id mod S == g`` → global per-query top-k
+        window merge. Each doc lands in exactly one group per query, so
+        per-group top-k → global top-k is exact. Routing replicates only
+        the COARSE (small) postings — bounded by ~the bytes of the
+        heaviest term — while the heavy postings are already fine-grained
+        and ship once."""
         k = k or self.cfg.k
         spark = self.spark
         prof = BM25_PROFILES[self.cfg.profile]
@@ -448,8 +458,30 @@ class QueryEngine:
         post = self.store.postings(spark).filter(
             F.col("bucket").isin(buckets) & F.col("term_sign").isin(signs)
         )
-        ts = self.store.term_stats(spark).select("term_sign", "idf")
-        joined = post.join(F.broadcast(qterms), "term_sign").join(ts, "term_sign")
+        ts = self.store.term_stats(spark).select("term_sign", "idf", "n_shards")
+        joined = post.drop("n_shards").join(F.broadcast(qterms), "term_sign").join(
+            ts, "term_sign"
+        )
+        # finest granularity per query (cheap slim agg; broadcast back)
+        sq = (
+            self.store.term_stats(spark)
+            .join(F.broadcast(qterms.select("query_id", "term_sign").distinct()), "term_sign")
+            .groupBy("query_id")
+            .agg(F.max("n_shards").alias("s_q"))
+        )
+        joined = joined.join(F.broadcast(sq), "query_id")
+        # route: a posting with m shards at row-shard r covers fine groups
+        # {r, r+m, r+2m, …} ∩ [0, S) (m | S since both are powers of two)
+        joined = joined.withColumn(
+            "gshard",
+            F.explode(
+                F.sequence(
+                    F.col("shard"),
+                    F.col("s_q") - 1,
+                    F.greatest(F.col("n_shards"), F.lit(1)),
+                )
+            ),
+        )
 
         k1, k2, b = prof.k1, prof.k2, prof.b
         avg_dl = self.avg_doc_len
@@ -457,13 +489,20 @@ class QueryEngine:
 
         def wand_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(key[0])
-            shard = int(key[1])
-            del shard
+            gshard = int(key[1])
+            s_q = int(pdf["s_q"].iloc[0])
             # per-list upper bounds (idf<=0 terms bounded by 0: their
             # contribution is negative, so they can never lift a doc)
             lists = []
             for r in pdf.itertuples():
                 d, t, dl = decode_posting(r.doc_bytes, r.tf_bytes, r.dl_bytes)
+                if int(r.n_shards) != s_q:
+                    # coarse posting routed here: keep only this group's
+                    # residue class (vectorized mask)
+                    sel = (d % s_q) == gshard
+                    d, t, dl = d[sel], t[sel], dl[sel]
+                    if d.size == 0:
+                        continue
                 qf = r.tf_q * (k2 + 1) / (r.tf_q + k2)
                 kd = k1 * (1 - b + b * dl / avg_dl)
                 contrib = r.idf * (t * (k1 + 1) / (t + kd)) * qf
@@ -517,7 +556,7 @@ class QueryEngine:
                 }
             )
 
-        per_shard = joined.groupBy("query_id", "shard").applyInPandas(
+        per_shard = joined.groupBy("query_id", "gshard").applyInPandas(
             wand_fn, "query_id long, doc_id long, bm25 double"
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -559,7 +598,7 @@ def assert_content_sha256(spark: SparkSession, store: SegmentStore, source_df: D
     src = with_doc_id(source_df).select(
         "doc_id", F.col("content_sha256").alias("src_sha")
     )
-    st = store.docs(spark).select("doc_id", "content_sha256")
+    st = store.docs_raw(spark).select("doc_id", "content_sha256")
     return st.join(src, "doc_id", "inner").filter(
         F.col("content_sha256") != F.col("src_sha")
     ).count()
