@@ -221,6 +221,71 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+_WAND_STORES: dict[str, object] = {}
+
+
+def _dedup_docs(spark, sf_dir):
+    """documents with exact-duplicate texts collapsed to min doc_id — ties
+    between identical docs would otherwise be broken by the engine's
+    internal hash ids vs the oracle's original ids."""
+    docs = _docs(spark, sf_dir)
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def _q_wand_store(spark, sf_dir):
+    """The ENGINE's real path under the driver's value-hash gate: build the
+    segment store (ws tokenizer, stopwords, compressed doc-sharded
+    postings) over the deduped documents table, then block-max WAND top-k.
+    The oracle recomputes BM25 in pure SQL with the engine's exact
+    semantics: char-based doc_len (last-token end,
+    /root/reference/src/node_def.cpp:100-103), total-tf idf with the
+    unsigned-wrap quirk, stopword-excluded postings."""
+    import hashlib
+
+    from tiny_search_engine_spark.build import BuildConfig, build_index
+    from tiny_search_engine_spark.config import QueryConfig
+    from tiny_search_engine_spark.query import QueryEngine
+
+    if sf_dir not in _WAND_STORES:
+        src = _dedup_docs(spark, sf_dir).select(
+            F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.md5(F.col("text")).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "tse_wand_store_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        _WAND_STORES[sf_dir] = build_index(
+            spark, src, out,
+            BuildConfig(tokenizer="ws", stopwords=frozenset(STOPWORDS), write_tokens=False),
+        )
+    store = _WAND_STORES[sf_dir]
+    eng = QueryEngine(spark, store, QueryConfig(profile="standard", compat="fixed"))
+    # small margin so a rounded-score tie at the k boundary cannot change
+    # the selected set between engine (internal-id tiebreak) and oracle
+    res = eng.wand_topk(QUERY_SET, k=TOPK + 5)
+    id_map = store.docs_raw(spark).select(
+        F.col("doc_id").alias("doc_id_hash"),
+        F.regexp_extract("path", r"doc/(\d+)", 1).cast("long").alias("doc_id"),
+    )
+    mapped = (
+        res.withColumnRenamed("doc_id", "doc_id_hash")
+        .join(F.broadcast(id_map), "doc_id_hash")
+        .select("query_id", "doc_id", F.round("bm25", 4).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        mapped.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
 def _q_term_hits_funnel(spark, sf_dir):
     toks = _tokens(spark, sf_dir)
     doc_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_d"))
@@ -309,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "avg_doc_len": _q_avg_doc_len,
         "bm25_topk": _q_bm25_topk,
+        "wand_store_topk": _q_wand_store,
         "term_hits_funnel": _q_term_hits_funnel,
         "stopword_stats": _q_stopword_stats,
         "dup_exact": _q_dup_exact,
@@ -449,6 +515,38 @@ def oracle_sql() -> dict[str, str]:
             dl AS (SELECT doc_id, count(*) AS doc_len FROM ({_TOKENS_SQL}) GROUP BY 1),
             adl AS (SELECT avg(doc_len) AS avg_dl FROM dl),
             ts AS (SELECT term, sum(tf_d) AS ttf, {_IDF_SQL.format(n=n)} AS idf FROM doc_term GROUP BY term),
+            qt AS ({qterms}),
+            scored AS (
+              SELECT query_id, doc_id,
+                     round(sum(ts.idf
+                       * (tf_d * ({BM25_K1} + 1) / (tf_d + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len / adl.avg_dl)))
+                       * (tf_q * ({BM25_K2} + 1) / (tf_q + {BM25_K2}))), 4) AS bm25
+              FROM doc_term JOIN qt USING (term) JOIN dl USING (doc_id) JOIN ts USING (term), adl
+              GROUP BY query_id, doc_id)
+            SELECT query_id, rank, doc_id, bm25 FROM (
+              SELECT query_id, doc_id, bm25,
+                     row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+              FROM scored) WHERE rank <= {TOPK}
+        """,
+        "wand_store_topk": f"""
+            WITH docs AS (
+              SELECT min(doc_id) AS doc_id, any_value(text) AS text
+              FROM documents GROUP BY text),
+            raw_toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                     length(rtrim(text, ' ' || chr(9) || chr(10) || chr(13))) AS trimmed_len
+              FROM docs),
+            dl AS (SELECT doc_id, trimmed_len AS doc_len FROM raw_toks WHERE len(toks) > 0),
+            toks AS (SELECT doc_id, lower(unnest(toks)) AS term FROM raw_toks),
+            doc_term AS (SELECT doc_id, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),
+            nn AS (SELECT count(*) AS c FROM dl),
+            ts AS (
+              SELECT term, sum(tf_d) AS ttf,
+                     {_IDF_SQL.format(n="(SELECT c FROM nn)")} AS idf
+              FROM doc_term WHERE NOT list_contains({stop_list}, term)
+              GROUP BY term),
+            adl AS (SELECT avg(doc_len) AS avg_dl FROM dl),
             qt AS ({qterms}),
             scored AS (
               SELECT query_id, doc_id,

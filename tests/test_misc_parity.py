@@ -76,3 +76,39 @@ def test_scalar_surface_equivalents(spark):
     from tiny_search_engine_spark.hashing import term_sign
 
     assert row["sign"] == term_sign("ABC") == term_sign("abc")
+
+
+def test_ltr_rerank_linear_model(spark):
+    """D12 plumbing: feature.conf densification order + batch predict +
+    model-score re-sort (xgboost itself is import-gated like the
+    reference's #ifdef XGBOOST default-off)."""
+    import numpy as np
+    import pytest
+
+    from tiny_search_engine_spark import ltr
+
+    ids = ltr.load_feature_conf()
+    assert len(ids) == 32  # uncommented feature.conf entries
+    assert ids["F_QU_BM25"] == 4 and ids["F_Q_LEN"] == 37
+
+    row = ltr.featurize({"F_QU_BM25": 2.5, "F_QU_VSM": 0.5, "F_UNKNOWN": 9.0}, ids)
+    assert row.shape == (38,)
+    assert row[4] == 2.5 and row[28] == 0.5 and row.sum() == 3.0
+
+    rows = [
+        (0, 1, {"F_QU_BM25": 2.0, "F_QU_VSM": 0.5}),
+        (0, 2, {"F_QU_BM25": 1.0, "F_QU_VSM": 0.9}),
+        (1, 3, {"F_QU_BM25": 3.0}),
+    ]
+    df = spark.createDataFrame(rows, "query_id long, doc_id long, features map<string,double>")
+    w = np.zeros(38)
+    w[ids["F_QU_BM25"]] = 1.0
+    w[ids["F_QU_VSM"]] = 10.0
+    out = ltr.rerank(df, ltr.LinearModel(weights=w), ids).collect()
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["final_score"], 6)) for r in out}
+    assert got[(0, 1)] == (2, 10.0)  # 1.0*1 + 0.9*10
+    assert got[(0, 2)] == (1, 7.0)
+    assert got[(1, 1)] == (3, 3.0)
+
+    with pytest.raises(ImportError):
+        ltr.try_load_xgboost("/nonexistent")

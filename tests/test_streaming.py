@@ -43,3 +43,48 @@ def test_stream_ingest_and_compact(spark, tmp_path):
     assert _postings_map(spark, compacted) == _postings_map(spark, reference)
     assert compacted.meta()["n_docs"] == reference.meta()["n_docs"] == 80
     assert compacted.meta()["avg_doc_len"] == reference.meta()["avg_doc_len"]
+
+
+def test_compact_incremental_equals_full_rebuild(spark, tmp_path):
+    """Incremental compaction (deltas tokenized, base doc_term reused,
+    replaced doc_ids overwritten) must produce the same postings and doc
+    stats as a from-scratch build over the merged corpus."""
+    from pyspark.sql import functions as F
+
+    from tiny_search_engine_spark.streaming import compact_incremental
+    from tiny_search_engine_spark.streaming.ingest import delta_dir
+
+    cfg = BuildConfig(stopwords=frozenset(make_stopwords()), postings_per_shard=64)
+    base_src = source_files(spark, 60, seed=31)
+    base = build_index(spark, base_src, str(tmp_path / "base"), cfg)
+
+    # deltas: 20 brand-new docs + 10 docs that REPLACE base docs (same
+    # repo/path/commit key, different content)
+    new_docs = source_files(spark, 80, seed=31).join(
+        base_src, ["repo", "path", "commit"], "left_anti"
+    )
+    replacement = base_src.limit(10).withColumn(
+        "content", F.concat(F.lit("changed body "), F.col("content"))
+    )
+    store_root = str(tmp_path / "live")
+    dd = delta_dir(store_root)
+    new_docs.write.mode("overwrite").parquet(os.path.join(dd, "epoch=0"))
+    replacement.write.mode("overwrite").parquet(os.path.join(dd, "epoch=1"))
+
+    inc = compact_incremental(spark, base, store_root, str(tmp_path / "inc"), cfg)
+
+    merged = (
+        base_src.join(replacement, ["repo", "path", "commit"], "left_anti")
+        .unionByName(replacement)
+        .unionByName(new_docs)
+    )
+    full = build_index(spark, merged, str(tmp_path / "full"), cfg)
+
+    assert _postings_map(spark, inc) == _postings_map(spark, full)
+    inc_stats = {r["doc_id"]: (r["doc_len"], r["n_terms"], round(r["vec_module"], 9))
+                 for r in inc.doc_stats(spark).collect()}
+    full_stats = {r["doc_id"]: (r["doc_len"], r["n_terms"], round(r["vec_module"], 9))
+                  for r in full.doc_stats(spark).collect()}
+    assert inc_stats == full_stats
+    assert inc.meta()["n_docs"] == full.meta()["n_docs"]
+    assert abs(inc.meta()["avg_doc_len"] - full.meta()["avg_doc_len"]) < 1e-9

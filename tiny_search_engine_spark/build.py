@@ -236,6 +236,11 @@ def build_index(
     # duplicate the source table, so the fast path stores the id-map and
     # reads content straight from the source scan) ----
     if not (resume and _stage_done(store.docs_raw_path)):
+        if source_df is None:
+            raise ValueError(
+                "source_df is required: the docs_raw stage is not complete "
+                f"under {store.docs_raw_path}"
+            )
         raw = with_doc_id(source_df)
         if not cfg.copy_content:
             raw = raw.drop("content")
@@ -244,8 +249,10 @@ def build_index(
     docs_raw = spark.read.parquet(store.docs_raw_path)
     if cfg.copy_content:
         tokenize_src = docs_raw
-    else:
+    elif source_df is not None:
         tokenize_src = with_doc_id(source_df)
+    else:
+        tokenize_src = None  # resume with tokenize stages already done
     _mark("docs_raw")
 
     # ---- stage: tokens (positional token table — ONLY for the exact

@@ -7,9 +7,11 @@ one doc into both in-memory tables, /root/reference/src/table.cpp:197-200;
 re-expression is the standard search-engine shape: a document stream lands
 as per-micro-batch **delta segments** (exactly-once via the streaming
 checkpoint + idempotent epoch-keyed writes), and a **compaction** folds
-base + deltas into a fresh segment store (global stats — idf, avg_doc_len —
-are corpus-wide, so they are recomputed at compaction; per-epoch partial
-postings merge is the round-2 refinement).
+base + deltas into a fresh segment store. Global stats — idf,
+avg_doc_len, doc weights — are corpus-wide, so the stat/posting stages
+are recomputed at compaction; ``compact_incremental`` skips re-tokenizing
+the base corpus (the dominant cost at 100 TB) by merging the base store's
+pre-reduced ``doc_term`` table with tokenized deltas.
 
 At 100 TB the same topology holds: deltas are small and bounded by
 micro-batch size; compaction is the existing salted/sharded build over
@@ -88,3 +90,96 @@ def compact(
     for p in parts[1:]:
         src = src.unionByName(p)
     return build_index(spark, src, out_dir, cfg)
+
+
+def compact_incremental(
+    spark: SparkSession,
+    base_store: SegmentStore,
+    store_root: str,
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+) -> SegmentStore:
+    """Fold delta segments into a NEW store without re-tokenizing the base
+    corpus — tokenization dominates build cost at 100 TB, while the
+    downstream stat/posting stages are cheap re-aggregations of the
+    pre-reduced doc_term table.
+
+    Only the deltas pass through the tokenizer; the merged ``doc_term`` /
+    ``docs_raw`` tables are seeded into *out_dir* with their stage markers
+    and the normal resumable build recomputes the corpus-global stages
+    (idf, doc weights, postings) from them. A delta doc with an existing
+    doc_id REPLACES the base doc (the reference's duplicate-url
+    forward-overwrite, /root/reference/src/table.cpp:264)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ..build import _write_lineage, with_doc_id
+    from ..tokenizer import DOC_TERM_SCHEMA, make_doc_term_iterator
+
+    cfg = cfg or BuildConfig()
+    dd = delta_dir(store_root)
+    if not (os.path.isdir(dd) and any(e.startswith("epoch=") for e in os.listdir(dd))):
+        raise ValueError("no delta segments to compact")
+    deltas = spark.read.parquet(dd).select("repo", "path", "commit", "lang", "content")
+    # last write wins among deltas that re-ingest the same document
+    delta_raw_full = with_doc_id(deltas).dropDuplicates(["doc_id"])
+    delta_ids = delta_raw_full.select("doc_id")
+
+    out = SegmentStore(out_dir)
+    os.makedirs(out.lineage_path, exist_ok=True)
+
+    # ---- seed docs_raw: base minus replaced ids, plus deltas ----
+    delta_raw = delta_raw_full if cfg.copy_content else delta_raw_full.drop("content")
+    base_raw = base_store.docs_raw(spark)
+    merged_raw = base_raw.join(F.broadcast(delta_ids), "doc_id", "left_anti").unionByName(
+        delta_raw.select(*base_raw.columns)
+    )
+    merged_raw.write.mode("overwrite").parquet(out.docs_raw_path)
+    _write_lineage(out, "docs_raw", {"copy_content": cfg.copy_content, "incremental": True})
+
+    # ---- seed tokens (only when the base carries them) ----
+    if cfg.write_tokens:
+        from ..tokenizer import make_tokenize_iterator
+
+        tok_fn = make_tokenize_iterator(cfg.tokenizer, "doc_id", "content")
+        delta_tokens = (
+            delta_raw_full.select("doc_id", "content")
+            .mapInPandas(tok_fn, "doc_id long, pos int, term string, offset int, length int, dup int")
+            .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
+        )
+        base_tokens = base_store.tokens(spark)
+        merged_tokens = base_tokens.join(
+            F.broadcast(delta_ids), "doc_id", "left_anti"
+        ).unionByName(delta_tokens.select(*base_tokens.columns))
+        merged_tokens.write.mode("overwrite").parquet(out.tokens_path)
+        _write_lineage(out, "tokens", {"tokenizer": cfg.tokenizer, "incremental": True})
+
+    # ---- seed doc_term: tokenize ONLY the deltas ----
+    dt_fn = make_doc_term_iterator(cfg.tokenizer, "doc_id", "content")
+    delta_dt = (
+        delta_raw_full.select("doc_id", "content")
+        .mapInPandas(dt_fn, DOC_TERM_SCHEMA)
+        .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
+        .withColumn("term_len", F.length("term"))
+    )
+    base_dt = base_store.doc_term(spark)
+    merged_dt = base_dt.join(F.broadcast(delta_ids), "doc_id", "left_anti").unionByName(
+        delta_dt.select(*base_dt.columns)
+    )
+    obs = Observation("inc_doc_term")
+    merged_dt = merged_dt.observe(
+        obs, F.sum((F.col("first_idx") == 0).cast("long")).alias("n_docs")
+    )
+    merged_dt.write.mode("overwrite").parquet(out.doc_term_path)
+    _write_lineage(
+        out,
+        "doc_term",
+        {"fused_tokenize": True, "incremental": True, "n_docs": int(obs.get["n_docs"] or 0)},
+    )
+
+    # downstream stages (term_stats, doc_stats, postings, meta) recompute
+    # from the seeded tables via the normal resumable build
+    return build_index(spark, None, out_dir, cfg, resume=True)
