@@ -57,6 +57,24 @@ def main() -> None:
         # ---- index build over the synthetic source-code corpus ----
         src = source_files(spark, n_synth, seed=42).cache()
         n_src = src.count()  # materialize the generator outside the timing
+        # warm-up: JIT/codegen/python-worker spin-up is ~50s at any size
+        # and would otherwise dominate the timed small-corpus build
+        wsrc = source_files(spark, max(1000, n_synth // 10), seed=43).cache()
+        wsrc.count()
+        build_index(
+            spark,
+            wsrc,
+            os.path.join(work, "warm"),
+            BuildConfig(
+                tokenizer="code",
+                stopwords=frozenset(make_stopwords()),
+                write_tokens=False,
+                copy_content=False,
+                per_bucket_metrics=False,
+            ),
+        )
+        wsrc.unpersist()
+        shutil.rmtree(os.path.join(work, "warm"), ignore_errors=True)
         store = timed(
             "index_build",
             lambda: build_index(

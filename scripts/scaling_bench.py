@@ -103,9 +103,15 @@ print("CHILD_RESULT " + json.dumps(best))
 def run_child(cpus: int, n_docs: int, n_queries: int, inner: int) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, n_docs=n_docs,
                         n_queries=n_queries, inner=inner)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
+    # HARD-pin the child to exactly `cpus` physical CPUs: local[K] caps
+    # task SLOTS only — JVM GC/shuffle/JIT threads and python workers
+    # would otherwise spill onto the other 30 cores and a "2-core" run
+    # quietly uses 6+, understating wide-config speedup. A pinned child
+    # is the honest proxy for an N-executor cluster node budget.
+    cmd = [sys.executable, "-c", code]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("TRIAL "):
             print(f"  {line}")

@@ -221,43 +221,63 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
     stage_seconds: dict[str, float] = {}
-    _t = {"last": t_start}
 
-    def _mark(stage: str) -> None:
-        now = time.time()
-        stage_seconds[stage] = round(now - _t["last"], 3)
-        _t["last"] = now
+    def _timed(stage: str, fn):
+        t0 = time.time()
+        out = fn()
+        stage_seconds[stage] = round(time.time() - t0, 3)
+        return out
 
     stop_terms = sorted(cfg.stopwords)
     stop_signs_df = None
+    if stop_terms:
+        stop_signs_df = (
+            spark.createDataFrame([(t,) for t in stop_terms], "term string")
+            .select(F.xxhash64(F.lower("term")).alias("term_sign"))
+            .distinct()
+        )
+
+    # Independent stages run CONCURRENTLY (two threads submitting Spark
+    # actions): docs_raw ∥ tokens→doc_term, then doc_stats ∥ postings.
+    # On a cluster this keeps executors busy through each other's stage
+    # barriers and stragglers; locally it removes serial job gaps.
+    # Dependencies: doc_term ← tokenize source (NOT docs_raw output);
+    # term_stats ← doc_term; doc_stats/postings ← term_stats + doc_term.
+    if source_df is not None:
+        tokenize_src = with_doc_id(source_df)
+    elif _stage_done(store.docs_raw_path) and cfg.copy_content:
+        tokenize_src = spark.read.parquet(store.docs_raw_path)
+    else:
+        tokenize_src = None  # resume with tokenize stages already done
 
     # ---- stage: docs_raw (doc_id + per-row sha256 invariant; content is
     # copied ONLY when cfg.copy_content — at 100 TB the engine must not
     # duplicate the source table, so the fast path stores the id-map and
     # reads content straight from the source scan) ----
-    if not (resume and _stage_done(store.docs_raw_path)):
-        if source_df is None:
-            raise ValueError(
-                "source_df is required: the docs_raw stage is not complete "
-                f"under {store.docs_raw_path}"
-            )
-        raw = with_doc_id(source_df)
-        if not cfg.copy_content:
-            raw = raw.drop("content")
-        raw.write.mode("overwrite").parquet(store.docs_raw_path)
-        _write_lineage(store, "docs_raw", {"copy_content": cfg.copy_content})
-    docs_raw = spark.read.parquet(store.docs_raw_path)
-    if cfg.copy_content:
-        tokenize_src = docs_raw
-    elif source_df is not None:
-        tokenize_src = with_doc_id(source_df)
-    else:
-        tokenize_src = None  # resume with tokenize stages already done
-    _mark("docs_raw")
+    def job_docs_raw() -> None:
+        if not (resume and _stage_done(store.docs_raw_path)):
+            if source_df is None:
+                raise ValueError(
+                    "source_df is required: the docs_raw stage is not complete "
+                    f"under {store.docs_raw_path}"
+                )
+            raw = with_doc_id(source_df)
+            if not cfg.copy_content:
+                raw = raw.drop("content")
+            raw.write.mode("overwrite").parquet(store.docs_raw_path)
+            _write_lineage(store, "docs_raw", {"copy_content": cfg.copy_content})
 
     # ---- stage: tokens (positional token table — ONLY for the exact
-    # feature-parity path; the fast path never materializes occurrences) ----
-    if cfg.write_tokens:
+    # feature-parity path; the fast path never materializes occurrences),
+    # then doc_term.
+    # per-(doc,term) tf == the reference's reverse-iteration max-dup trick
+    # (/root/reference/src/table.cpp:271,284-290) expressed as count(*).
+    # Fast path: the per-doc reduction happens INSIDE the tokenize
+    # mapInPandas (B2 fused map-side, segment.cpp:78-101) — no token-level
+    # shuffle ever exists; doc_len/n_terms ride along on each row. ----
+    def job_tokens() -> DataFrame | None:
+        if not cfg.write_tokens:
+            return None
         if not (resume and _stage_done(store.tokens_path)):
             tok_fn = make_tokenize_iterator(cfg.tokenizer, "doc_id", "content")
             tokens = (
@@ -267,74 +287,77 @@ def build_index(
             )
             tokens.write.mode("overwrite").parquet(store.tokens_path)
             _write_lineage(store, "tokens", {"tokenizer": cfg.tokenizer})
-        tokens = spark.read.parquet(store.tokens_path)
-    else:
-        tokens = None
-    _mark("tokens")
+        return spark.read.parquet(store.tokens_path)
 
-    if stop_terms:
-        stop_signs_df = (
-            spark.createDataFrame([(t,) for t in stop_terms], "term string")
-            .select(F.xxhash64(F.lower("term")).alias("term_sign"))
-            .distinct()
-        )
-
-    # ---- stage: doc_term ----
-    # per-(doc,term) tf == the reference's reverse-iteration max-dup trick
-    # (/root/reference/src/table.cpp:271,284-290) expressed as count(*).
-    # Fast path: the per-doc reduction happens INSIDE the tokenize
-    # mapInPandas (B2 fused map-side, segment.cpp:78-101) — no token-level
-    # shuffle ever exists; doc_len/n_terms ride along on each row.
-    doc_term_path = store.doc_term_path
-    n_docs: int | None = None
-    if not (resume and _stage_done(doc_term_path)):
-        if tokens is not None:
-            per_doc = tokens.groupBy("doc_id").agg(
-                F.max_by(F.col("offset") + F.col("length"), F.col("pos")).alias("doc_len"),
-                F.count("*").alias("n_terms"),
-            )
-            doc_term = (
-                tokens.groupBy("doc_id", "term_sign")
-                .agg(
-                    F.count("*").alias("tf"),
-                    F.min("pos").alias("first_idx"),
-                    F.first("term").alias("term"),
-                    F.first("length").alias("term_len"),
+    def job_doc_term() -> tuple[DataFrame, int | None]:
+        tokens = _timed("tokens", job_tokens)
+        n_docs: int | None = None
+        if not (resume and _stage_done(store.doc_term_path)):
+            if tokens is not None:
+                per_doc = tokens.groupBy("doc_id").agg(
+                    F.max_by(F.col("offset") + F.col("length"), F.col("pos")).alias("doc_len"),
+                    F.count("*").alias("n_terms"),
                 )
-                .join(per_doc, "doc_id")
-            )
-        else:
-            dt_fn = make_doc_term_iterator(cfg.tokenizer, "doc_id", "content")
-            doc_term = (
-                tokenize_src.select("doc_id", "content")
-                .mapInPandas(dt_fn, DOC_TERM_SCHEMA)
-                .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
-                .withColumn("term_len", F.length("term"))
-            )
-        # N (forward-table size = docs with >=1 token, table.cpp:270) rides
-        # the write via observe(): exactly one doc_term row per doc has
-        # first_idx == 0 (the term occupying token position 0) — no
-        # separate distinct-count job over the table.
-        obs = Observation("doc_term_metrics")
-        doc_term = doc_term.observe(
-            obs, F.sum((F.col("first_idx") == 0).cast("long")).alias("n_docs")
-        )
-        doc_term.write.mode("overwrite").parquet(doc_term_path)
-        n_docs = int(obs.get["n_docs"] or 0)
-        _write_lineage(store, "doc_term", {"fused_tokenize": tokens is None, "n_docs": n_docs})
-    else:
+                doc_term = (
+                    tokens.groupBy("doc_id", "term_sign")
+                    .agg(
+                        F.count("*").alias("tf"),
+                        F.min("pos").alias("first_idx"),
+                        F.first("term").alias("term"),
+                        F.first("length").alias("term_len"),
+                    )
+                    .join(per_doc, "doc_id")
+                )
+            else:
+                if tokenize_src is None:
+                    raise ValueError(
+                        "source_df is required: the doc_term stage is not "
+                        f"complete under {store.doc_term_path}"
+                    )
+                dt_fn = make_doc_term_iterator(cfg.tokenizer, "doc_id", "content")
+                doc_term = (
+                    tokenize_src.select("doc_id", "content")
+                    .mapInPandas(dt_fn, DOC_TERM_SCHEMA)
+                    .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
+                    .withColumn("term_len", F.length("term"))
+                )
+            # N (forward-table size = docs with >=1 token, table.cpp:270)
+            # rides the write via observe(): exactly one doc_term row per
+            # doc has first_idx == 0 (the term at token position 0) — no
+            # separate distinct-count job over the table.
+            if cfg.cache_doc_term:
+                doc_term = doc_term.persist()
+            obs = Observation("doc_term_metrics")
+            doc_term.observe(
+                obs, F.sum((F.col("first_idx") == 0).cast("long")).alias("n_docs")
+            ).write.mode("overwrite").parquet(store.doc_term_path)
+            n_docs = int(obs.get["n_docs"] or 0)
+            _write_lineage(store, "doc_term", {"fused_tokenize": tokens is None, "n_docs": n_docs})
+            return doc_term, n_docs
+        return spark.read.parquet(store.doc_term_path), None
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        fut_raw = pool.submit(_timed, "docs_raw", job_docs_raw)
+        fut_dt = pool.submit(_timed, "doc_term", job_doc_term)
+        fut_raw.result()
+        doc_term, n_docs = fut_dt.result()
+    docs_raw = spark.read.parquet(store.docs_raw_path)
+
+    if n_docs is None:
         lin = os.path.join(store.lineage_path, "doc_term.json")
         if os.path.exists(lin):
             with open(lin) as f:
                 n_docs = json.load(f).get("n_docs")
-    doc_term = spark.read.parquet(doc_term_path)
     if n_docs is None:  # resumed store without lineage — one cheap scan
         n_docs = doc_term.filter(F.col("first_idx") == 0).count()
-    _mark("doc_term")
 
     # ---- stage: term_stats (stopwords excluded from the inverted side,
     # like /root/reference/src/table.cpp:273-275) ----
-    if not (resume and _stage_done(store.term_stats_path)):
+    def job_term_stats() -> DataFrame:
+        if resume and _stage_done(store.term_stats_path):
+            return spark.read.parquet(store.term_stats_path)
         dt = doc_term
         if stop_signs_df is not None:
             dt = dt.join(F.broadcast(stop_signs_df), "term_sign", "left_anti")
@@ -373,54 +396,58 @@ def build_index(
         )
         term_stats.write.mode("overwrite").parquet(store.term_stats_path)
         _write_lineage(store, "term_stats", {"n_docs": n_docs})
-    term_stats = spark.read.parquet(store.term_stats_path)
-    _mark("term_stats")
+        return spark.read.parquet(store.term_stats_path)
+
+    term_stats = _timed("term_stats", job_term_stats)
 
     # ---- stage: doc_stats (per-doc weights/norms; NO content join — the
     # forward view docs() joins lazily, so content bytes are never
     # shuffled or re-written) ----
-    avg_doc_len: float | None = None
-    stats_n: int | None = None
-    if not (resume and _stage_done(store.doc_stats_path)):
-        # per-occurrence weights: wei = idf (tf multiply commented out in the
-        # reference, table.cpp:319); stopword occurrences contribute 0;
-        # vec_module/wei_sum sum per OCCURRENCE (dups counted each time,
-        # table.cpp:309-327). Computed from doc_term: Σ_occ wei² == Σ_t tf·idf²
-        # algebraically — no occurrence table required.
-        dt_idf = doc_term.join(
-            term_stats.select("term_sign", "idf"), "term_sign", "left"
-        ).withColumn("wei", F.coalesce(F.col("idf"), F.lit(0.0)))
-        doc_stats = dt_idf.groupBy("doc_id").agg(
-            F.first("n_terms").alias("n_terms"),
-            F.first("doc_len").alias("doc_len"),
-            F.sqrt(F.sum(F.col("tf") * F.pow(F.col("wei"), F.lit(2.0)))).alias("vec_module"),
-            F.sum(F.col("tf") * F.col("wei")).alias("wei_sum"),
-        )
-        # avg_doc_len (B6, table.cpp:329-337) rides the write — no extra job
-        obs_ds = Observation("doc_stats_metrics")
-        doc_stats = doc_stats.observe(
-            obs_ds, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("dl")
-        )
-        doc_stats.write.mode("overwrite").parquet(store.doc_stats_path)
-        got = obs_ds.get
-        stats_n = int(got["n"] or 0)
-        avg_doc_len = float(got["dl"] or 0) / max(stats_n, 1)
-        _write_lineage(store, "doc_stats", {"n_docs": stats_n, "avg_doc_len": avg_doc_len})
-    else:
-        lin = os.path.join(store.lineage_path, "doc_stats.json")
-        if os.path.exists(lin):
-            with open(lin) as f:
-                j = json.load(f)
-            stats_n, avg_doc_len = j.get("n_docs"), j.get("avg_doc_len")
-    if stats_n is None or avg_doc_len is None:
-        row = spark.read.parquet(store.doc_stats_path).agg(
-            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("adl")
-        ).collect()[0]
-        stats_n, avg_doc_len = int(row["n"]), float(row["adl"] or 0.0)
-    _mark("doc_stats")
+    def job_doc_stats() -> tuple[int, float]:
+        stats_n: int | None = None
+        avg_doc_len: float | None = None
+        if not (resume and _stage_done(store.doc_stats_path)):
+            # per-occurrence weights: wei = idf (tf multiply commented out in
+            # the reference, table.cpp:319); stopword occurrences contribute
+            # 0; vec_module/wei_sum sum per OCCURRENCE (dups counted each
+            # time, table.cpp:309-327). Computed from doc_term:
+            # Σ_occ wei² == Σ_t tf·idf² algebraically — no occurrence table.
+            dt_idf = doc_term.join(
+                term_stats.select("term_sign", "idf"), "term_sign", "left"
+            ).withColumn("wei", F.coalesce(F.col("idf"), F.lit(0.0)))
+            doc_stats = dt_idf.groupBy("doc_id").agg(
+                F.first("n_terms").alias("n_terms"),
+                F.first("doc_len").alias("doc_len"),
+                F.sqrt(F.sum(F.col("tf") * F.pow(F.col("wei"), F.lit(2.0)))).alias("vec_module"),
+                F.sum(F.col("tf") * F.col("wei")).alias("wei_sum"),
+            )
+            # avg_doc_len (B6, table.cpp:329-337) rides the write — no extra job
+            obs_ds = Observation("doc_stats_metrics")
+            doc_stats = doc_stats.observe(
+                obs_ds, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("dl")
+            )
+            doc_stats.write.mode("overwrite").parquet(store.doc_stats_path)
+            got = obs_ds.get
+            stats_n = int(got["n"] or 0)
+            avg_doc_len = float(got["dl"] or 0) / max(stats_n, 1)
+            _write_lineage(store, "doc_stats", {"n_docs": stats_n, "avg_doc_len": avg_doc_len})
+        else:
+            lin = os.path.join(store.lineage_path, "doc_stats.json")
+            if os.path.exists(lin):
+                with open(lin) as f:
+                    j = json.load(f)
+                stats_n, avg_doc_len = j.get("n_docs"), j.get("avg_doc_len")
+        if stats_n is None or avg_doc_len is None:
+            row = spark.read.parquet(store.doc_stats_path).agg(
+                F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("adl")
+            ).collect()[0]
+            stats_n, avg_doc_len = int(row["n"]), float(row["adl"] or 0.0)
+        return stats_n, avg_doc_len
 
     # ---- stage: postings (salted repartition-by-term, doc-shard salt) ----
-    if not (resume and _stage_done(store.postings_path)):
+    def job_postings() -> None:
+        if resume and _stage_done(store.postings_path):
+            return
         dt = doc_term
         if stop_signs_df is not None:
             dt = dt.join(F.broadcast(stop_signs_df), "term_sign", "left_anti")
@@ -498,7 +525,14 @@ def build_index(
             ]
         _write_lineage(store, "postings", lineage)
 
-    _mark("postings")
+    with ThreadPoolExecutor(2) as pool:
+        fut_ds = pool.submit(_timed, "doc_stats", job_doc_stats)
+        fut_p = pool.submit(_timed, "postings", job_postings)
+        fut_p.result()
+        stats_n, avg_doc_len = fut_ds.result()
+    if cfg.cache_doc_term:
+        doc_term.unpersist()
+
     # ---- meta (from observed doc_stats aggregates — no extra job) ----
     n_docs = stats_n
     meta = {

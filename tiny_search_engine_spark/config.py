@@ -88,6 +88,10 @@ class BuildConfig:
     copy_content: bool = True
     # per-bucket posting metrics in lineage (1 extra metadata-column scan)
     per_bucket_metrics: bool = True
+    # persist doc_term (MEMORY_AND_DISK) across its three consumer stages
+    # instead of re-reading the parquet it just wrote; spills gracefully
+    # when it outgrows executor memory
+    cache_doc_term: bool = True
 
 
 @dataclass

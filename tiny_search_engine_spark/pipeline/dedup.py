@@ -88,11 +88,28 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle: int = 3,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, equi-join on (band, key) →
     candidate near-dup pairs (a < b). The join is the scale path: hot
-    bands behave like hot terms and are handled by AQE skew join."""
+    bands behave like hot terms and are handled by AQE skew join.
+
+    ``collapse_exact=True`` is the 100 TB shape: exact-duplicate texts
+    (common-crawl-style corpora have million-doc identical clusters) are
+    first collapsed to their min-id representative, so an identical
+    cluster costs one row instead of O(n²) intra-bucket pairs; the
+    returned pairs relate representatives, and exact members are
+    recovered from ``exact_dup_groups`` without ever materialising the
+    quadratic expansion. Default False matches the DuckDB oracle."""
     rows_per_band = num_hashes // bands
+    if collapse_exact:
+        keep = (
+            df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        df = df.join(keep, id_col, "left_semi")
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle)
     # one projection + posexplode (NOT an N-branch union, which would
     # recompute the shingle/signature pipeline once per band)

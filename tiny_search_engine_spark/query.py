@@ -123,17 +123,21 @@ class QueryEngine:
     def _fill_query_weights(self, qis: list[QueryInfo]) -> None:
         """Per-occurrence wei=idf, vec_module, wei_sum
         (/root/reference/src/table.cpp:620-631): distributed idf lookup for
-        the (small) union of query-term signs, then driver-side sums."""
+        the (small) union of query-term signs, then driver-side sums. The
+        same collect also carries each term's doc-shard count so the WAND
+        path can compute its routing granularity without another job."""
         signs = sorted({s for qi in qis for s in qi.signs})
         idf_map: dict[int, float] = {}
+        self._shard_map: dict[int, int] = {}
         if signs:
-            rows = (
-                self.store.term_stats(self.spark)
-                .filter(F.col("term_sign").isin(signs))
-                .select("term_sign", "idf")
-                .collect()
+            ts = self.store.term_stats(self.spark)
+            cols = ["term_sign", "idf"] + (
+                ["n_shards"] if "n_shards" in ts.columns else []
             )
+            rows = ts.filter(F.col("term_sign").isin(signs)).select(*cols).collect()
             idf_map = {r["term_sign"]: r["idf"] for r in rows}
+            if "n_shards" in cols:
+                self._shard_map = {r["term_sign"]: r["n_shards"] for r in rows}
         for qi in qis:
             mod = 0.0
             ws = 0.0
@@ -440,15 +444,22 @@ class QueryEngine:
         qis = self.query_infos(queries)
         rows = []
         for qi in qis:
+            # finest doc-shard granularity among this query's indexed terms
+            # (shard_map collected alongside idf — no extra Spark job)
+            s_q = max(
+                (self._shard_map.get(s, 1) for s in qi.signs), default=1
+            )
             for i, s in enumerate(qi.signs):
                 if qi.dups[i] > 1:
                     continue
-                rows.append((qi.query_id, s, qi.term_map[s][0]))
+                rows.append((qi.query_id, s, qi.term_map[s][0], s_q))
         if not rows:
             return spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, bm25 double"
             )
-        qterms = spark.createDataFrame(rows, "query_id long, term_sign long, tf_q int")
+        qterms = spark.createDataFrame(
+            rows, "query_id long, term_sign long, tf_q int, s_q int"
+        )
         from .build import POSTING_BUCKETS
 
         buckets = sorted({r[1] % POSTING_BUCKETS for r in rows})
@@ -458,18 +469,8 @@ class QueryEngine:
         post = self.store.postings(spark).filter(
             F.col("bucket").isin(buckets) & F.col("term_sign").isin(signs)
         )
-        ts = self.store.term_stats(spark).select("term_sign", "idf", "n_shards")
-        joined = post.drop("n_shards").join(F.broadcast(qterms), "term_sign").join(
-            ts, "term_sign"
-        )
-        # finest granularity per query (cheap slim agg; broadcast back)
-        sq = (
-            self.store.term_stats(spark)
-            .join(F.broadcast(qterms.select("query_id", "term_sign").distinct()), "term_sign")
-            .groupBy("query_id")
-            .agg(F.max("n_shards").alias("s_q"))
-        )
-        joined = joined.join(F.broadcast(sq), "query_id")
+        ts = self.store.term_stats(spark).select("term_sign", "idf")
+        joined = post.join(F.broadcast(qterms), "term_sign").join(ts, "term_sign")
         # route: a posting with m shards at row-shard r covers fine groups
         # {r, r+m, r+2m, …} ∩ [0, S) (m | S since both are powers of two)
         joined = joined.withColumn(
