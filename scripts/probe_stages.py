@@ -39,6 +39,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     src = source_files(spark, n_docs, seed=42).cache()
@@ -58,7 +60,9 @@ def main() -> None:
     spark.stop()
 
     stages: dict[int, dict] = {}
-    for path in glob.glob(os.path.join(evdir, "*")):
+    paths = [p for p in glob.glob(os.path.join(evdir, "**", "*"), recursive=True)
+             if os.path.isfile(p) and "appstatus" not in os.path.basename(p)]
+    for path in paths:
         with open(path) as f:
             for line in f:
                 try:

@@ -143,9 +143,9 @@ def hw_ceiling() -> dict[int, float]:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     trials = int(os.environ.get("TSE_SCALE_TRIALS", "2"))
-    inner = int(os.environ.get("TSE_SCALE_INNER", "2"))
+    inner = int(os.environ.get("TSE_SCALE_INNER", "3"))
     hw = hw_ceiling()
     print(f"hw ceiling (Miter/s): {hw}")
     results: dict[int, dict] = {}

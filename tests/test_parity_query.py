@@ -107,3 +107,21 @@ def test_wand_exact_across_heterogeneous_shard_counts(spark, tiny_store, tiny_go
         ids = [d for d, _ in got.get(qid, [])]
         assert len(ids) == len(set(ids)), f"duplicate docs for q{qid}"
         assert_ranked_equal(got.get(qid, []), want, ctx=f"q{qid} ({q!r})")
+
+
+@pytest.mark.parametrize("mode", ["matrix", "taat"])
+def test_wand_batch_scorers_equal_golden(spark, tiny_store, tiny_golden, mode):
+    """Both batch scorers (exhaustive sparse-product and pruned TAAT) are
+    exact: rank-identical to the golden exhaustive scorer, at several
+    doc-group fan values (pass-through, split, and mixed routing)."""
+    for fan in (1, 4, 16):
+        cfg = QueryConfig(
+            profile="standard", compat="fixed", batch_score=mode, query_doc_fan=fan
+        )
+        eng = QueryEngine(spark, tiny_store, cfg)
+        got = _spark_topk(eng.wand_topk(QUERIES), "bm25")
+        want = _golden_topk(tiny_golden, cfg)
+        for qid, _q in QUERIES:
+            assert_ranked_equal(
+                got.get(qid, []), want.get(qid, []), ctx=f"fan{fan} q{qid} ({_q!r})"
+            )

@@ -11,8 +11,9 @@ Scale design (the part the reference has no answer for):
 * tokenize is a narrow ``mapInPandas`` — no shuffle.
 * per-(doc,term) tf is ONE shuffle (``groupBy(doc_id, term_sign)``); all
   term- and doc-level stats are partial-aggregated map-side first.
-* posting build shuffles on **(term_sign, shard)** where
-  shard = pmod(doc_id, n_shards(term)) and n_shards(term) scales with the
+* posting build shuffles on **(term_sign, shard)** where shard is the
+  doc-RANGE shard (top log2(n_shards) bits of the order-preserving
+  unsigned doc_id) and n_shards(term) scales with the
   term's document frequency (census from term_stats). This is the salted
   repartition-by-term with explicit skew splitting for stopword-heavy
   terms: `the`/`return`/`def` get thousands of doc-range shards at scale,
@@ -354,10 +355,15 @@ def build_index(
         n_docs = doc_term.filter(F.col("first_idx") == 0).count()
 
     # ---- stage: term_stats (stopwords excluded from the inverted side,
-    # like /root/reference/src/table.cpp:273-275) ----
-    def job_term_stats() -> DataFrame:
+    # like /root/reference/src/table.cpp:273-275).
+    # Returns (df, needs_write): on a fresh build the computed DF is
+    # persisted and handed straight to doc_stats/postings while its parquet
+    # write runs CONCURRENTLY in the next stage pool — the write is
+    # durability, not a dataflow barrier (block-manager locking makes the
+    # three concurrent consumers materialize each cached partition once). ----
+    def job_term_stats() -> tuple[DataFrame, bool]:
         if resume and _stage_done(store.term_stats_path):
-            return spark.read.parquet(store.term_stats_path)
+            return spark.read.parquet(store.term_stats_path), False
         dt = doc_term
         if stop_signs_df is not None:
             dt = dt.join(F.broadcast(stop_signs_df), "term_sign", "left_anti")
@@ -394,11 +400,14 @@ def build_index(
                 F.when(raw_shards <= 1, F.lit(1)).otherwise(pow2),
             ),
         )
-        term_stats.write.mode("overwrite").parquet(store.term_stats_path)
-        _write_lineage(store, "term_stats", {"n_docs": n_docs})
-        return spark.read.parquet(store.term_stats_path)
+        return term_stats.persist(), True
 
-    term_stats = _timed("term_stats", job_term_stats)
+    term_stats, ts_needs_write = _timed("term_stats", job_term_stats)
+
+    def job_term_stats_write() -> None:
+        if ts_needs_write:
+            term_stats.write.mode("overwrite").parquet(store.term_stats_path)
+            _write_lineage(store, "term_stats", {"n_docs": n_docs})
 
     # ---- stage: doc_stats (per-doc weights/norms; NO content join — the
     # forward view docs() joins lazily, so content bytes are never
@@ -454,12 +463,24 @@ def build_index(
         # shard census from term_stats (single source of truth for the
         # query-side routing)
         census = term_stats.select("term_sign", "n_shards")
+        # doc-RANGE sharding: shard = top log2(n_shards) bits of the
+        # order-preserving unsigned doc id (doc_id ^ 2^63). Each shard is a
+        # CONTIGUOUS slice of the sorted doc space, and (n_shards pow2)
+        # every finer sharding nests inside every coarser one — the query
+        # path exploits this to split/route posting slices to doc groups
+        # with ~zero replication (query.py wand_topk). numpy equivalent:
+        # (d.view(uint64) ^ (1<<63)) >> (64 - log2(m)).
         enriched = dt.join(census, "term_sign").withColumn(
             # Catalyst broadcasts the 2-column census when small; at 100 TB
             # it is ~vocab-sized → still broadcastable after pruning.
             # doc_len rides on doc_term rows — no join against docs needed.
             "shard",
-            F.pmod(F.col("doc_id"), F.col("n_shards")).cast("int"),
+            F.when(F.col("n_shards") <= 1, F.lit(0)).otherwise(
+                F.expr(
+                    "shiftrightunsigned(doc_id ^ -9223372036854775808, "
+                    "64 - cast(log2(n_shards) as int))"
+                )
+            ).cast("int"),
         )
         encoder = _make_posting_encoder(cfg.block_size)
         grouped = (
@@ -525,11 +546,15 @@ def build_index(
             ]
         _write_lineage(store, "postings", lineage)
 
-    with ThreadPoolExecutor(2) as pool:
+    with ThreadPoolExecutor(3) as pool:
         fut_ds = pool.submit(_timed, "doc_stats", job_doc_stats)
         fut_p = pool.submit(_timed, "postings", job_postings)
+        fut_ts = pool.submit(_timed, "term_stats_write", job_term_stats_write)
         fut_p.result()
         stats_n, avg_doc_len = fut_ds.result()
+        fut_ts.result()
+    if ts_needs_write:
+        term_stats.unpersist()
     if cfg.cache_doc_term:
         doc_term.unpersist()
 

@@ -129,6 +129,27 @@ def encode_posting(
     )
 
 
+def encode_sorted_slice(d: np.ndarray, t: np.ndarray, dl: np.ndarray):
+    """Re-encode an already-sorted posting slice (query-time doc-group
+    routing) → (doc_bytes, tf_bytes, dl_bytes)."""
+    return (
+        encode_doc_ids(np.asarray(d, dtype=np.int64)),
+        varbyte_encode(np.asarray(t, dtype=np.int64).astype(np.uint64)),
+        varbyte_encode(np.asarray(dl, dtype=np.int64).astype(np.uint64)),
+    )
+
+
+def range_shard(doc_ids: np.ndarray, n_shards: int) -> np.ndarray:
+    """Doc-RANGE shard of each doc id at pow2 granularity *n_shards* —
+    numpy twin of the build-side SQL expression (build.py job_postings):
+    top log2(n_shards) bits of the order-preserving unsigned doc id."""
+    if n_shards <= 1:
+        return np.zeros(len(doc_ids), dtype=np.int64)
+    k = int(n_shards).bit_length() - 1
+    u = np.asarray(doc_ids, dtype=np.int64).view(np.uint64) ^ _SIGN_FLIP
+    return (u >> np.uint64(64 - k)).astype(np.int64)
+
+
 def decode_posting(doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes):
     """→ (doc_ids int64 sorted, tfs int64, doc_lens int64)."""
     d = decode_doc_ids(doc_bytes)

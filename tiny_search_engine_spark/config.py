@@ -103,3 +103,12 @@ class QueryConfig:
     max_syn_recall: int = MAX_SYN_TERM_RECALL
     ranker: str = "bm25"  # 'bm25' | 'vsm' (reference final score is vsm,
     # /root/reference/src/table.cpp:709)
+    # batch scorer within each doc group: 'matrix' (one sparse
+    # queries×terms · terms×docs product — C-speed, exhaustive),
+    # 'taat' (per-query block-max-pruned term-at-a-time), or 'auto'
+    # (matrix for batches ≥ 32 queries). Both exact.
+    batch_score: str = "auto"
+    # WAND batch doc-group fan (pow2). None → ~2× defaultParallelism.
+    # Posting slices are routed/split to this many doc-range groups and
+    # each group scores the whole query batch (query.py wand_topk).
+    query_doc_fan: int | None = None

@@ -97,12 +97,22 @@ class QueryEngine:
         self.stop_signs = {term_sign(w) for w in meta.get("stopwords", [])}
         self.syn = SynonymDict(synonyms)
         self._doc_term = None
+        # per-engine DataFrame cache: spark.read.parquet does schema/file
+        # listing work per call — pay it once per store, not per batch
+        self._df_cache: dict[str, DataFrame] = {}
+
+    def _cached(self, name: str) -> DataFrame:
+        if name not in self._df_cache:
+            self._df_cache[name] = getattr(self.store, name)(self.spark)
+        return self._df_cache[name]
 
     # ------------------------------------------------------------------
     # query-side prep (driver; query sets are small)
     # ------------------------------------------------------------------
 
-    def query_infos(self, queries: list[tuple[int, str]]) -> list[QueryInfo]:
+    def query_infos(
+        self, queries: list[tuple[int, str]], with_weights: bool = True
+    ) -> list[QueryInfo]:
         out = []
         for qid, q in queries:
             toks, dups, tmap = tokenize_with_stats(q, self.mode)
@@ -117,20 +127,20 @@ class QueryEngine:
                     syns=[self.syn.get(t.term) for t in toks],
                 )
             )
-        self._fill_query_weights(out)
+        if with_weights:
+            self._fill_query_weights(out)
         return out
 
     def _fill_query_weights(self, qis: list[QueryInfo]) -> None:
         """Per-occurrence wei=idf, vec_module, wei_sum
         (/root/reference/src/table.cpp:620-631): distributed idf lookup for
-        the (small) union of query-term signs, then driver-side sums. The
-        same collect also carries each term's doc-shard count so the WAND
-        path can compute its routing granularity without another job."""
+        the (small) union of query-term signs, then driver-side sums.
+        Needed by the vsm/feature paths only — wand_topk skips it."""
         signs = sorted({s for qi in qis for s in qi.signs})
         idf_map: dict[int, float] = {}
         self._shard_map: dict[int, int] = {}
         if signs:
-            ts = self.store.term_stats(self.spark)
+            ts = self._cached("term_stats")
             cols = ["term_sign", "idf"] + (
                 ["n_shards"] if "n_shards" in ts.columns else []
             )
@@ -203,10 +213,10 @@ class QueryEngine:
         # non-stopword per-(doc,term) table (the uncompressed posting view);
         # stop terms never entered term_stats, so an inner join on it both
         # resolves idf and enforces the stopword gate (table.cpp:273-275)
-        dt = self.store.doc_term(spark).select(
+        dt = self._cached("doc_term").select(
             "doc_id", "term_sign", F.col("tf").alias("tf_d")
         )
-        ts = self.store.term_stats(spark).select("term_sign", "idf", "term_len")
+        ts = self._cached("term_stats").select("term_sign", "idf", "term_len")
         dt = dt.join(ts, "term_sign")  # drops stopworded + unknown terms
 
         m = dt.join(F.broadcast(ev), "term_sign")
@@ -286,7 +296,7 @@ class QueryEngine:
         prof = BM25_PROFILES[self.cfg.profile]
         qis = self.query_infos(queries)
         recs = self._records(qis)
-        docs = self.store.doc_stats(self.spark).select("doc_id", "doc_len")
+        docs = self._cached("doc_stats").select("doc_id", "doc_len")
         adl = self.avg_doc_len
         kd = prof.k1 * (1 - prof.b + prof.b * F.col("doc_len") / F.lit(adl))
         contrib = (
@@ -332,7 +342,7 @@ class QueryEngine:
         qis = self.query_infos(queries)
         qmap = {qi.query_id: qi for qi in qis}
         recs = self._records(qis)
-        docs_slim = self.store.docs(spark).select(
+        docs_slim = self._cached("docs").select(
             "doc_id", "doc_len", "vec_module", "wei_sum", "content"
         )
         cand = recs.groupBy("query_id", "doc_id").agg(
@@ -362,8 +372,8 @@ class QueryEngine:
 
         # doc-side arrays for the feature UDF (only for funnel survivors:
         # a selective semi-join keeps this narrow at scale)
-        tokens = self.store.tokens(spark)
-        ts_idf = self.store.term_stats(spark).select("term_sign", "idf")
+        tokens = self._cached("tokens")
+        ts_idf = self._cached("term_stats").select("term_sign", "idf")
         doc_arrays = (
             tokens.join(top.select("doc_id").distinct(), "doc_id", "left_semi")
             .join(ts_idf, "term_sign", "left")
@@ -426,139 +436,153 @@ class QueryEngine:
         """Exact BM25 top-k via pruned evaluation of compressed postings
         (compat="fixed" semantics, no synonyms — the clean product path).
 
-        Plan: query terms ⋈ postings (bucket-pruned parquet scan) →
-        route every posting row to the query's FINEST doc-shard
-        granularity S (= max n_shards over its terms; shard counts are
-        powers of two, so a coarser m-shard posting covers exactly S/m of
-        the fine groups: those g with g ≡ shard mod m) → per-(query,
-        fine-shard) pruned TAAT/WAND scoring in one Arrow batch, masking
-        decoded docs to ``doc_id mod S == g`` → global per-query top-k
-        window merge. Each doc lands in exactly one group per query, so
-        per-group top-k → global top-k is exact. Routing replicates only
-        the COARSE (small) postings — bounded by ~the bytes of the
-        heaviest term — while the heavy postings are already fine-grained
-        and ship once."""
+        Batched doc-group dataflow (the 100 TB design): posting bytes are
+        shuffled ONCE per doc group — never per query — so shuffle volume
+        equals the pruned index-slice size, independent of batch size.
+
+        1. bucket-pruned postings scan (term_sign IN pushed to parquet)
+           ⋈ broadcast idf.
+        2. route/split (narrow ``mapInPandas``): pick a batch granularity
+           S (pow2, ~2× parallelism). A posting row with m doc-RANGE
+           shards (build.py job_postings) nests inside one fine group when
+           m ≥ S (gshard = shard·S/m, zero-copy pass-through); when m < S
+           it is decoded once and SLICED at the group boundaries
+           (range_shard is monotone in the sorted doc order →
+           searchsorted), each slice re-encoded — entry-exact routing, no
+           replication.
+        3. per-gshard ``applyInPandas``: decode each routed slice once,
+           then score ALL queries (broadcast {query_id: [(sign, tf_q)]})
+           against the group's term arrays with pruned TAAT; emit per-query
+           group-local top-k.
+        4. global window merge. Each doc lives in exactly one group, so
+           per-group top-k → global top-k is exact."""
         k = k or self.cfg.k
         spark = self.spark
         prof = BM25_PROFILES[self.cfg.profile]
-        qis = self.query_infos(queries)
-        rows = []
+        # no weight fill: the WAND path needs only tf_q per term — query
+        # prep is pure driver-side tokenization, zero Spark jobs
+        qis = self.query_infos(queries, with_weights=False)
+        qdict: dict[int, list[tuple[int, int]]] = {}
+        signs_set: set[int] = set()
         for qi in qis:
-            # finest doc-shard granularity among this query's indexed terms
-            # (shard_map collected alongside idf — no extra Spark job)
-            s_q = max(
-                (self._shard_map.get(s, 1) for s in qi.signs), default=1
-            )
+            terms = []
             for i, s in enumerate(qi.signs):
                 if qi.dups[i] > 1:
                     continue
-                rows.append((qi.query_id, s, qi.term_map[s][0], s_q))
-        if not rows:
+                terms.append((s, qi.term_map[s][0]))
+                signs_set.add(s)
+            if terms:
+                qdict[qi.query_id] = terms
+        if not qdict:
             return spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, bm25 double"
             )
-        qterms = spark.createDataFrame(
-            rows, "query_id long, term_sign long, tf_q int, s_q int"
-        )
         from .build import POSTING_BUCKETS
 
-        buckets = sorted({r[1] % POSTING_BUCKETS for r in rows})
-        signs = sorted({r[1] for r in rows})
+        signs = sorted(signs_set)
+        buckets = sorted({s % POSTING_BUCKETS for s in signs})
         # bucket list prunes parquet PARTITIONS; the isin on term_sign is
         # pushed into the scan for row-group skipping within buckets
-        post = self.store.postings(spark).filter(
+        post = self._cached("postings").filter(
             F.col("bucket").isin(buckets) & F.col("term_sign").isin(signs)
         )
-        ts = self.store.term_stats(spark).select("term_sign", "idf")
-        joined = post.join(F.broadcast(qterms), "term_sign").join(ts, "term_sign")
-        # route: a posting with m shards at row-shard r covers fine groups
-        # {r, r+m, r+2m, …} ∩ [0, S) (m | S since both are powers of two)
-        joined = joined.withColumn(
-            "gshard",
-            F.explode(
-                F.sequence(
-                    F.col("shard"),
-                    F.col("s_q") - 1,
-                    F.greatest(F.col("n_shards"), F.lit(1)),
-                )
-            ),
+        ts = self._cached("term_stats").select("term_sign", "idf").filter(
+            F.col("term_sign").isin(signs)
         )
+        joined = post.join(F.broadcast(ts), "term_sign").select(
+            "term_sign", "shard", "n_shards", "idf",
+            "doc_bytes", "tf_bytes", "dl_bytes", "block_max_tf", "block_min_dl",
+        )
+
+        # batch doc-group granularity: enough groups to keep every core
+        # busy; pow2 so shard ranges nest (build-side n_shards are pow2)
+        par = spark.sparkContext.defaultParallelism
+        S = self.cfg.query_doc_fan or max(4, 1 << (2 * par - 1).bit_length())
+
+        from .compress import encode_sorted_slice, range_shard
+
+        ROUTED = (
+            "gshard int, term_sign long, idf double, "
+            "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+            "max_tf int, min_dl int"
+        )
+
+        def split_fn(batches):
+            for pdf in batches:
+                out = {c: [] for c in (
+                    "gshard", "term_sign", "idf", "doc_bytes", "tf_bytes",
+                    "dl_bytes", "max_tf", "min_dl")}
+
+                def emit(g, sign, idf, db, tb, lb, mtf, mdl):
+                    out["gshard"].append(g)
+                    out["term_sign"].append(sign)
+                    out["idf"].append(idf)
+                    out["doc_bytes"].append(db)
+                    out["tf_bytes"].append(tb)
+                    out["dl_bytes"].append(lb)
+                    out["max_tf"].append(mtf)
+                    out["min_dl"].append(mdl)
+
+                for r in pdf.itertuples():
+                    m = int(r.n_shards)
+                    if m >= S:
+                        # this shard's doc range nests inside one fine group
+                        emit(int(r.shard) * S // m, int(r.term_sign),
+                             float(r.idf), r.doc_bytes, r.tf_bytes,
+                             r.dl_bytes, int(max(r.block_max_tf)),
+                             int(min(r.block_min_dl)))
+                        continue
+                    d, t, dl = decode_posting(r.doc_bytes, r.tf_bytes, r.dl_bytes)
+                    gs = range_shard(d, S)  # nondecreasing (docs sorted)
+                    cuts = np.flatnonzero(np.diff(gs)) + 1
+                    starts = np.concatenate(([0], cuts))
+                    ends = np.concatenate((cuts, [d.size]))
+                    for lo, hi in zip(starts, ends):
+                        db, tb, lb = encode_sorted_slice(d[lo:hi], t[lo:hi], dl[lo:hi])
+                        emit(int(gs[lo]), int(r.term_sign), float(r.idf),
+                             db, tb, lb, int(t[lo:hi].max()), int(dl[lo:hi].min()))
+                yield pd.DataFrame(out)
+
+        routed = joined.mapInPandas(split_fn, ROUTED)
 
         k1, k2, b = prof.k1, prof.k2, prof.b
         avg_dl = self.avg_doc_len
         kk = k
+        qb = spark.sparkContext.broadcast(qdict)
 
-        def wand_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            qid = int(key[0])
-            gshard = int(key[1])
-            s_q = int(pdf["s_q"].iloc[0])
-            # per-list upper bounds (idf<=0 terms bounded by 0: their
-            # contribution is negative, so they can never lift a doc)
-            lists = []
+        use_matrix = self.cfg.batch_score == "matrix" or (
+            self.cfg.batch_score == "auto" and len(qdict) >= 32
+        )
+
+        def score_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # decode every routed slice ONCE; tf-part of BM25 and its upper
+            # bound are query-independent — computed per slice, reused by
+            # every query touching the term
+            termd: dict[int, list] = {}
             for r in pdf.itertuples():
                 d, t, dl = decode_posting(r.doc_bytes, r.tf_bytes, r.dl_bytes)
-                if int(r.n_shards) != s_q:
-                    # coarse posting routed here: keep only this group's
-                    # residue class (vectorized mask)
-                    sel = (d % s_q) == gshard
-                    d, t, dl = d[sel], t[sel], dl[sel]
-                    if d.size == 0:
-                        continue
-                qf = r.tf_q * (k2 + 1) / (r.tf_q + k2)
+                if d.size == 0:
+                    continue
                 kd = k1 * (1 - b + b * dl / avg_dl)
-                contrib = r.idf * (t * (k1 + 1) / (t + kd)) * qf
-                if r.idf > 0:
-                    mtf = np.asarray(r.block_max_tf, dtype=np.float64)
-                    mdl = np.asarray(r.block_min_dl, dtype=np.float64)
-                    bkd = k1 * (1 - b + b * mdl / avg_dl)
-                    ub = float((r.idf * (mtf * (k1 + 1) / (mtf + bkd)) * qf).max())
-                else:
-                    ub = 0.0
-                lists.append((ub, d, contrib))
-            lists.sort(key=lambda x: -x[0])
-            # pruned TAAT: process lists in ub-desc order; once the suffix
-            # upper bound cannot beat the current k-th best lower bound, new
-            # docs are barred and updates restrict to already-seen docs
-            suffix = np.cumsum([0.0] + [ub for ub, _, _ in lists][::-1])[::-1]
-            doc_ids = np.empty(0, dtype=np.int64)
-            scores = np.empty(0, dtype=np.float64)
-            for li, (ub, d, contrib) in enumerate(lists):
-                if doc_ids.size >= kk:
-                    kth = np.partition(scores, scores.size - kk)[scores.size - kk]
-                    # strict <: an unseen doc could still TIE the kth score
-                    # and win the (score desc, doc_id asc) tiebreak
-                    if suffix[li] < kth:
-                        mask = np.isin(d, doc_ids, assume_unique=True)
-                        d, contrib = d[mask], contrib[mask]
-                        if d.size == 0:
-                            continue
-                        idx = np.searchsorted(doc_ids, d)
-                        scores[idx] += contrib
-                        continue
-                merged = np.concatenate([doc_ids, d])
-                msc = np.concatenate([scores, contrib])
-                order = np.argsort(merged, kind="stable")
-                merged, msc = merged[order], msc[order]
-                uniq, start = np.unique(merged, return_index=True)
-                sums = np.add.reduceat(msc, start)
-                doc_ids, scores = uniq, sums
-            if doc_ids.size == 0:
+                tfpart = t * (k1 + 1) / (t + kd)
+                mtf = float(r.max_tf)
+                ub_tf = mtf * (k1 + 1) / (mtf + k1 * (1 - b + b * float(r.min_dl) / avg_dl))
+                termd.setdefault(int(r.term_sign), []).append(
+                    (d, tfpart, ub_tf, float(r.idf))
+                )
+            if use_matrix:
+                out = _score_batch_matrix(termd, qb.value, k1, k2, kk)
+            else:
+                out = _score_batch_taat(termd, qb.value, k2, kk)
+            if out is None:
                 return pd.DataFrame({"query_id": [], "doc_id": [], "bm25": []}).astype(
                     {"query_id": "int64", "doc_id": "int64", "bm25": "float64"}
                 )
-            n = min(kk, doc_ids.size)
-            # top-k with (score desc, doc_id asc) tiebreak
-            order = np.lexsort((doc_ids, -scores))[:n]
-            return pd.DataFrame(
-                {
-                    "query_id": np.full(n, qid, dtype=np.int64),
-                    "doc_id": doc_ids[order],
-                    "bm25": scores[order],
-                }
-            )
+            q, d, s = out
+            return pd.DataFrame({"query_id": q, "doc_id": d, "bm25": s})
 
-        per_shard = joined.groupBy("query_id", "gshard").applyInPandas(
-            wand_fn, "query_id long, doc_id long, bm25 double"
+        per_shard = routed.groupBy("gshard").applyInPandas(
+            score_fn, "query_id long, doc_id long, bm25 double"
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
         return (
@@ -566,6 +590,134 @@ class QueryEngine:
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "bm25")
         )
+
+
+def _score_batch_taat(termd: dict, qdict: dict, k2: float, kk: int):
+    """Per-query pruned TAAT over the group's decoded term arrays.
+    Best for SMALL batches: block-max upper bounds let each query skip
+    low-impact lists. Returns (query_ids, doc_ids, scores) or None."""
+    out_q, out_d, out_s = [], [], []
+    for qid, terms in qdict.items():
+        lists = []
+        for s, tf_q in terms:
+            rows_t = termd.get(s)
+            if not rows_t:
+                continue
+            qf = tf_q * (k2 + 1) / (tf_q + k2)
+            for d, tfpart, ub_tf, idf in rows_t:
+                # idf<=0 terms bounded by 0: their contribution is negative
+                # and can never lift a doc into the top-k
+                lists.append(
+                    (ub_tf * idf * qf if idf > 0 else 0.0, d, tfpart * (idf * qf))
+                )
+        if not lists:
+            continue
+        doc_ids, scores = _pruned_taat(lists, kk)
+        if doc_ids.size == 0:
+            continue
+        n = min(kk, doc_ids.size)
+        # group-local top-k with (score desc, doc_id asc) tiebreak
+        order = np.lexsort((doc_ids, -scores))[:n]
+        out_q.append(np.full(n, qid, dtype=np.int64))
+        out_d.append(doc_ids[order])
+        out_s.append(scores[order])
+    if not out_q:
+        return None
+    return np.concatenate(out_q), np.concatenate(out_d), np.concatenate(out_s)
+
+
+def _score_batch_matrix(termd: dict, qdict: dict, k1: float, k2: float, kk: int):
+    """Batch scorer: one sparse (queries × terms) · (terms × docs) product
+    per doc group, built with numpy outer products + a single sort-reduce —
+    no per-(query,group) python overhead. Exhaustive (no pruning) but every
+    op is C-speed over exactly the entries TAAT would touch; total work is
+    Sum_t n_docs(t) * n_queries(t). Exact same top-k as TAAT (full BM25
+    sums, (score desc, doc_id asc) tiebreak)."""
+    if not termd:
+        return None
+    # local doc index over the group's docs
+    all_d = np.concatenate([d for rows in termd.values() for (d, _, _, _) in rows])
+    uniq = np.unique(all_d)
+    U = uniq.size
+    if U == 0:
+        return None
+    # per-sign query incidence: sign -> ([q_idx], [alpha])
+    qids = np.fromiter(qdict.keys(), dtype=np.int64, count=len(qdict))
+    by_sign: dict[int, tuple[list, list]] = {}
+    for q_idx, terms in enumerate(qdict.values()):
+        for s, tf_q in terms:
+            if s in termd:
+                e = by_sign.get(s)
+                if e is None:
+                    e = by_sign.setdefault(s, ([], []))
+                e[0].append(q_idx)
+                e[1].append(tf_q * (k2 + 1) / (tf_q + k2))
+    if not by_sign:
+        return None
+    key_parts, val_parts = [], []
+    for s, (qi, qf) in by_sign.items():
+        qi = np.asarray(qi, dtype=np.int64)
+        qf = np.asarray(qf, dtype=np.float64)
+        for d, tfpart, _ub, idf in termd[s]:
+            inv = np.searchsorted(uniq, d)  # d sorted, uniq superset
+            key_parts.append((qi[:, None] * U + inv[None, :]).ravel())
+            val_parts.append(((qf * idf)[:, None] * tfpart[None, :]).ravel())
+    K = np.concatenate(key_parts)
+    V = np.concatenate(val_parts)
+    order = np.argsort(K, kind="stable")
+    K = K[order]
+    V = V[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(K)) + 1))
+    K = K[starts]
+    sums = np.add.reduceat(V, starts)
+    q_of = K // U
+    d_of = uniq[K % U]
+    # per-query segment top-k (q_of is sorted; segments contiguous)
+    seg = np.concatenate(([0], np.flatnonzero(np.diff(q_of)) + 1, [K.size]))
+    out_q, out_d, out_s = [], [], []
+    for i in range(seg.size - 1):
+        lo, hi = int(seg[i]), int(seg[i + 1])
+        ds = d_of[lo:hi]
+        ss = sums[lo:hi]
+        # full-segment lexsort (not argpartition): ties at the kth score
+        # must resolve by doc_id asc to stay rank-identical to the exact path
+        o = np.lexsort((ds, -ss))[:kk]
+        n = o.size
+        out_q.append(np.full(n, qids[q_of[lo]], dtype=np.int64))
+        out_d.append(ds[o])
+        out_s.append(ss[o])
+    return np.concatenate(out_q), np.concatenate(out_d), np.concatenate(out_s)
+
+
+def _pruned_taat(lists: list[tuple], kk: int):
+    """Pruned term-at-a-time scoring: process lists in upper-bound-desc
+    order; once the remaining suffix upper bound cannot beat the current
+    k-th best lower bound, new docs are barred and updates restrict to
+    already-seen docs. Exact for the top-k (strict < test: an unseen doc
+    could still TIE the kth score and win the doc_id-asc tiebreak)."""
+    lists.sort(key=lambda x: -x[0])
+    suffix = np.cumsum([0.0] + [ub for ub, _, _ in lists][::-1])[::-1]
+    doc_ids = np.empty(0, dtype=np.int64)
+    scores = np.empty(0, dtype=np.float64)
+    for li, (ub, d, contrib) in enumerate(lists):
+        if doc_ids.size >= kk:
+            kth = np.partition(scores, scores.size - kk)[scores.size - kk]
+            if suffix[li] < kth:
+                mask = np.isin(d, doc_ids, assume_unique=True)
+                d, contrib = d[mask], contrib[mask]
+                if d.size == 0:
+                    continue
+                idx = np.searchsorted(doc_ids, d)
+                scores[idx] += contrib
+                continue
+        merged = np.concatenate([doc_ids, d])
+        msc = np.concatenate([scores, contrib])
+        order = np.argsort(merged, kind="stable")
+        merged, msc = merged[order], msc[order]
+        uniq, start = np.unique(merged, return_index=True)
+        sums = np.add.reduceat(msc, start)
+        doc_ids, scores = uniq, sums
+    return doc_ids, scores
 
 
 ANSI_RED, ANSI_NONE = "\x1b[31m", "\x1b[0m"
