@@ -66,7 +66,7 @@ wsrc = source_files(spark, max(10_000, n_docs // 5), seed=43).cache()
 wsrc.count()
 wstore = build_index(spark, wsrc, os.path.join(work, "warm"), cfg)
 weng = QueryEngine(spark, wstore, QueryConfig(profile="standard", compat="fixed"))
-weng.wand_topk(queries[: max(20, n_queries // 5)], k=20).count()
+weng.wand_topk(queries[: max(20, n_queries // 10)], k=20).count()
 wsrc.unpersist()
 shutil.rmtree(os.path.join(work, "warm"), ignore_errors=True)
 
@@ -143,7 +143,7 @@ def hw_ceiling() -> dict[int, float]:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
     trials = int(os.environ.get("TSE_SCALE_TRIALS", "2"))
     inner = int(os.environ.get("TSE_SCALE_INNER", "3"))
     hw = hw_ceiling()

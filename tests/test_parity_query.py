@@ -125,3 +125,44 @@ def test_wand_batch_scorers_equal_golden(spark, tiny_store, tiny_golden, mode):
             assert_ranked_equal(
                 got.get(qid, []), want.get(qid, []), ctx=f"fan{fan} q{qid} ({_q!r})"
             )
+
+
+def test_batch_scorer_kernels_identical():
+    """Dense scatter-add batch kernel == pruned TAAT kernel on random
+    inputs (same docs, same scores, same tiebreaks), including
+    negative-idf terms and multi-row (sharded) signs."""
+    import numpy as np
+
+    from tiny_search_engine_spark.query import _score_batch_matrix, _score_batch_taat
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        termd = {}
+        for s in range(6):
+            rows = []
+            for _ in range(int(rng.integers(1, 3))):
+                d = np.unique(rng.integers(-50, 50, size=rng.integers(2, 30)).astype(np.int64))
+                tfpart = rng.random(d.size) + 0.1
+                rows.append((d, tfpart, float(tfpart.max()), float(rng.random() * 3 - 0.5)))
+            # rows of one sign must cover disjoint docs (shard slices)
+            if len(rows) == 2:
+                d0 = rows[0][0]
+                keep = ~np.isin(rows[1][0], d0)
+                if keep.sum() == 0:
+                    rows = rows[:1]
+                else:
+                    d1, t1, _, i1 = rows[1]
+                    rows[1] = (d1[keep], t1[keep], float(t1[keep].max()), i1)
+            termd[s] = rows
+        qdict = {
+            qid: [(int(t), int(rng.integers(1, 3))) for t in rng.choice(6, size=3, replace=False)]
+            for qid in range(15)
+        }
+        a = _score_batch_matrix(termd, qdict, 1.2, 1.0, 5)
+        b = _score_batch_taat(dict(termd), dict(qdict), 1.0, 5)
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_allclose(a[2], b[2], rtol=1e-9)

@@ -218,6 +218,11 @@ def build_index(
     cfg = cfg or BuildConfig()
     if cfg.max_shards & (cfg.max_shards - 1):
         raise ValueError("max_shards must be a power of two (shard-alignment invariant)")
+    # build posture: AQE on (partition coalescing across the many small
+    # stat stages + skew-join belt); the serving QueryEngine turns it off
+    # for its own session (see QueryConfig.disable_aqe) — a mixed
+    # build+query session alternates explicitly
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     store = SegmentStore(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()

@@ -103,6 +103,13 @@ class QueryConfig:
     max_syn_recall: int = MAX_SYN_TERM_RECALL
     ranker: str = "bm25"  # 'bm25' | 'vsm' (reference final score is vsm,
     # /root/reference/src/table.cpp:709)
+    # Adaptive Query Execution posture for the serving session: the query
+    # plans do their own partitioning (doc-group routing, broadcast query
+    # side), and AQE's per-exchange job barriers + replans add ~constant
+    # driver latency per batch that never amortizes (measured ~2s/batch
+    # local[8]). Build jobs re-enable AQE (build_index) — coalescing and
+    # skew-join belts matter there. None = leave the session alone.
+    disable_aqe: bool | None = True
     # batch scorer within each doc group: 'matrix' (one sparse
     # queries×terms · terms×docs product — C-speed, exhaustive),
     # 'taat' (per-query block-max-pruned term-at-a-time), or 'auto'

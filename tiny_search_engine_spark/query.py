@@ -14,15 +14,18 @@ stdin loop /root/reference/src/main.cpp:75-90 re-expressed as a table):
   vsm (table.cpp:709) → top-k. Features run in ONE Arrow-batched
   ``applyInPandas`` per query group (the reference's OpenMP loop,
   table.cpp:665, becomes executor parallelism).
-* ``wand_topk``   — block-max WAND over the compressed postings: the
-  sub-linear scale path (novel vs the reference). Exact w.r.t. the clean
-  BM25 semantics (compat="fixed", no synonyms); equality vs ``bm25_topk``
-  is a test invariant.
+* ``wand_topk``   — batched doc-group scoring over the compressed
+  postings: the scale path (novel vs the reference). Posting bytes are
+  shuffled once per doc-range group — never per query — and each group
+  scores the whole batch against postings decoded once (sparse-product
+  kernel for large batches, block-max-pruned TAAT for small ones). Exact
+  w.r.t. the clean BM25 semantics (compat="fixed", no synonyms);
+  equality vs ``bm25_topk`` is a test invariant.
 
 Query-side info (tokens, dups, term_map, synonym expansions) is computed
 driver-side with the shared tokenizer — the query set is small by
-definition — and shipped as broadcast-sized DataFrames; the document side
-never leaves the executors.
+definition — and shipped broadcast (tiny DataFrames / a python dict for
+the WAND batch); the document side never leaves the executors.
 """
 
 from __future__ import annotations
@@ -96,6 +99,14 @@ class QueryEngine:
         self.avg_doc_len = float(meta["avg_doc_len"])
         self.stop_signs = {term_sign(w) for w in meta.get("stopwords", [])}
         self.syn = SynonymDict(synonyms)
+        if self.cfg.disable_aqe is not None:
+            # serving posture: AQE's per-exchange job barriers cost ~2s of
+            # driver latency per batch and our plans partition explicitly;
+            # production separates build (AQE on) and serving sessions —
+            # build_index restores AQE for its own jobs in mixed sessions
+            spark.conf.set(
+                "spark.sql.adaptive.enabled", str(not self.cfg.disable_aqe).lower()
+            )
         self._doc_term = None
         # per-engine DataFrame cache: spark.read.parquet does schema/file
         # listing work per call — pay it once per store, not per batch
@@ -138,16 +149,14 @@ class QueryEngine:
         Needed by the vsm/feature paths only — wand_topk skips it."""
         signs = sorted({s for qi in qis for s in qi.signs})
         idf_map: dict[int, float] = {}
-        self._shard_map: dict[int, int] = {}
         if signs:
             ts = self._cached("term_stats")
-            cols = ["term_sign", "idf"] + (
-                ["n_shards"] if "n_shards" in ts.columns else []
+            rows = (
+                ts.filter(F.col("term_sign").isin(signs))
+                .select("term_sign", "idf")
+                .collect()
             )
-            rows = ts.filter(F.col("term_sign").isin(signs)).select(*cols).collect()
             idf_map = {r["term_sign"]: r["idf"] for r in rows}
-            if "n_shards" in cols:
-                self._shard_map = {r["term_sign"]: r["n_shards"] for r in rows}
         for qi in qis:
             mod = 0.0
             ws = 0.0
@@ -543,7 +552,13 @@ class QueryEngine:
                              db, tb, lb, int(t[lo:hi].max()), int(dl[lo:hi].min()))
                 yield pd.DataFrame(out)
 
-        routed = joined.mapInPandas(split_fn, ROUTED)
+        # spread the decode/slice work: the pruned scan often collapses to
+        # 1-2 input splits (small files + parquet coalescing), which would
+        # serialize the python-heavy split stage at any core count. The
+        # round-robin shuffle moves only the matched varbyte slices — the
+        # same bytes the gshard shuffle moves right after.
+        par_split = max(par * 2, S)
+        routed = joined.repartition(par_split).mapInPandas(split_fn, ROUTED)
 
         k1, k2, b = prof.k1, prof.k2, prof.b
         avg_dl = self.avg_doc_len
@@ -581,7 +596,12 @@ class QueryEngine:
             q, d, s = out
             return pd.DataFrame({"query_id": q, "doc_id": d, "bm25": s})
 
-        per_shard = routed.groupBy("gshard").applyInPandas(
+        # pre-partition by gshard at 2S so the score stage gets ~one group
+        # per task: the default shuffle.partitions hash-packs S groups into
+        # few partitions (collisions → idle cores + stragglers); the
+        # repartition satisfies the groupBy's clustering requirement, so no
+        # second shuffle is added
+        per_shard = routed.repartition(2 * S, F.col("gshard")).groupBy("gshard").applyInPandas(
             score_fn, "query_id long, doc_id long, bm25 double"
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
@@ -627,65 +647,54 @@ def _score_batch_taat(termd: dict, qdict: dict, k2: float, kk: int):
 
 
 def _score_batch_matrix(termd: dict, qdict: dict, k1: float, k2: float, kk: int):
-    """Batch scorer: one sparse (queries × terms) · (terms × docs) product
-    per doc group, built with numpy outer products + a single sort-reduce —
-    no per-(query,group) python overhead. Exhaustive (no pruning) but every
-    op is C-speed over exactly the entries TAAT would touch; total work is
-    Sum_t n_docs(t) * n_queries(t). Exact same top-k as TAAT (full BM25
-    sums, (score desc, doc_id asc) tiebreak)."""
+    """Batch scorer: dense scatter-add over a group-local score array (the
+    classic search-engine "score bucket" evaluation, vectorized). Per doc
+    group: index the group's docs once (U of them), then for each query
+    scatter-add each matched term's precomputed tf-part × (idf·qf) into a
+    reusable float64[U] buffer and read back only the touched entries —
+    no per-(query,group) sort, no COO expansion, memory O(U). Exhaustive
+    (no pruning) but every op is C-speed over exactly the entries TAAT
+    would touch. Exact same top-k as TAAT (full BM25 sums,
+    (score desc, doc_id asc) tiebreak)."""
     if not termd:
         return None
-    # local doc index over the group's docs
+    # local doc index over the group's docs + per-row local indices
     all_d = np.concatenate([d for rows in termd.values() for (d, _, _, _) in rows])
     uniq = np.unique(all_d)
     U = uniq.size
     if U == 0:
         return None
-    # per-sign query incidence: sign -> ([q_idx], [alpha])
-    qids = np.fromiter(qdict.keys(), dtype=np.int64, count=len(qdict))
-    by_sign: dict[int, tuple[list, list]] = {}
-    for q_idx, terms in enumerate(qdict.values()):
-        for s, tf_q in terms:
-            if s in termd:
-                e = by_sign.get(s)
-                if e is None:
-                    e = by_sign.setdefault(s, ([], []))
-                e[0].append(q_idx)
-                e[1].append(tf_q * (k2 + 1) / (tf_q + k2))
-    if not by_sign:
-        return None
-    key_parts, val_parts = [], []
-    for s, (qi, qf) in by_sign.items():
-        qi = np.asarray(qi, dtype=np.int64)
-        qf = np.asarray(qf, dtype=np.float64)
-        for d, tfpart, _ub, idf in termd[s]:
-            inv = np.searchsorted(uniq, d)  # d sorted, uniq superset
-            key_parts.append((qi[:, None] * U + inv[None, :]).ravel())
-            val_parts.append(((qf * idf)[:, None] * tfpart[None, :]).ravel())
-    K = np.concatenate(key_parts)
-    V = np.concatenate(val_parts)
-    order = np.argsort(K, kind="stable")
-    K = K[order]
-    V = V[order]
-    starts = np.concatenate(([0], np.flatnonzero(np.diff(K)) + 1))
-    K = K[starts]
-    sums = np.add.reduceat(V, starts)
-    q_of = K // U
-    d_of = uniq[K % U]
-    # per-query segment top-k (q_of is sorted; segments contiguous)
-    seg = np.concatenate(([0], np.flatnonzero(np.diff(q_of)) + 1, [K.size]))
+    rows_by_sign: dict[int, list] = {}
+    for s_, rows in termd.items():
+        rows_by_sign[s_] = [
+            (np.searchsorted(uniq, d), tfpart, idf) for d, tfpart, _ub, idf in rows
+        ]
+    scores = np.zeros(U, dtype=np.float64)
     out_q, out_d, out_s = [], [], []
-    for i in range(seg.size - 1):
-        lo, hi = int(seg[i]), int(seg[i + 1])
-        ds = d_of[lo:hi]
-        ss = sums[lo:hi]
-        # full-segment lexsort (not argpartition): ties at the kth score
+    for qid, terms in qdict.items():
+        idx_parts = []
+        for s_, tf_q in terms:
+            rr = rows_by_sign.get(s_)
+            if not rr:
+                continue
+            qf = tf_q * (k2 + 1) / (tf_q + k2)
+            for inv, tfpart, idf in rr:
+                # unique indices per row → fancy-index += is safe
+                scores[inv] += tfpart * (idf * qf)
+                idx_parts.append(inv)
+        if not idx_parts:
+            continue
+        cand = np.unique(np.concatenate(idx_parts)) if len(idx_parts) > 1 else idx_parts[0]
+        ss = scores[cand]
+        # full-candidate lexsort (not argpartition): ties at the kth score
         # must resolve by doc_id asc to stay rank-identical to the exact path
-        o = np.lexsort((ds, -ss))[:kk]
-        n = o.size
-        out_q.append(np.full(n, qids[q_of[lo]], dtype=np.int64))
-        out_d.append(ds[o])
+        o = np.lexsort((cand, -ss))[:kk]
+        out_q.append(np.full(o.size, qid, dtype=np.int64))
+        out_d.append(uniq[cand[o]])
         out_s.append(ss[o])
+        scores[cand] = 0.0  # reset only the touched slots
+    if not out_q:
+        return None
     return np.concatenate(out_q), np.concatenate(out_d), np.concatenate(out_s)
 
 
