@@ -129,16 +129,6 @@ def encode_posting(
     )
 
 
-def encode_sorted_slice(d: np.ndarray, t: np.ndarray, dl: np.ndarray):
-    """Re-encode an already-sorted posting slice (query-time doc-group
-    routing) → (doc_bytes, tf_bytes, dl_bytes)."""
-    return (
-        encode_doc_ids(np.asarray(d, dtype=np.int64)),
-        varbyte_encode(np.asarray(t, dtype=np.int64).astype(np.uint64)),
-        varbyte_encode(np.asarray(dl, dtype=np.int64).astype(np.uint64)),
-    )
-
-
 def range_shard(doc_ids: np.ndarray, n_shards: int) -> np.ndarray:
     """Doc-RANGE shard of each doc id at pow2 granularity *n_shards* —
     numpy twin of the build-side SQL expression (build.py job_postings):

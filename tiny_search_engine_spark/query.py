@@ -45,6 +45,16 @@ from .hashing import term_sign
 from .tokenizer import text_len, tokenize_with_stats
 
 
+def _in_expr(col: str, values: list[int]) -> F.Column:
+    """``col IN (v1, v2, ...)`` as ONE parsed SQL expression.
+
+    Semantically identical to ``F.col(col).isin(values)`` (same Catalyst
+    ``In`` → ``InSet``, same parquet pushdown) but built in one Py4J call:
+    ``isin`` creates a JVM literal per value — ~2000 query-term signs cost
+    seconds of driver time per batch, a width-independent fixed cost."""
+    return F.expr(f"{col} IN ({','.join(str(int(v)) for v in values)})")
+
+
 @dataclass
 class QueryInfo:
     query_id: int
@@ -152,7 +162,7 @@ class QueryEngine:
         if signs:
             ts = self._cached("term_stats")
             rows = (
-                ts.filter(F.col("term_sign").isin(signs))
+                ts.filter(_in_expr("term_sign", signs))
                 .select("term_sign", "idf")
                 .collect()
             )
@@ -490,15 +500,21 @@ class QueryEngine:
 
         signs = sorted(signs_set)
         buckets = sorted({s % POSTING_BUCKETS for s in signs})
-        # bucket list prunes parquet PARTITIONS; the isin on term_sign is
+        # bucket list prunes parquet PARTITIONS; the IN on term_sign is
         # pushed into the scan for row-group skipping within buckets
+        # (build writes buckets sorted by term_sign so group stats are
+        # tight ranges). _in_expr, not Column.isin: isin costs one Py4J
+        # literal round-trip per value — measured seconds of DRIVER time
+        # per 1000-query batch, a fixed cost that caps batch scaling.
         post = self._cached("postings").filter(
-            F.col("bucket").isin(buckets) & F.col("term_sign").isin(signs)
+            _in_expr("bucket", buckets) & _in_expr("term_sign", signs)
         )
-        ts = self._cached("term_stats").select("term_sign", "idf").filter(
-            F.col("term_sign").isin(signs)
-        )
-        joined = post.join(F.broadcast(ts), "term_sign").select(
+        if "idf" not in post.columns:  # pre-v2 store: idf via broadcast join
+            ts = self._cached("term_stats").select("term_sign", "idf").filter(
+                _in_expr("term_sign", signs)
+            )
+            post = post.join(F.broadcast(ts), "term_sign")
+        joined = post.select(
             "term_sign", "shard", "n_shards", "idf",
             "doc_bytes", "tf_bytes", "dl_bytes", "block_max_tf", "block_min_dl",
         )
@@ -508,10 +524,10 @@ class QueryEngine:
         par = spark.sparkContext.defaultParallelism
         S = self.cfg.query_doc_fan or max(4, 1 << (2 * par - 1).bit_length())
 
-        from .compress import encode_sorted_slice, range_shard
+        from .compress import range_shard
 
         ROUTED = (
-            "gshard int, term_sign long, idf double, "
+            "gshard int, term_sign long, idf double, raw boolean, "
             "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
             "max_tf int, min_dl int"
         )
@@ -519,13 +535,14 @@ class QueryEngine:
         def split_fn(batches):
             for pdf in batches:
                 out = {c: [] for c in (
-                    "gshard", "term_sign", "idf", "doc_bytes", "tf_bytes",
-                    "dl_bytes", "max_tf", "min_dl")}
+                    "gshard", "term_sign", "idf", "raw", "doc_bytes",
+                    "tf_bytes", "dl_bytes", "max_tf", "min_dl")}
 
-                def emit(g, sign, idf, db, tb, lb, mtf, mdl):
+                def emit(g, sign, idf, raw, db, tb, lb, mtf, mdl):
                     out["gshard"].append(g)
                     out["term_sign"].append(sign)
                     out["idf"].append(idf)
+                    out["raw"].append(raw)
                     out["doc_bytes"].append(db)
                     out["tf_bytes"].append(tb)
                     out["dl_bytes"].append(lb)
@@ -535,9 +552,10 @@ class QueryEngine:
                 for r in pdf.itertuples():
                     m = int(r.n_shards)
                     if m >= S:
-                        # this shard's doc range nests inside one fine group
+                        # this shard's doc range nests inside one fine
+                        # group: varbyte bytes pass through zero-copy
                         emit(int(r.shard) * S // m, int(r.term_sign),
-                             float(r.idf), r.doc_bytes, r.tf_bytes,
+                             float(r.idf), False, r.doc_bytes, r.tf_bytes,
                              r.dl_bytes, int(max(r.block_max_tf)),
                              int(min(r.block_min_dl)))
                         continue
@@ -546,19 +564,32 @@ class QueryEngine:
                     cuts = np.flatnonzero(np.diff(gs)) + 1
                     starts = np.concatenate(([0], cuts))
                     ends = np.concatenate((cuts, [d.size]))
+                    # sliced rows ship RAW fixed-width bytes (int64 docs,
+                    # int32 tf/dl): ~16 B/entry vs varbyte's ~10 B, but no
+                    # per-slice varbyte encode (3 call-heavy encodes ×
+                    # O(rows·S) slices dominated this stage) and frombuffer
+                    # decode at the scorer is free
+                    t32 = t.astype(np.int32)
+                    dl32 = dl.astype(np.int32)
+                    sign_i = int(r.term_sign)
+                    idf_f = float(r.idf)
                     for lo, hi in zip(starts, ends):
-                        db, tb, lb = encode_sorted_slice(d[lo:hi], t[lo:hi], dl[lo:hi])
-                        emit(int(gs[lo]), int(r.term_sign), float(r.idf),
-                             db, tb, lb, int(t[lo:hi].max()), int(dl[lo:hi].min()))
+                        emit(int(gs[lo]), sign_i, idf_f, True,
+                             d[lo:hi].tobytes(), t32[lo:hi].tobytes(),
+                             dl32[lo:hi].tobytes(),
+                             int(t32[lo:hi].max()), int(dl32[lo:hi].min()))
                 yield pd.DataFrame(out)
 
-        # spread the decode/slice work: the pruned scan often collapses to
-        # 1-2 input splits (small files + parquet coalescing), which would
-        # serialize the python-heavy split stage at any core count. The
-        # round-robin shuffle moves only the matched varbyte slices — the
-        # same bytes the gshard shuffle moves right after.
-        par_split = max(par * 2, S)
-        routed = joined.repartition(par_split).mapInPandas(split_fn, ROUTED)
+        # split runs directly in the scan tasks: the postings table is 64
+        # bucket files that Spark bin-packs into ~defaultParallelism splits
+        # (maxSplitBytes = bytes/parallelism), and matched rows hash-spread
+        # across buckets, so decode/slice work distributes without a
+        # pre-shuffle. (A round-robin repartition here was measured as one
+        # full extra pass of the matched posting bytes through shuffle plus
+        # a stage barrier per batch — pure fixed cost.) A small scan can
+        # still collapse to 1-2 splits, but then the split work is small
+        # too; the heavy stage (score) is fanned by gshard regardless.
+        routed = joined.mapInPandas(split_fn, ROUTED)
 
         k1, k2, b = prof.k1, prof.k2, prof.b
         avg_dl = self.avg_doc_len
@@ -575,7 +606,12 @@ class QueryEngine:
             # every query touching the term
             termd: dict[int, list] = {}
             for r in pdf.itertuples():
-                d, t, dl = decode_posting(r.doc_bytes, r.tf_bytes, r.dl_bytes)
+                if r.raw:
+                    d = np.frombuffer(r.doc_bytes, dtype=np.int64)
+                    t = np.frombuffer(r.tf_bytes, dtype=np.int32).astype(np.int64)
+                    dl = np.frombuffer(r.dl_bytes, dtype=np.int32).astype(np.int64)
+                else:
+                    d, t, dl = decode_posting(r.doc_bytes, r.tf_bytes, r.dl_bytes)
                 if d.size == 0:
                     continue
                 kd = k1 * (1 - b + b * dl / avg_dl)
