@@ -46,6 +46,19 @@ QUERY_SET: list[tuple[int, str]] = [
 
 STOPWORDS = textstats.STOPWORDS_EN  # the, a, of, to, in, and, is, for
 
+# synonym clusters over the query-set vocabulary (C2 fixture; the
+# reference's dict/cilin_ex.utf8 format is `cluster_id t1 t2 …`)
+SYN_CLUSTERS: list[list[str]] = [
+    ["merge", "join", "combine"],
+    ["fast", "quick", "rapid"],
+    ["scan", "scanner", "scanning"],
+    ["order", "orders", "ordering"],
+    ["data", "dataset", "database"],
+    ["window", "win"],
+]
+
+IVF_CENTROIDS, IVF_PROBE, IVF_K = 8, 3, 5
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -351,6 +364,93 @@ def _q_embedding_neardup(spark, sf_dir):
     return dedup.embedding_neardup_pairs(emb, threshold=0.3)
 
 
+def _q_knn_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    return simsearch.knn_ivf(
+        emb, queries, k=IVF_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+    )
+
+
+def _q_synonym_expand(spark, sf_dir):
+    from tiny_search_engine_spark.query import synonym_expand
+
+    return synonym_expand(spark, QUERY_SET, SYN_CLUSTERS, mode="ws")
+
+
+def _q_vsm_topk(spark, sf_dir):
+    """D1 (clean semantics, no stopwords): vsm = Σ_matched idf² /
+    (q_module · d_module), q/d modules per-OCCURRENCE idf sums
+    (/root/reference/src/table.cpp:713-754, SURVEY.md §2 D1)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    toks = _tokens(spark, sf_dir)
+    doc_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_d"))
+    ts = (
+        doc_term.groupBy("term")
+        .agg(F.sum("tf_d").alias("ttf"))
+        .withColumn("idf", _idf_col(n))
+        .select("term", "idf")
+    )
+    dmod = (
+        doc_term.join(ts, "term")
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("tf_d") * F.col("idf") * F.col("idf"))).alias("dmod"))
+    )
+    qt = (
+        _queries_df(spark)
+        .select("query_id", F.explode(F.split("query", " ")).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("tf_q"))
+    )
+    qmod = (
+        qt.join(ts, "term")
+        .groupBy("query_id")
+        .agg(F.sqrt(F.sum(F.col("tf_q") * F.col("idf") * F.col("idf"))).alias("qmod"))
+    )
+    scored = (
+        doc_term.join(F.broadcast(qt), "term")
+        .join(ts, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("idf") * F.col("idf")).alias("dot"))
+        .join(F.broadcast(qmod), "query_id")
+        .join(dmod, "doc_id")
+        .withColumn(
+            "vsm",
+            F.round(
+                F.when(
+                    (F.col("qmod") > 0) & (F.col("dmod") > 0),
+                    F.col("dot") / (F.col("qmod") * F.col("dmod")),
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("vsm"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "vsm")
+    )
+
+
+def _q_edit_distance(spark, sf_dir):
+    """D6 char-granularity edit distance (F.levenshtein — the built-in the
+    reference hand-rolls at /root/reference/include/math_util.h:240-264),
+    each query vs the first-60-char prefix of the low-id docs."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30).select(
+        "doc_id", F.substring("text", 1, 60).alias("prefix")
+    )
+    q = _queries_df(spark)
+    return docs.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "doc_id",
+        F.levenshtein("query", "prefix").alias("char_edit"),
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
@@ -383,6 +483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_sigs": _q_simhash,
         "knn_cosine": _q_knn_cosine,
+        "knn_ivf": _q_knn_ivf,
+        "synonym_expand": _q_synonym_expand,
+        "vsm_topk": _q_vsm_topk,
+        "edit_distance": _q_edit_distance,
         "embedding_neardup": _q_embedding_neardup,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -483,6 +587,96 @@ def _sql_lang_id() -> str:
         f"SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks "
         f"FROM documents))"
     )
+
+
+def _sql_knn_ivf() -> str:
+    return f"""
+        WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ec AS (SELECT e.vec_id, c.cid,
+                      round(list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+               FROM e, c),
+        assign AS (SELECT vec_id, cid AS centroid_id FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+            FROM ec) WHERE rn = 1),
+        qp AS (SELECT query_vec_id, cid AS centroid_id FROM (
+            SELECT ec.vec_id AS query_vec_id, ec.cid,
+                   row_number() OVER (PARTITION BY ec.vec_id ORDER BY ec.cos DESC, ec.cid ASC) AS rn
+            FROM ec WHERE ec.vec_id < 5) WHERE rn <= {IVF_PROBE}),
+        cand AS (SELECT qp.query_vec_id, a.vec_id
+                 FROM qp JOIN assign a USING (centroid_id)),
+        scored AS (SELECT cand.query_vec_id, cand.vec_id,
+                          round(list_dot_product(ce.v, qe.v)
+                                / (sqrt(list_dot_product(ce.v, ce.v))
+                                   * sqrt(list_dot_product(qe.v, qe.v))), 6) AS cosine
+                   FROM cand JOIN e ce ON ce.vec_id = cand.vec_id
+                             JOIN e qe ON qe.vec_id = cand.query_vec_id)
+        SELECT query_vec_id, rank, vec_id, cosine FROM (
+            SELECT query_vec_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_vec_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) WHERE rank <= {IVF_K}
+    """
+
+
+def _sql_synonym_expand() -> str:
+    cl_values = ", ".join(
+        f"({cid}, {pos}, '{t}')"
+        for cid, cl in enumerate(SYN_CLUSTERS)
+        for pos, t in enumerate(cl)
+    )
+    return f"""
+        WITH cl(cluster_id, pos, cterm) AS (VALUES {cl_values}),
+        qt AS (SELECT query_id, i - 1 AS term_idx, toks[i] AS term FROM (
+            SELECT query_id,
+                   list_filter(string_split(query, ' '), x -> x <> '') AS toks
+            FROM (VALUES {_QUERIES_SQL_VALUES}) AS q(query_id, query)),
+            unnest(generate_series(1, len(toks))) AS t(i)),
+        first_cl AS (SELECT cterm AS term, min(cluster_id) AS cluster_id
+                     FROM cl GROUP BY cterm),
+        cand AS (SELECT qt.query_id, qt.term_idx, qt.term, cl.cterm, cl.pos
+                 FROM qt JOIN first_cl USING (term) JOIN cl USING (cluster_id)
+                 WHERE (strlen(qt.term) <= strlen(cl.cterm)
+                        OR strpos(qt.term, cl.cterm) > 0)
+                   AND lower(cl.cterm) <> lower(qt.term))
+        SELECT query_id, term_idx, term, cterm AS syn, syn_rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id, term_idx
+                                         ORDER BY pos) AS syn_rank
+            FROM cand) WHERE syn_rank <= 10
+    """
+
+
+def _sql_vsm_topk() -> str:
+    n = "(SELECT count(*) FROM documents)"
+    idf = _IDF_SQL.format(n=n)
+    return f"""
+        WITH doc_term AS (SELECT doc_id, term, count(*) AS tf_d
+                          FROM ({_TOKENS_SQL}) GROUP BY 1, 2),
+        ts AS (SELECT term, sum(tf_d) AS ttf, {idf} AS idf
+               FROM doc_term GROUP BY term),
+        dmod AS (SELECT doc_id, sqrt(sum(tf_d * idf * idf)) AS dmod
+                 FROM doc_term JOIN ts USING (term) GROUP BY doc_id),
+        qt AS ({_QTERMS_SQL}),
+        qmod AS (SELECT query_id, sqrt(sum(tf_q * idf * idf)) AS qmod
+                 FROM qt JOIN ts USING (term) GROUP BY query_id),
+        scored AS (
+            SELECT query_id, doc_id,
+                   round(CASE WHEN qmod > 0 AND dmod > 0
+                              THEN dot / (qmod * dmod) ELSE 0.0 END, 6) AS vsm
+            FROM (SELECT query_id, doc_id, sum(idf * idf) AS dot
+                  FROM doc_term JOIN qt USING (term) JOIN ts USING (term)
+                  GROUP BY query_id, doc_id)
+            JOIN qmod USING (query_id) JOIN dmod USING (doc_id))
+        SELECT query_id, rank, doc_id, vsm FROM (
+            SELECT query_id, doc_id, vsm,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY vsm DESC, doc_id ASC) AS rank
+            FROM scored) WHERE rank <= {TOPK}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -627,6 +821,14 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
             WHERE cosine >= 0.3
         """,
+        "knn_ivf": _sql_knn_ivf(),
+        "synonym_expand": _sql_synonym_expand(),
+        "vsm_topk": _sql_vsm_topk(),
+        "edit_distance": (
+            "SELECT query_id, doc_id, levenshtein(query, prefix) AS char_edit "
+            "FROM (SELECT doc_id, substring(text, 1, 60) AS prefix FROM documents "
+            f"WHERE doc_id < 30), (VALUES {_QUERIES_SQL_VALUES}) AS q(query_id, query)"
+        ),
         "lang_id": _sql_lang_id(),
         "quality_score": _QUALITY_SQL,
         "token_count": (

@@ -109,3 +109,66 @@ def test_quality_and_token_count(docs):
     tc = {r["doc_id"]: r for r in textstats.token_count(docs).collect()}
     assert tc[1]["n_ws_tokens"] == 9
     assert tc[1]["n_bpe_tokens"] == 9
+
+
+def test_knn_ivf_full_probe_equals_exact(spark):
+    """IVF with n_probe == n_centroids searches every inverted list →
+    must equal the brute-force result exactly (same rounding, same
+    tiebreaks); partial probe keeps the self-hit (a query's own vector
+    lives in its top-1 centroid list)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(16).astype("float32").tolist()) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_vec_id"), "embedding")
+    exact = simsearch.knn_cosine(emb, q, k=5)
+    full = simsearch.knn_ivf(emb, q, k=5, n_centroids=6, n_probe=6)
+    e = sorted(map(tuple, exact.collect()))
+    f = sorted(map(tuple, full.collect()))
+    assert e == f
+    part = simsearch.knn_ivf(emb, q, k=5, n_centroids=6, n_probe=2)
+    assert part.filter(F.col("vec_id") == F.col("query_vec_id")).count() == 8
+    assert simsearch.ann_recall(exact, part) > 0.3
+
+
+def test_ivf_assign_is_argmax(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = simsearch.ivf_centroids(emb, 4)
+    got = {r["vec_id"]: r["centroid_id"] for r in simsearch.ivf_assign(emb, cents).collect()}
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    for vid, v in vecs.items():
+        cos = []
+        for cid, cv in cents:
+            c = np.array(cv, dtype=np.float64)
+            cos.append((round(float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))), 6), cid))
+        best = min(cos, key=lambda t: (-t[0], t[1]))[1]
+        assert got[vid] == best, vid
+
+
+def test_synonym_expand_matches_dict(spark):
+    """The distributed C2 (synonym_expand) equals the driver-side
+    SynonymDict.get per term: same candidates, same order, same cap."""
+    from tiny_search_engine_spark.query import SynonymDict, synonym_expand
+    from tiny_search_engine_spark.tokenizer import tokenize
+
+    clusters = [
+        ["merge", "join", "combine", "mergesort"],
+        ["fast", "quick", "rapid", "fa"],
+        ["data", "dataset", "database", "dat"],
+        ["join", "weld"],  # 'join' already in cluster 0 → first wins
+    ]
+    queries = [(0, "merge the data"), (1, "fast join"), (2, "data data"), (3, "unknown")]
+    got = {}
+    for r in synonym_expand(spark, queries, clusters, mode="ws").collect():
+        got.setdefault((r["query_id"], r["term_idx"]), []).append((r["syn_rank"], r["syn"]))
+    sd = SynonymDict(clusters)
+    for qid, q in queries:
+        for i, t in enumerate(tokenize(q, "ws")):
+            want = [s for s in sd.get(t.term) if s.lower() != t.term.lower()][:10]
+            have = [s for _, s in sorted(got.get((qid, i), []))]
+            assert have == want, (qid, i, t.term, have, want)

@@ -126,6 +126,101 @@ def knn_lsh(
     )
 
 
+def _centroid_cos_struct(vec_col: str, centroids: list[tuple[int, list[float]]]):
+    """array<struct(cos, cid)> of ROUNDED cosine vs each centroid —
+    rounding before the argmax keeps Spark and a double-only SQL oracle
+    tie-identical."""
+    v = F.col(vec_col)
+    vn = _norm(v)
+    entries = []
+    for cid, cv in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in cv])
+        cn = float(np.sqrt(np.dot(cv, cv))) or 1.0
+        cos = F.round(_dot(v, arr) / (vn * F.lit(cn)), 6)
+        entries.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
+    # sort by (cos desc, cid asc)
+    return F.array_sort(
+        F.array(*entries),
+        lambda a, b: F.when(a["cos"] > b["cos"], -1)
+        .when(a["cos"] < b["cos"], 1)
+        .otherwise(a["cid"] - b["cid"]),
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid set: the n lowest-id corpus vectors (a stand-in
+    for a k-means codebook — the IVF *structure* is what the engine owns;
+    any codebook plugs in). Tiny → driver-side literal list."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF inverted-list assignment: each vector → nearest centroid
+    (cosine, ties → lowest centroid id). Pure column algebra; at scale
+    this is the partition key of the vector table (the posting-list
+    analog of the fulltext index)."""
+    sorted_cos = _centroid_cos_struct(vec_col, centroids)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sorted_cos[0]["cid"].alias("centroid_id"),
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_vec_id",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus sharded by nearest centroid,
+    each query probes its n_probe nearest centroid lists only (candidate
+    volume ~ n_probe/n_centroids of brute force), exact cosine rerank
+    inside the probed lists. Deterministic given the corpus (codebook =
+    lowest-id vectors) → exactly reproducible by a SQL oracle."""
+    centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        id_col, F.col(vec_col).alias("cv"), "centroid_id"
+    )
+    sorted_cos = _centroid_cos_struct(vec_col, centroids)
+    q = queries.select(
+        F.col(qid_col),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.slice(sorted_cos, 1, n_probe)
+        ).alias("probe"),
+    ).select(qid_col, "qv", F.col("probe")["cid"].alias("centroid_id"))
+    scored = c.join(F.broadcast(q), "centroid_id").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+        ),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
+    )
+
+
 def ann_recall(exact: DataFrame, approx: DataFrame, qid_col: str = "query_vec_id", id_col: str = "vec_id") -> float:
     """Recall@k of the ANN result vs the exact result (driver-side scalar)."""
     e = exact.select(qid_col, id_col)

@@ -765,6 +765,60 @@ def _pruned_taat(lists: list[tuple], kk: int):
     return doc_ids, scores
 
 
+def synonym_expand(
+    spark: SparkSession,
+    queries: list[tuple[int, str]],
+    clusters: list[list[str]],
+    mode: str = "ws",
+    max_syn: int = 10,  # MAX_SYN_TERM_RECALL, /root/reference/conf/sys.conf:33
+) -> DataFrame:
+    """C2 as declarative DataFrame algebra (the engine's distributed twin
+    of SynonymDict; /root/reference/src/synonyms.cpp:57-84 +
+    table.cpp:377-380):
+
+    * a term maps to its FIRST containing cluster (file order);
+    * candidate kept iff byte_len(term) <= byte_len(cand) OR cand is a
+      substring of term;
+    * candidates identical to the term (case-folded sign) are skipped;
+    * capped at *max_syn* per query term, in cluster order.
+
+    Returns (query_id, term_idx, term, syn, syn_rank)."""
+    from .tokenizer import tokenize
+
+    qt_rows = []
+    for qid, q in queries:
+        for i, t in enumerate(tokenize(q, mode)):
+            qt_rows.append((qid, i, t.term))
+    qt = spark.createDataFrame(qt_rows or [], "query_id long, term_idx int, term string")
+    cl_rows = [
+        (cid, pos, t) for cid, cl in enumerate(clusters) for pos, t in enumerate(cl)
+    ]
+    cl = spark.createDataFrame(
+        cl_rows or [], "cluster_id int, pos int, cterm string"
+    )
+    # term → first containing cluster (synonyms.cpp:24-55 setdefault)
+    first_cl = (
+        cl.groupBy("cterm")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .withColumnRenamed("cterm", "term")
+    )
+    cand = (
+        qt.join(F.broadcast(first_cl), "term")
+        .join(F.broadcast(cl), "cluster_id")
+        .filter(
+            (F.octet_length("term") <= F.octet_length("cterm"))
+            | (F.instr("term", F.col("cterm")) > 0)
+        )
+        .filter(F.lower(F.col("cterm")) != F.lower(F.col("term")))
+    )
+    w = Window.partitionBy("query_id", "term_idx").orderBy("pos")
+    return (
+        cand.withColumn("syn_rank", F.row_number().over(w))
+        .filter(F.col("syn_rank") <= max_syn)
+        .select("query_id", "term_idx", "term", F.col("cterm").alias("syn"), "syn_rank")
+    )
+
+
 ANSI_RED, ANSI_NONE = "\x1b[31m", "\x1b[0m"
 
 
