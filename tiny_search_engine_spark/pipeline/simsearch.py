@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -126,25 +127,35 @@ def knn_lsh(
     )
 
 
-def _centroid_cos_struct(vec_col: str, centroids: list[tuple[int, list[float]]]):
-    """array<struct(cos, cid)> of ROUNDED cosine vs each centroid —
-    rounding before the argmax keeps Spark and a double-only SQL oracle
-    tie-identical."""
-    v = F.col(vec_col)
-    vn = _norm(v)
-    entries = []
-    for cid, cv in centroids:
-        arr = F.array(*[F.lit(float(x)) for x in cv])
-        cn = float(np.sqrt(np.dot(cv, cv))) or 1.0
-        cos = F.round(_dot(v, arr) / (vn * F.lit(cn)), 6)
-        entries.append(F.struct(cos.alias("cos"), F.lit(cid).alias("cid")))
-    # sort by (cos desc, cid asc)
-    return F.array_sort(
-        F.array(*entries),
-        lambda a, b: F.when(a["cos"] > b["cos"], -1)
-        .when(a["cos"] < b["cos"], 1)
-        .otherwise(a["cid"] - b["cid"]),
-    )
+def _top_centroids_udf(centroids: list[tuple[int, list[float]]], n_top: int):
+    """Vectorized pandas UDF: embedding → the n_top nearest centroid ids
+    by (rounded cosine desc, cid asc). One Arrow-batched (n×d)·(d×C)
+    matmul per batch — per-row JVM aggregate-HOFs over C centroids were
+    measured ~6x slower than brute-force knn at small C. Rounding to 6
+    before the argsort keeps ties identical to the double-only SQL
+    oracle; centroids arrive cid-ascending, so a STABLE argsort breaks
+    cosine ties by lowest cid."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    assert (np.diff(cids) > 0).all(), "centroids must be cid-ascending"
+    C = np.array([cv for _, cv in centroids], dtype=np.float64).T  # d×C
+    cn = np.sqrt((C * C).sum(axis=0))
+    cn[cn == 0] = 1.0
+
+    @pandas_udf("array<int>")
+    def top_cids(v: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in v], dtype=np.float64)
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        vn = np.linalg.norm(M, axis=1)
+        vn[vn == 0] = 1.0
+        cos = np.round(M @ C / (vn[:, None] * cn[None, :]), 6)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :n_top]
+        top = cids[order]
+        return pd.Series([r.tolist() for r in top])
+
+    return top_cids
 
 
 def ivf_centroids(
@@ -169,14 +180,14 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF inverted-list assignment: each vector → nearest centroid
-    (cosine, ties → lowest centroid id). Pure column algebra; at scale
-    this is the partition key of the vector table (the posting-list
-    analog of the fulltext index)."""
-    sorted_cos = _centroid_cos_struct(vec_col, centroids)
+    (cosine, ties → lowest centroid id) via the Arrow-batched matmul UDF;
+    at scale centroid_id is the partition key of the vector table (the
+    posting-list analog of the fulltext index)."""
+    top1 = _top_centroids_udf(centroids, 1)
     return corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        sorted_cos[0]["cid"].alias("centroid_id"),
+        top1(F.col(vec_col))[0].alias("centroid_id"),
     )
 
 
@@ -199,14 +210,12 @@ def knn_ivf(
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
         id_col, F.col(vec_col).alias("cv"), "centroid_id"
     )
-    sorted_cos = _centroid_cos_struct(vec_col, centroids)
+    topn = _top_centroids_udf(centroids, n_probe)
     q = queries.select(
         F.col(qid_col),
         F.col(vec_col).alias("qv"),
-        F.explode(
-            F.slice(sorted_cos, 1, n_probe)
-        ).alias("probe"),
-    ).select(qid_col, "qv", F.col("probe")["cid"].alias("centroid_id"))
+        F.explode(topn(F.col(vec_col))).alias("centroid_id"),
+    )
     scored = c.join(F.broadcast(q), "centroid_id").withColumn(
         "cosine",
         F.round(
