@@ -166,6 +166,26 @@ def main() -> None:
             else:
                 results[cpus]["qps"] = max(results[cpus]["qps"], r["qps"])
                 results[cpus]["query_s"] = min(results[cpus]["query_s"], r["query_s"])
+    # Append this session's per-config bests to BENCH/results_history.jsonl.
+    # The HEADLINE efficiency is computed from THIS session only (interleaved
+    # trials, one throttle regime): mixing per-config maxima across sessions
+    # would pair a lucky-window local[2] with a different-window local[8]
+    # and distort the ratio. History is reported as an appendix so capability
+    # across windows stays visible.
+    hist_path = os.path.join(REPO, "BENCH", "results_history.jsonl")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(hist_path, "a") as f:
+        for cpus, r in sorted(results.items()):
+            f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **r}) + "\n")
+    hist_rows = []
+    with open(hist_path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if r.get("n_docs") == n_docs and r.get("n_queries") == n_queries:
+                hist_rows.append(r)
     r2, r8, r32 = results[2], results[8], results[32]
     build_eff = r8["docs_per_sec"] / (4 * r2["docs_per_sec"])
     query_eff = r8["qps"] / (4 * r2["qps"])
@@ -193,10 +213,14 @@ first (JIT/codegen/python-worker spin-up is ~50-60s at ANY width and
 belongs to neither side of a throughput ratio — a production build
 amortizes it over hours), then {inner} timed build+query runs; best
 throughput kept. Outer trials ({trials}) interleave widths so this shared
-VM's multi-minute throttle windows hit all configs alike. Shuffle and
-store scratch live on tmpfs — the sandbox root disk throttles buffered
-writes to ~13 MB/s, which would serialize every width equally (a real
-cluster has real local disks per executor).
+VM's multi-minute throttle windows hit all configs alike; the headline
+ratio is computed within ONE benchmark session (one throttle regime) —
+mixing per-config bests across sessions would pair different machine
+windows and distort the ratio (the pure-CPU ceiling itself measured
+3.1-4.0x for 2→8 procs across hours; per-session capability history is
+appended below). Shuffle and store scratch live on tmpfs — the sandbox
+root disk throttles buffered writes to ~13 MB/s, which would serialize
+every width equally (a real cluster has real local disks per executor).
 
 | metric | local[2] (N) | local[8] (4N) | speedup | efficiency vs 4x |
 |---|---|---|---|---|
@@ -226,6 +250,12 @@ executors; the measured fixed costs (driver planning, stage barriers,
 single shared disk/JVM here) are exactly the components a multi-node
 cluster distributes. Local-mode caveats: one JVM heap, one OS image, no
 network — shuffle costs are under-, scheduler contention over-represented.
+
+## Capability history (per-config session bests; throttle regime varies)
+
+| when (UTC) | width | build docs/sec | query qps |
+|---|---|---|---|
+{chr(10).join(f"| {r['ts']} | local[{r['cpus']}] | {r['docs_per_sec']} | {r['qps']} |" for r in hist_rows)}
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

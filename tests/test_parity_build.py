@@ -101,3 +101,42 @@ def test_stopwords_absent_from_postings(spark, tiny_store, stopwords):
     assert (
         tiny_store.term_stats(spark).filter(F.col("term_sign").isin(signs)).count() == 0
     )
+
+
+def test_posting_grouping_modes_identical(spark, stopwords, tmp_path):
+    """sort-based grouping (shuffle+sortWithinPartitions+contiguous-run
+    encode) produces bit-identical postings to groupBy+collect_list,
+    including across Arrow batch boundaries (tiny batch size forces the
+    encoder's cross-batch carry path)."""
+    from tiny_search_engine_spark.build import BuildConfig, build_index
+    from tiny_search_engine_spark.synth import source_files
+
+    src = source_files(spark, 120, seed=42)
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    outs = {}
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        for mode in ("sort", "agg"):
+            out = str(tmp_path / mode)
+            cfg = BuildConfig(
+                tokenizer="code",
+                stopwords=frozenset(stopwords),
+                postings_per_shard=64,
+                block_size=16,
+                posting_grouping=mode,
+                write_tokens=False,
+            )
+            store = build_index(spark, src, out, cfg)
+            outs[mode] = {
+                (r["term_sign"], r["shard"]): (
+                    bytes(r["doc_bytes"]), bytes(r["tf_bytes"]),
+                    bytes(r["dl_bytes"]), r["n_docs"], r["n_shards"],
+                    round(r["idf"], 12), list(r["block_last"]),
+                    list(r["block_max_tf"]), list(r["block_min_dl"]),
+                )
+                for r in store.postings(spark).collect()
+            }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+    assert outs["sort"] == outs["agg"]
+    assert len(outs["sort"]) > 0

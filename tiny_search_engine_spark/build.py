@@ -198,6 +198,87 @@ def _make_posting_encoder(block_size: int):
     return encode
 
 
+def _make_sorted_run_encoder(block_size: int):
+    """mapInPandas encoder over SORT-grouped partitions: input rows are
+    (term_sign, shard, n_shards, idf, doc_id, tf, doc_len) sorted by
+    (term_sign, shard, doc_id) within each partition — the sort-based
+    grouping alternative to groupBy+collect_list (no aggregation buffers,
+    no per-list argsort; groups are contiguous runs, detected with one
+    vectorized boundary scan per Arrow batch; a run spanning batch
+    boundaries is carried across)."""
+    import numpy as np
+
+    # column order == POSTINGS_SCHEMA (mapInPandas pairs by position)
+    cols = ("term_sign", "shard", "n_shards", "bucket", "n_docs", "idf",
+            "doc_bytes", "tf_bytes", "dl_bytes", "block_last",
+            "block_max_tf", "block_min_dl", "bytes_total")
+
+    def encode(batches):
+        carry: list | None = None  # [ts, sh, ns, idf, [d...], [t...], [dl...]]
+        out = {k: [] for k in cols}
+
+        def emit(ts, sh, ns, idf, d, t, dl):
+            enc = encode_posting(d, t, dl, block_size=block_size, presorted=True)
+            out["term_sign"].append(int(ts))
+            out["shard"].append(int(sh))
+            out["n_shards"].append(int(ns))
+            out["bucket"].append(int(ts) % POSTING_BUCKETS)
+            out["idf"].append(float(idf))
+            out["n_docs"].append(enc.n_docs)
+            out["doc_bytes"].append(enc.doc_bytes)
+            out["tf_bytes"].append(enc.tf_bytes)
+            out["dl_bytes"].append(enc.dl_bytes)
+            out["block_last"].append(enc.block_last)
+            out["block_max_tf"].append(enc.block_max_tf)
+            out["block_min_dl"].append(enc.block_min_dl)
+            out["bytes_total"].append(enc.bytes_total)
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ts = pdf["term_sign"].to_numpy()
+            sh = pdf["shard"].to_numpy()
+            ns = pdf["n_shards"].to_numpy()
+            idf = pdf["idf"].to_numpy()
+            d = pdf["doc_id"].to_numpy()
+            t = pdf["tf"].to_numpy()
+            dl = pdf["doc_len"].to_numpy()
+            bounds = np.flatnonzero((ts[1:] != ts[:-1]) | (sh[1:] != sh[:-1])) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [n]))
+            if carry is not None:
+                if carry[0] == ts[0] and carry[1] == sh[0]:
+                    # first run continues the carried group
+                    carry[4].append(d[: ends[0]])
+                    carry[5].append(t[: ends[0]])
+                    carry[6].append(dl[: ends[0]])
+                    if ends[0] == n and len(starts) == 1:
+                        continue  # whole batch is one continuing run
+                    starts, ends = starts[1:], ends[1:]
+                emit(carry[0], carry[1], carry[2], carry[3],
+                     np.concatenate(carry[4]), np.concatenate(carry[5]),
+                     np.concatenate(carry[6]))
+                carry = None
+            # last run may continue into the next batch → carry it
+            lo, hi = starts[-1], ends[-1]
+            carry = [ts[lo], sh[lo], ns[lo], idf[lo],
+                     [d[lo:hi]], [t[lo:hi]], [dl[lo:hi]]]
+            for lo, hi in zip(starts[:-1], ends[:-1]):
+                emit(ts[lo], sh[lo], ns[lo], idf[lo], d[lo:hi], t[lo:hi], dl[lo:hi])
+            if len(out["term_sign"]) >= 4096:
+                yield pd.DataFrame(out)
+                out = {k: [] for k in cols}
+        if carry is not None:
+            emit(carry[0], carry[1], carry[2], carry[3],
+                 np.concatenate(carry[4]), np.concatenate(carry[5]),
+                 np.concatenate(carry[6]))
+        if out["term_sign"]:
+            yield pd.DataFrame(out)
+
+    return encode
+
+
 def with_doc_id(source_df: DataFrame) -> DataFrame:
     """Natural-key doc signature + per-row integrity hash.
 
@@ -492,25 +573,38 @@ def build_index(
                 )
             ).cast("int"),
         )
-        encoder = _make_posting_encoder(cfg.block_size)
-        grouped = (
-            enriched.select(
-                "term_sign", "shard", "n_shards", "idf", "doc_id", "tf", "doc_len"
-            )
-            # n_shards/idf: per-term constants riding the grouping key
-            .groupBy("term_sign", "shard", "n_shards", "idf")
-            .agg(F.collect_list(F.struct("doc_id", "tf", "doc_len")).alias("pl"))
-            .select(
-                "term_sign",
-                "shard",
-                "n_shards",
-                "idf",
-                F.col("pl.doc_id").alias("doc_ids"),
-                F.col("pl.tf").alias("tfs"),
-                F.col("pl.doc_len").alias("dls"),
-            )
+        slim = enriched.select(
+            "term_sign", "shard", "n_shards", "idf", "doc_id", "tf", "doc_len"
         )
-        postings = grouped.mapInPandas(encoder, POSTINGS_SCHEMA)
+        if cfg.posting_grouping == "sort":
+            # sort-based grouping: ONE hash shuffle on the salted key +
+            # spillable partition sort; posting lists are contiguous runs
+            # encoded straight off the sorted Arrow stream (no aggregation
+            # buffers, no per-list argsort — the external-sort build every
+            # at-scale indexer uses)
+            postings = (
+                slim.repartition(F.col("term_sign"), F.col("shard"))
+                .sortWithinPartitions("term_sign", "shard", "doc_id")
+                .mapInPandas(_make_sorted_run_encoder(cfg.block_size), POSTINGS_SCHEMA)
+            )
+        else:
+            grouped = (
+                # n_shards/idf: per-term constants riding the grouping key
+                slim.groupBy("term_sign", "shard", "n_shards", "idf")
+                .agg(F.collect_list(F.struct("doc_id", "tf", "doc_len")).alias("pl"))
+                .select(
+                    "term_sign",
+                    "shard",
+                    "n_shards",
+                    "idf",
+                    F.col("pl.doc_id").alias("doc_ids"),
+                    F.col("pl.tf").alias("tfs"),
+                    F.col("pl.doc_len").alias("dls"),
+                )
+            )
+            postings = grouped.mapInPandas(
+                _make_posting_encoder(cfg.block_size), POSTINGS_SCHEMA
+            )
         # global skew metrics ride the write via observe() — no re-read job
         obs_p = Observation("postings_metrics")
         postings = postings.observe(

@@ -100,12 +100,21 @@ def encode_posting(
     tfs: np.ndarray,
     doc_lens: np.ndarray,
     block_size: int = 128,
+    presorted: bool = False,
 ) -> EncodedPosting:
-    """Encode one (term, shard) posting list. Inputs need not be sorted."""
-    order = np.argsort(doc_ids, kind="stable")
-    d = np.asarray(doc_ids, dtype=np.int64)[order]
-    t = np.asarray(tfs, dtype=np.int64)[order]
-    dl = np.asarray(doc_lens, dtype=np.int64)[order]
+    """Encode one (term, shard) posting list. Inputs need not be sorted
+    unless *presorted* (sort-based build path: rows arrive doc_id-asc
+    from the shuffle sort — signed order == unsigned-delta order since
+    the transform is monotone)."""
+    if presorted:
+        d = np.ascontiguousarray(doc_ids, dtype=np.int64)
+        t = np.ascontiguousarray(tfs, dtype=np.int64)
+        dl = np.ascontiguousarray(doc_lens, dtype=np.int64)
+    else:
+        order = np.argsort(doc_ids, kind="stable")
+        d = np.asarray(doc_ids, dtype=np.int64)[order]
+        t = np.asarray(tfs, dtype=np.int64)[order]
+        dl = np.asarray(doc_lens, dtype=np.int64)[order]
     doc_b = encode_doc_ids(d)
     tf_b = varbyte_encode(t.astype(np.uint64))
     dl_b = varbyte_encode(dl.astype(np.uint64))

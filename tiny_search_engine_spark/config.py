@@ -92,6 +92,11 @@ class BuildConfig:
     # instead of re-reading the parquet it just wrote; spills gracefully
     # when it outgrows executor memory
     cache_doc_term: bool = True
+    # posting-list grouping strategy: 'sort' = one hash shuffle on the
+    # salted key + spillable partition sort, lists encoded as contiguous
+    # runs off the sorted stream (no agg buffers, no per-list argsort);
+    # 'agg' = groupBy + collect_list. Identical output (tests pin it).
+    posting_grouping: str = "sort"
 
 
 @dataclass
