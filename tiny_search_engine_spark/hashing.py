@@ -14,6 +14,8 @@ against Spark's ``F.xxhash64`` output.
 
 from __future__ import annotations
 
+import functools
+
 _MASK64 = (1 << 64) - 1
 _P1 = 0x9E3779B185EBCA87
 _P2 = 0xC2B2AE3D27D4EB4F
@@ -89,11 +91,14 @@ def xxhash64_signed(data: bytes, seed: int = SPARK_XXHASH_SEED) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+@functools.lru_cache(maxsize=1 << 20)
 def term_sign(term: str) -> int:
     """Canonical term signature: signed XXH64(lower(term)), seed 42.
 
     Case-folded like the reference (/root/reference/src/segment.cpp:68).
     Spark-side equivalent: ``F.xxhash64(F.lower(F.col("term")))``.
+    Memoized: query batches and doc partitions revisit a small vocabulary,
+    and the pure-Python XXH64 costs ~6µs vs ~0.1µs for a cache hit.
     """
     return xxhash64_signed(term.lower().encode("utf-8"))
 

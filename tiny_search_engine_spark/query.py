@@ -478,20 +478,19 @@ class QueryEngine:
         k = k or self.cfg.k
         spark = self.spark
         prof = BM25_PROFILES[self.cfg.profile]
-        # no weight fill: the WAND path needs only tf_q per term — query
-        # prep is pure driver-side tokenization, zero Spark jobs
-        qis = self.query_infos(queries, with_weights=False)
+        # no weight fill: the WAND path needs only (sign, tf_q) per unique
+        # query term — query prep is pure driver-side tokenization, zero
+        # Spark jobs and no QueryInfo/synonym assembly. term_map keys are
+        # in first-occurrence order and carry tf, which is exactly the
+        # dup-skip + tf lookup the full path derives per occurrence.
         qdict: dict[int, list[tuple[int, int]]] = {}
         signs_set: set[int] = set()
-        for qi in qis:
-            terms = []
-            for i, s in enumerate(qi.signs):
-                if qi.dups[i] > 1:
-                    continue
-                terms.append((s, qi.term_map[s][0]))
-                signs_set.add(s)
-            if terms:
-                qdict[qi.query_id] = terms
+        for qid, q in queries:
+            _, _, tmap = tokenize_with_stats(q, self.mode)
+            if not tmap:
+                continue
+            qdict[qid] = [(s, ent[0]) for s, ent in tmap.items()]
+            signs_set.update(tmap.keys())
         if not qdict:
             return spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, bm25 double"
