@@ -403,12 +403,14 @@ def build_index(
                         "source_df is required: the doc_term stage is not "
                         f"complete under {store.doc_term_path}"
                     )
+                # term_sign/term_len ride out of the iterator (signs are
+                # computed once per batch-unique term in Python, bit-equal
+                # to F.xxhash64(F.lower(term)) — tests/test_hashing.py; the
+                # display string is non-null on one row per batch-unique
+                # term, so no JVM hash/lower pass over millions of rows)
                 dt_fn = make_doc_term_iterator(cfg.tokenizer, "doc_id", "content")
-                doc_term = (
-                    tokenize_src.select("doc_id", "content")
-                    .mapInPandas(dt_fn, DOC_TERM_SCHEMA)
-                    .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
-                    .withColumn("term_len", F.length("term"))
+                doc_term = tokenize_src.select("doc_id", "content").mapInPandas(
+                    dt_fn, DOC_TERM_SCHEMA
                 )
             # N (forward-table size = docs with >=1 token, table.cpp:270)
             # rides the write via observe(): exactly one doc_term row per
@@ -458,8 +460,10 @@ def build_index(
         term_stats = dt.groupBy("term_sign").agg(
             F.count("*").alias("df"),
             F.sum("tf").alias("ttf"),
-            F.first("term").alias("term"),
-            F.first("term_len").alias("term_len"),
+            # display is null except one representative row per batch-unique
+            # term (fast path) — any non-null display of the sign is valid
+            F.first("term", ignorenulls=True).alias("term"),
+            F.first("term_len", ignorenulls=True).alias("term_len"),
         )
         # total-tf idf quirk (ttf, NOT df) incl. the unsigned-wrap for
         # ttf > N: /root/reference/src/math_util.cpp:19-23, callers

@@ -159,11 +159,10 @@ def compact_incremental(
 
     # ---- seed doc_term: tokenize ONLY the deltas ----
     dt_fn = make_doc_term_iterator(cfg.tokenizer, "doc_id", "content")
-    delta_dt = (
-        delta_raw_full.select("doc_id", "content")
-        .mapInPandas(dt_fn, DOC_TERM_SCHEMA)
-        .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
-        .withColumn("term_len", F.length("term"))
+    # term_sign/term_len are emitted by the iterator itself (Python xxhash64
+    # on batch-unique terms, bit-equal to F.xxhash64(F.lower(term)))
+    delta_dt = delta_raw_full.select("doc_id", "content").mapInPandas(
+        dt_fn, DOC_TERM_SCHEMA
     )
     base_dt = base_store.doc_term(spark)
     merged_dt = base_dt.join(F.broadcast(delta_ids), "doc_id", "left_anti").unionByName(

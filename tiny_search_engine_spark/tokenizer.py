@@ -141,66 +141,155 @@ def make_tokenize_iterator(mode: str, id_col: str = "doc_id", text_col: str = "c
 
 
 DOC_TERM_SCHEMA = (
-    "doc_id long, term string, tf int, first_idx int, doc_len int, n_terms int"
+    "doc_id long, term_sign long, term string, term_len int, "
+    "tf int, first_idx int, doc_len int, n_terms int"
 )
+
+# single-char class tests used by the trailing-scan doc_len below; regexes
+# (not str methods) so the classes are EXACTLY Python re's \s/\w/\d
+_S_CH = re.compile(r"\s")
+_W_CH = re.compile(r"\w")
+_D_CH = re.compile(r"\d")
+
+
+def _last_token_end_code(text: str) -> int:
+    """End (unicode-char index) of the LAST _CODE_RE match, without running
+    the tokenizer: every char is either part of some token or "unmatched"
+    (whitespace, or a \\w char that is neither an ASCII identifier char nor
+    a \\d digit — e.g. é — which no alternative of _CODE_RE can consume),
+    so the last match end is len(text) minus the trailing unmatched run."""
+    i = len(text)
+    while i:
+        c = text[i - 1]
+        if "a" <= c <= "z" or "A" <= c <= "Z" or "0" <= c <= "9" or c == "_":
+            break
+        if _S_CH.fullmatch(c) or (_W_CH.fullmatch(c) and not _D_CH.fullmatch(c)):
+            i -= 1
+            continue
+        break  # [^\w\s] — always a (punct) token char
+    return i
+
+
+def _last_token_end_ws(text: str) -> int:
+    i = len(text)
+    while i and _S_CH.fullmatch(text[i - 1]):
+        i -= 1
+    return i
+
+
+_LAST_TOKEN_END = {"code": _last_token_end_code, "ws": _last_token_end_ws}
 
 
 def make_doc_term_iterator(mode: str, id_col: str = "doc_id", text_col: str = "content"):
     """Map-side per-doc aggregation (the reference's ``update_global_info``
     pass, segment.cpp:78-101, fused into tokenization): emits one row per
-    (doc, DISTINCT term) with tf/first_idx plus the doc-level doc_len and
-    n_terms replicated on each row.
+    (doc, DISTINCT case-folded term) with tf/first_idx plus the doc-level
+    doc_len and n_terms replicated on each row.
 
     This is the fast-path tokenize stage: it removes the token-level
     shuffle entirely (the per-(doc,term) reduction happens in Python where
     the tokens already live) — at 100 TB that is the difference between
     shuffling ~10^13 occurrence rows and ~0.4x as many pre-reduced rows.
     The positional token table (needed only by the exact feature-parity
-    path) is written separately when BuildConfig.write_tokens is set."""
+    path) is written separately when BuildConfig.write_tokens is set.
+
+    The per-batch reduction is columnar, not a Python dict loop: C-level
+    ``findall`` → one object array → ``pd.factorize`` (display, then
+    case-folded) → ``np.unique`` over packed (doc, term-code) int64 keys
+    (stable, so return_index IS the first occurrence → first_idx).
+    ``term_sign`` is computed here (bit-exact xxhash64, tests/test_hashing)
+    on the few thousand batch-unique terms instead of JVM-hashing millions
+    of post-explosion rows, and the display string is shipped on ONE
+    representative row per batch-unique term (null elsewhere) — the
+    dominant Arrow/parquet string column collapses to ~1% of rows.
+    Consumers aggregate it with ``first(term, ignorenulls=True)``."""
     pat = _PATTERNS[mode]
+    last_end = _LAST_TOKEN_END[mode]
+
+    empty = {
+        id_col: pd.Series([], dtype="int64"),
+        "term_sign": pd.Series([], dtype="int64"),
+        "term": pd.Series([], dtype="object"),
+        "term_len": pd.array([], dtype="Int32"),
+        "tf": pd.Series([], dtype="int32"),
+        "first_idx": pd.Series([], dtype="int32"),
+        "doc_len": pd.Series([], dtype="int32"),
+        "n_terms": pd.Series([], dtype="int32"),
+    }
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from itertools import chain
+
+        import numpy as np
+
         for pdf in batches:
-            ids: list[int] = []
-            terms: list[str] = []
-            tfs: list[int] = []
-            firsts: list[int] = []
+            words_lists: list[list[str]] = []
             dlens: list[int] = []
-            nterms: list[int] = []
+            keep_ids: list[int] = []
             for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
                 if text is None:
                     continue
-                stats: dict[str, list] = {}  # lower(term) -> [display, tf, first]
-                pos = 0
-                end = 0
-                for m in pat.finditer(text):
-                    w = m.group(0)
-                    lw = w.lower()
-                    ent = stats.get(lw)
-                    if ent is None:
-                        stats[lw] = [w, 1, pos]
-                    else:
-                        ent[1] += 1
-                    end = m.end()
-                    pos += 1
-                if pos == 0:
+                ws = pat.findall(text)
+                if not ws:  # token-less docs rejected (table.cpp:270)
                     continue
-                dl = end  # last token offset+length (node_def.cpp:100-103)
-                for lw, (disp, tf, first) in stats.items():
-                    ids.append(did)
-                    terms.append(disp)
-                    tfs.append(tf)
-                    firsts.append(first)
-                    dlens.append(dl)
-                    nterms.append(pos)
+                words_lists.append(ws)
+                dlens.append(last_end(text))
+                keep_ids.append(did)
+            if not words_lists:
+                yield pd.DataFrame(empty)
+                continue
+            counts = np.fromiter(
+                map(len, words_lists), dtype=np.int64, count=len(words_lists)
+            )
+            total = int(counts.sum())
+            words = np.empty(total, dtype=object)
+            words[:] = list(chain.from_iterable(words_lists))
+            doc_ord = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            disp_codes, disp_uniq = pd.factorize(words)
+            low_uniq = np.empty(len(disp_uniq), dtype=object)
+            low_uniq[:] = [w.lower() for w in disp_uniq]
+            low_of_disp, low_uniq2 = pd.factorize(low_uniq)
+            lcodes = low_of_disp[disp_codes]  # per-token case-folded code
+            signs = np.fromiter(
+                (term_sign(w) for w in low_uniq2),
+                dtype=np.int64,
+                count=len(low_uniq2),
+            )
+            pair = doc_ord * np.int64(len(low_uniq2)) + lcodes
+            # stable (mergesort) unique → return_index = FIRST occurrence
+            _, first_g, tf = np.unique(pair, return_index=True, return_counts=True)
+            d_idx = doc_ord[first_g]
+            l_idx = lcodes[first_g]
+            n_pairs = len(first_g)
+            # one representative row per batch-unique term carries the
+            # display string (+ its unicode length); the rest are null
+            rep = np.unique(l_idx, return_index=True)[1]
+            terms_out = np.full(n_pairs, None, dtype=object)
+            rep_words = words[first_g[rep]]
+            terms_out[rep] = rep_words
+            tl_vals = np.zeros(n_pairs, dtype=np.int32)
+            tl_vals[rep] = np.fromiter(
+                map(len, rep_words), dtype=np.int32, count=len(rep)
+            )
+            tl_mask = np.ones(n_pairs, dtype=bool)
+            tl_mask[rep] = False
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
-                    "term": pd.Series(terms, dtype="object"),
-                    "tf": pd.Series(tfs, dtype="int32"),
-                    "first_idx": pd.Series(firsts, dtype="int32"),
-                    "doc_len": pd.Series(dlens, dtype="int32"),
-                    "n_terms": pd.Series(nterms, dtype="int32"),
+                    id_col: pd.Series(
+                        np.asarray(keep_ids, dtype=np.int64)[d_idx], dtype="int64"
+                    ),
+                    "term_sign": pd.Series(signs[l_idx], dtype="int64"),
+                    "term": pd.Series(terms_out, dtype="object"),
+                    "term_len": pd.arrays.IntegerArray(tl_vals, mask=tl_mask),
+                    "tf": pd.Series(tf.astype(np.int32), dtype="int32"),
+                    "first_idx": pd.Series(
+                        (first_g - doc_start[d_idx]).astype(np.int32), dtype="int32"
+                    ),
+                    "doc_len": pd.Series(
+                        np.asarray(dlens, dtype=np.int32)[d_idx], dtype="int32"
+                    ),
+                    "n_terms": pd.Series(counts[d_idx].astype(np.int32), dtype="int32"),
                 }
             )
 
