@@ -1,0 +1,115 @@
+"""spark-submit --py-files packaging + jobs CLI (north rule: the job runs
+via spark-submit --py-files on multi-executor clusters).
+
+The heavy test launches a REAL spark-submit child at local[2] with the
+package shipped ONLY via --py-files (cwd outside the repo, so an import
+that accidentally relies on the checkout would fail), builds a store from
+a parquet source, then queries it — the exact production invocation shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from tiny_search_engine_spark.jobs import _read_queries, table_io
+from tiny_search_engine_spark.synth import source_files
+
+
+def test_read_queries_formats(tmp_path):
+    p = tmp_path / "q.tsv"
+    p.write_text("7\tbinary search tree\nplain query line\n\n42\tx\n", encoding="utf-8")
+    assert _read_queries(str(p)) == [
+        (7, "binary search tree"),
+        (1, "plain query line"),
+        (42, "x"),
+    ]
+
+
+def test_table_io_parquet_and_tsv(spark, tmp_path):
+    src = source_files(spark, 50, seed=1)
+    pq = str(tmp_path / "src.parquet")
+    src.write.parquet(pq)
+    got = table_io(spark, pq)
+    assert set(got.columns) == {"repo", "path", "commit", "lang", "content"}
+    assert got.count() == 50
+
+    tsv = tmp_path / "corpus.tsv"
+    tsv.write_text(
+        "q\told title\thttp://u1\t0\nq\tnew title\thttp://u1\t0\nq\tother doc\thttp://u2\t1\n",
+        encoding="utf-8",
+    )
+    rows = {r.path: r.content for r in table_io(spark, f"tsv:{tsv}").collect()}
+    # last version wins for the CLI build path
+    assert rows == {"http://u1": "new title", "http://u2": "other doc"}
+
+    with pytest.raises(ValueError, match="unknown source scheme"):
+        table_io(spark, "bogus:whatever")
+
+
+def test_make_pyfiles_deterministic(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_pyfiles import build_zip
+
+    z1, z2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+    entries = build_zip(z1)
+    build_zip(z2)
+    assert open(z1, "rb").read() == open(z2, "rb").read()
+    assert "tiny_search_engine_spark/jobs.py" in entries
+    assert all(e.endswith(".py") for e in entries)
+    with zipfile.ZipFile(z1) as z:
+        assert "tiny_search_engine_spark/query.py" in z.namelist()
+
+
+def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
+    """Build + query through a real spark-submit child with --py-files."""
+    pq = str(tmp_path / "src.parquet")
+    source_files(spark, 200, seed=42).write.parquet(pq)
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_pyfiles import build_zip
+
+    zip_path = str(tmp_path / "tse.zip")
+    build_zip(zip_path)
+    qfile = tmp_path / "q.tsv"
+    qfile.write_text("0\tdef main\n1\treturn result\n", encoding="utf-8")
+    store = str(tmp_path / "store")
+    hits = str(tmp_path / "hits.parquet")
+
+    env = {k: v for k, v in os.environ.items() if not k.startswith("PYSPARK")}
+    env["PYSPARK_PYTHON"] = sys.executable
+    # cwd OUTSIDE the repo: the package must come from --py-files alone
+    common = [
+        "spark-submit",
+        "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "tse_job.py"),
+    ]
+    r = subprocess.run(
+        common + ["build", "--source", pq, "--out", store, "--verify-sha256"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] == 200
+    assert summary["sha256_mismatches"] == 0
+
+    r = subprocess.run(
+        common + ["query", "--store", store, "--queries", str(qfile),
+                  "--k", "5", "--out", hits],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    res = spark.read.parquet(hits)
+    assert set(res.columns) >= {"query_id", "rank", "doc_id", "bm25"}
+    assert res.count() > 0
+    assert res.select("query_id").distinct().count() == 2

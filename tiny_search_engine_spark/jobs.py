@@ -1,0 +1,195 @@
+"""spark-submit entry points: the cluster-facing CLI for build and query.
+
+North rule: "run via spark-submit --py-files on multi-executor clusters".
+The package ships as a zip (``python scripts/make_pyfiles.py`` →
+``dist/tiny_search_engine_spark.zip``) and the thin launcher
+``scripts/tse_job.py`` dispatches here:
+
+    spark-submit --master spark://... --py-files dist/tiny_search_engine_spark.zip \
+        scripts/tse_job.py build --source iceberg:warehouse.db.repos --out /store
+
+    spark-submit --py-files dist/tiny_search_engine_spark.zip \
+        scripts/tse_job.py query --store /store --queries q.tsv --k 20 --out hits.parquet
+
+Under spark-submit the session comes from ``getOrCreate()`` so the
+submitted ``--master`` / ``--conf`` / ``--num-executors`` are respected
+verbatim (that is how the N-vs-4N-executor scaling runs are launched);
+standalone invocation (``python -m tiny_search_engine_spark.jobs``) falls
+back to the tuned local factory in session.py.
+
+Source formats (``table_io``, the reader the session.py docstring names):
+  * ``iceberg:<catalog.db.table>`` / ``table:<name>`` — catalog table via
+    ``spark.read.table``; the Iceberg catalog itself is configured with
+    ``--conf spark.sql.catalog...`` at submit time (the runtime jars are
+    not in this sandbox, so tests exercise the parquet branch — identical
+    schema per BASELINE.json input_hint).
+  * ``tsv:<path>`` — the reference's TSV corpus
+    (sources/tsv_corpus.py; /root/reference/data/test.1w.utf8 shape).
+  * anything else — a parquet path with columns
+    (repo, path, commit, lang, content).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def job_session(app_name: str) -> SparkSession:
+    """Session for a submitted job: respect spark-submit's conf when
+    present, else the tuned local factory (session.py).
+
+    Detection: spark-submit's PythonRunner starts the gateway JVM first and
+    hands the python driver PYSPARK_GATEWAY_PORT — the submitted master /
+    --conf / --py-files already live in that JVM, so the builder must NOT
+    override them (SparkConf() can't be probed instead: pre-gateway it has
+    no spark.master even under spark-submit)."""
+    import os
+
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        spark = SparkSession.builder.appName(app_name).getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
+    from .session import get_spark
+
+    return get_spark(app_name=app_name)
+
+
+def table_io(spark: SparkSession, source: str) -> DataFrame:
+    """Read the source corpus: Iceberg/catalog table, TSV corpus, or
+    parquet path (schema per BASELINE.json input_hint)."""
+    if ":" in source:
+        scheme, rest = source.split(":", 1)
+        if scheme in ("iceberg", "table"):
+            return spark.read.table(rest)
+        if scheme == "tsv":
+            # reference-shaped TSV, mapped to the input_hint schema with
+            # last-version-wins semantics (the quirk-faithful duplicate-url
+            # parity path is sources/tsv_corpus.tsv_index_tables)
+            from pyspark.sql import functions as F
+
+            from .sources.tsv_corpus import load_tsv_corpus
+
+            v = load_tsv_corpus(spark, rest)
+            return v.filter(F.col("is_last_version")).select(
+                F.lit("tsv").alias("repo"),
+                F.col("url").alias("path"),
+                F.lit("HEAD").alias("commit"),
+                F.lit("text").alias("lang"),
+                F.col("title").alias("content"),
+            )
+        if scheme not in ("file", "hdfs", "s3", "s3a", "gs", "abfss"):
+            raise ValueError(f"unknown source scheme {scheme!r}")
+    return spark.read.parquet(source)
+
+
+def _read_queries(path: str) -> list[tuple[int, str]]:
+    """Query file: ``qid<TAB>query`` per line, or bare queries (qid =
+    line number). '-' reads stdin."""
+    fh = sys.stdin if path == "-" else open(path, encoding="utf-8")
+    out: list[tuple[int, str]] = []
+    with fh:
+        for i, line in enumerate(fh):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            qid, sep, rest = line.partition("\t")
+            if sep and qid.lstrip("-").isdigit():
+                out.append((int(qid), rest))
+            else:
+                out.append((i, line))
+    return out
+
+
+def main_build(argv: list[str]) -> int:
+    from .build import BuildConfig, build_index
+    from .query import assert_content_sha256
+
+    p = argparse.ArgumentParser(prog="tse_job build")
+    p.add_argument("--source", required=True, help="iceberg:<tbl> | table:<tbl> | tsv:<path> | parquet path")
+    p.add_argument("--out", required=True, help="segment store directory")
+    p.add_argument("--tokenizer", default="code", choices=["code", "ws"])
+    p.add_argument("--stopwords", default=None, help="file with one stopword per line")
+    p.add_argument("--no-resume", action="store_true", help="ignore completed stages (default: checkpoint-resume)")
+    p.add_argument("--write-tokens", action="store_true", help="materialize the positional token table (feature path)")
+    p.add_argument("--copy-content", action="store_true", help="copy content into the store (default: id-map only)")
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--postings-per-shard", type=int, default=1 << 20)
+    p.add_argument("--verify-sha256", action="store_true", help="re-scan the source and assert per-row content sha256 equality")
+    a = p.parse_args(argv)
+
+    spark = job_session("tse_build")
+    stop: frozenset[str] = frozenset()
+    if a.stopwords:
+        with open(a.stopwords, encoding="utf-8") as fh:
+            stop = frozenset(w.strip() for w in fh if w.strip())
+    src = table_io(spark, a.source)
+    cfg = BuildConfig(
+        tokenizer=a.tokenizer,
+        stopwords=stop,
+        write_tokens=a.write_tokens,
+        copy_content=a.copy_content,
+        block_size=a.block_size,
+        postings_per_shard=a.postings_per_shard,
+    )
+    store = build_index(spark, src, a.out, cfg, resume=not a.no_resume)
+    meta = store.meta()
+    summary = {k: meta[k] for k in ("n_docs", "avg_doc_len", "tokenizer") if k in meta}
+    summary["store"] = a.out
+    if a.verify_sha256:
+        summary["sha256_mismatches"] = assert_content_sha256(spark, store, src)
+    print(json.dumps(summary))
+    return 0 if summary.get("sha256_mismatches", 0) == 0 else 1
+
+
+def main_query(argv: list[str]) -> int:
+    from .build import SegmentStore
+    from .config import QueryConfig
+    from .query import QueryEngine
+
+    p = argparse.ArgumentParser(prog="tse_job query")
+    p.add_argument("--store", required=True)
+    p.add_argument("--queries", required=True, help="qid\\tquery per line ('-' = stdin)")
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--path", default="wand", choices=["wand", "bm25", "search"],
+                   help="wand = batched block-max path; bm25 = exact join path; search = full reference funnel")
+    p.add_argument("--profile", default="standard", choices=["standard", "reference"])
+    p.add_argument("--compat", default="fixed", choices=["fixed", "reference"])
+    p.add_argument("--out", default=None, help="parquet dir (or .tsv path); default prints to stdout")
+    a = p.parse_args(argv)
+
+    spark = job_session("tse_query")
+    eng = QueryEngine(spark, SegmentStore(a.store),
+                      QueryConfig(profile=a.profile, compat=a.compat))
+    queries = _read_queries(a.queries)
+    fn = {"wand": eng.wand_topk, "bm25": eng.bm25_topk, "search": eng.search}[a.path]
+    res = fn(queries, k=a.k)
+    if a.out is None:
+        for row in res.collect():
+            print("\t".join(str(v) for v in row))
+    elif a.out.endswith(".tsv"):
+        res.coalesce(1).write.mode("overwrite").option("sep", "\t").option("header", True).csv(a.out)
+    else:
+        res.write.mode("overwrite").parquet(a.out)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0 if argv else 2
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "build":
+        return main_build(rest)
+    if cmd == "query":
+        return main_query(rest)
+    print(f"unknown command {cmd!r} (expected: build | query)", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

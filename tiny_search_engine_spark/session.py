@@ -6,8 +6,9 @@ for 1000-executor / 100 TB scale and validated here via partitioning- and
 parallelism-invariance tests.
 
 Iceberg is the primary production catalog per BASELINE.json input_hint; the
-runtime jars are not in this sandbox, so ``table_io`` falls back to plain
-parquet paths with identical schemas (feature-flagged, SURVEY.md §7).
+runtime jars are not in this sandbox, so ``jobs.table_io`` falls back to
+plain parquet paths with identical schemas (SURVEY.md §7); catalog conf is
+supplied at spark-submit time (README "Cluster submission").
 """
 
 from __future__ import annotations
