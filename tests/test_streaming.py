@@ -88,3 +88,42 @@ def test_compact_incremental_equals_full_rebuild(spark, tmp_path):
     assert inc_stats == full_stats
     assert inc.meta()["n_docs"] == full.meta()["n_docs"]
     assert abs(inc.meta()["avg_doc_len"] - full.meta()["avg_doc_len"]) < 1e-9
+
+
+def test_query_stream_matches_batch(spark, tiny_store, tmp_path):
+    """Streaming serving drains a query backlog epoch-by-epoch and its
+    union equals a direct wand_topk over the same queries; a second drain
+    answers only newly-arrived queries (checkpointed progress)."""
+    from tiny_search_engine_spark.config import QueryConfig
+    from tiny_search_engine_spark.query import QueryEngine
+    from tiny_search_engine_spark.streaming.query_stream import (
+        read_results,
+        serve_query_stream,
+    )
+
+    eng = QueryEngine(spark, tiny_store, QueryConfig(profile="standard", compat="fixed"))
+    q1 = [(0, "binary search tree"), (1, "hash map")]
+    q2 = [(2, "quick sort"), (3, "merge interval")]
+    qdir, rdir = str(tmp_path / "queries"), str(tmp_path / "results")
+    os.makedirs(qdir)
+    spark.createDataFrame(q1, "query_id long, query string").write.parquet(
+        os.path.join(qdir, "arrival1")
+    )
+    serve_query_stream(
+        spark, eng, qdir + "/*", rdir, k=5
+    ).awaitTermination(120)
+    got1 = read_results(spark, rdir)
+    want1 = eng.wand_topk(q1, k=5)
+    key = lambda df: sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.bm25, 9))
+        for r in df.select("query_id", "rank", "doc_id", "bm25").collect()
+    )
+    assert key(got1) == key(want1)
+
+    spark.createDataFrame(q2, "query_id long, query string").write.parquet(
+        os.path.join(qdir, "arrival2")
+    )
+    serve_query_stream(
+        spark, eng, qdir + "/*", rdir, k=5
+    ).awaitTermination(120)
+    assert key(read_results(spark, rdir)) == key(eng.wand_topk(q1 + q2, k=5))
