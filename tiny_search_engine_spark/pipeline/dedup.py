@@ -63,8 +63,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
     md5(i || ':' || shingle). Pure column algebra; deterministic;
-    cross-engine (md5 hex compares identically as strings)."""
-    sh = _shingles(text_col, shingle)
+    cross-engine (md5 hex compares identically as strings).
+
+    Staged as tokens → shingles → signatures in SEPARATE projections:
+    inlining everything into one projection makes Catalyst re-evaluate
+    split(lower(text)) inside every per-shingle slice() lambda — O(L²)
+    string-splitting per doc, ×num_hashes — which measured ~10× slower
+    at 5k docs. CollapseProject keeps the stages apart because each
+    intermediate alias is non-cheap and referenced more than once."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
+    tok_df = df.select(F.col(id_col), toks.alias("_toks"))
+    k = F.size(F.col("_toks")) - (shingle - 1)
+    sh = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i, shingle), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh_df = tok_df.select(F.col(id_col), sh.alias("_sh"))
     cols = [F.col(id_col)]
 
     def hasher(i: int):
@@ -74,11 +91,11 @@ def minhash_signatures(
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
     for i in range(num_hashes):
-        cols.append(F.array_min(F.transform(sh, hasher(i))).alias(f"mh_{i}"))
+        cols.append(F.array_min(F.transform(F.col("_sh"), hasher(i))).alias(f"mh_{i}"))
     # docs shorter than one shingle have no signature: omit them (matches
     # the SQL oracle; also prevents an all-NULL LSH band that would bucket
     # every degenerate doc together — a skew bomb at corpus scale)
-    return df.select(*cols).filter(F.col("mh_0").isNotNull())
+    return sh_df.select(*cols).filter(F.col("mh_0").isNotNull())
 
 
 def lsh_candidate_pairs(
@@ -127,8 +144,14 @@ def lsh_candidate_pairs(
     banded = sig.select(
         F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
     )
+    # self-join as sort-merge over one explicit shuffle on the band key:
+    # both sides canonicalize to the SAME Exchange, so the whole
+    # tokenize→shingle→minhash pipeline runs ONCE and the second side is
+    # a ReusedExchange — a broadcast join here would instead recompute the
+    # signature pipeline per side (measured ~2× the whole-stage cost)
+    banded = banded.repartition(F.col("band"), F.col("band_key"))
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.alias("b").hint("shuffle_merge")
     return (
         a.join(
             b,
