@@ -364,6 +364,21 @@ def _q_embedding_neardup(spark, sf_dir):
     return dedup.embedding_neardup_pairs(emb, threshold=0.3)
 
 
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """Banded-LSH near-dup (the bucket-local 100 TB path). No SQL oracle:
+    the hyperplane construction (sha256-seeded sign sketches) is not
+    ANSI-SQL-expressible; tests pin exact-precision/recall against the
+    brute-force path instead (tests/test_pipeline.py)."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    dim = len(emb.select("embedding").first()[0])
+    # band shape follows the threshold: at cosine 0.3 (θ≈72°) per-plane
+    # collision is ~0.6, so short sketches in more bands (3×8 → ~85%
+    # expected recall) replace the 6×4 default that targets cosine ≥0.9
+    return dedup.embedding_neardup_pairs_lsh(
+        emb, dim=dim, threshold=0.3, n_planes=3, n_bands=8
+    )
+
+
 def _q_knn_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -488,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vsm_topk": _q_vsm_topk,
         "edit_distance": _q_edit_distance,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count": _q_token_count,

@@ -172,3 +172,33 @@ def test_synonym_expand_matches_dict(spark):
             want = [s for s in sd.get(t.term) if s.lower() != t.term.lower()][:10]
             have = [s for _, s in sorted(got.get((qid, i), []))]
             assert have == want, (qid, i, t.term, have, want)
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """LSH-banded near-dup (the 100 TB shape) vs the brute-force path:
+    exact precision (pairs are a subset with identical cosines), high
+    recall at the default 6-plane x 4-band config, and no cross join in
+    the plan."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((120, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    # plant near-dups: jittered copies, cosine ~0.99
+    for j in range(40):
+        v = base[j] + 0.05 * rng.standard_normal(16).astype("float32")
+        rows.append((1000 + j, v.astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = {(r.id_a, r.id_b): r.cosine
+             for r in dedup.embedding_neardup_pairs(emb, threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in dedup.embedding_neardup_pairs_lsh(emb, dim=16, threshold=0.9).collect()}
+    assert set(lsh) <= set(brute)  # exact cosine filter -> no false positives
+    for k in lsh:
+        assert lsh[k] == brute[k]
+    assert len(brute) >= 40
+    assert len(lsh) / len(brute) >= 0.85  # banded recall (deterministic seeds)
+
+    plan = dedup.embedding_neardup_pairs_lsh(emb, dim=16)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -238,8 +238,9 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
-    Brute-force pair join (fine at test scale); at 100 TB route through
-    simsearch.lsh_buckets first so the join is bucket-local."""
+    Brute-force pair join — the exact baseline the DuckDB oracle checks
+    and the recall reference for ``embedding_neardup_pairs_lsh`` (the
+    100 TB shape: bucket-local join, no O(n²) cross product)."""
     from .simsearch import _dot, _norm
 
     v = df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm"))
@@ -255,4 +256,71 @@ def embedding_neardup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             "cosine",
         )
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: banded random-hyperplane LSH.
+
+    ``n_bands`` independent sign-bit sketches of ``n_planes`` planes each
+    (seeded ``seed + band`` — same deterministic plane construction as
+    simsearch.hyperplanes); a pair collides if ANY band agrees, so for
+    collision probability p = 1 - θ/π per plane the pair is found with
+    1 - (1 - p^n_planes)^n_bands (≈0.95 at cosine 0.95 with 6×4).
+    Candidates come from a bucket-equi-join (shuffle keyed by
+    (band, bucket) — never a cross product; hot buckets are split by AQE
+    skew join like hot terms), then the exact cosine filter keeps true
+    pairs, so precision is exact and only recall is approximate —
+    measured against the brute-force path in tests."""
+    from .simsearch import _dot, _norm, hyperplanes
+
+    band_cols = []
+    for band in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for p, plane in enumerate(hyperplanes(dim, n_planes, seed + band)):
+            arr = F.array(*[F.lit(x) for x in plane])
+            bucket = bucket + F.when(_dot(F.col(vec_col), arr) > 0, F.lit(1 << p)).otherwise(0)
+        band_cols.append(bucket)
+    banded = df.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    ).repartition(F.col("band"), F.col("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b").hint("shuffle_merge")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    v = df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm"))
+    av = v.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("nrm").alias("_na")
+    )
+    bv = v.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("nrm").alias("_nb")
+    )
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn(
+            "cosine", F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
