@@ -40,16 +40,23 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _shingles(text_col: str, n: int):
-    """Word n-gram shingle array, SQL-expressible: slide over the token
-    array with transform(sequence(...))."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
-    k = F.size(toks) - (n - 1)
+def _tokens(text_col: str):
+    """Lowercased whitespace token array (SQL-expressible)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
+
+
+def _shingles_of(toks_col, n: int):
+    """Word n-gram shingle array from a MATERIALIZED token-array column:
+    slide with transform(sequence(...)). The argument must be a plain
+    column reference — passing the tokenize expression inline makes
+    Catalyst re-evaluate it inside the per-shingle slice() lambda,
+    O(L²) per row (see minhash_signatures)."""
+    k = F.size(toks_col) - (n - 1)
     return F.when(
         k > 0,
         F.transform(
             F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.array_join(F.slice(toks_col, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -71,17 +78,10 @@ def minhash_signatures(
     string-splitting per doc, ×num_hashes — which measured ~10× slower
     at 5k docs. CollapseProject keeps the stages apart because each
     intermediate alias is non-cheap and referenced more than once."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
-    tok_df = df.select(F.col(id_col), toks.alias("_toks"))
-    k = F.size(F.col("_toks")) - (shingle - 1)
-    sh = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.array_join(F.slice(F.col("_toks"), i, shingle), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh_df = tok_df.select(F.col(id_col), sh.alias("_sh"))
+    tok_df = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    sh_df = tok_df.select(
+        F.col(id_col), _shingles_of(F.col("_toks"), shingle).alias("_sh")
+    )
     cols = [F.col(id_col)]
 
     def hasher(i: int):
@@ -175,13 +175,26 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram-Jaccard similar pairs: explode distinct shingles,
-    self-equi-join on shingle, |∩| / (|A|+|B|-|∩|) ≥ threshold."""
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, shingle))).alias("sh")
+    self-equi-join on shingle, |∩| / (|A|+|B|-|∩|) ≥ threshold.
+
+    Tokens are staged as a column before shingling (see _shingles_of),
+    and the self-join sort-merges over ONE explicit shuffle on the
+    shingle so the exploded pipeline runs once (ReusedExchange) instead
+    of once per join side."""
+    tok_df = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    sh = tok_df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles_of(F.col("_toks"), shingle))).alias("sh"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # per-doc distinct-shingle counts as row-local column algebra — no
+    # third evaluation of the exploded pipeline, no extra shuffle
+    sizes = tok_df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(_shingles_of(F.col("_toks"), shingle))).alias("n_sh"),
+    )
+    sh = sh.repartition(F.col("sh"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.alias("b").hint("shuffle_merge")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
