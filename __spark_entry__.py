@@ -351,6 +351,10 @@ def _q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
 def _q_knn_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -497,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_sigs": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "knn_cosine": _q_knn_cosine,
         "knn_ivf": _q_knn_ivf,
         "synonym_expand": _q_synonym_expand,
@@ -813,6 +818,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
         """,
         "simhash_sigs": _sql_simhash(),
+        # the banded join is exact for hamming <= 3 < 4 bands (pigeonhole),
+        # so the O(n^2) SQL self-join is a true oracle, not an approximation
+        "simhash_pairs": f"""
+            WITH sig AS ({_sql_simhash()})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "knn_cosine": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -202,3 +202,29 @@ def test_embedding_neardup_lsh_recall(spark):
 
     plan = dedup.embedding_neardup_pairs_lsh(emb, dim=16)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_exact_vs_brute(spark):
+    """Banded simhash candidate join must find EXACTLY the pairs a brute
+    cross-join finds at hamming <= 3 (pigeonhole: 3 < 4 bands)."""
+    from itertools import combinations
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (4, "completely different words about spark engines here"),
+        (5, "unrelated content entirely separate vocabulary tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r.id_a, r.id_b, r.hamming) for r in dedup.simhash_pairs(df).collect()}
+    assert got == brute
+    assert (1, 3, 0) in got  # exact dup at hamming 0
+    plan = dedup.simhash_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

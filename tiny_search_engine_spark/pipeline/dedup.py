@@ -9,13 +9,14 @@ Scale notes (each op is shaped for 100 TB, not just the test tables):
   banding turns near-dup search into an equi-join on (band, band_key),
   i.e. a shuffle keyed by tiny strings instead of an O(n²) cross join.
 * SimHash   — per-row 32-bit signature via bit-vote column algebra;
-  candidate pairs = equi-join on rotated prefix bands (not implemented
-  here — signature only).
+  ``simhash_pairs`` = banded-prefix equi-join + exact Hamming filter
+  (EXACT for radius < n_bands by pigeonhole, never a cross join).
 * n-gram Jaccard — exploded-shingle self-equi-join + count ratio;
   bounded by shingle frequency (cap hot shingles like hot terms).
-* embedding cosine — exact pairwise over an LSH/IVF-bucketed join at
-  scale; brute-force pair join here (test tables are small), the
-  bucketed variant lives in simsearch.py.
+* embedding cosine — ``embedding_neardup_pairs`` brute-force baseline
+  (oracle-checked) + ``embedding_neardup_pairs_lsh`` banded
+  hyperplane-LSH bucket join (the 100 TB shape; exact precision,
+  tunable recall).
 
 The min-over-md5-hex MinHash trick keeps signatures ANSI-SQL-expressible
 (both Spark and DuckDB produce identical lowercase hex md5), so the DuckDB
@@ -241,6 +242,54 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     for j in range(SIMHASH_BITS):
         sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(1 << (SIMHASH_BITS - 1 - j))).otherwise(0)
     return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded-prefix candidate join + exact
+    Hamming filter — EXACT (full recall) for ``max_hamming < n_bands``.
+
+    Pigeonhole: ≤ max_hamming differing bits spread over n_bands equal-
+    width slices of the signature leave at least one slice identical, so
+    the (band, slice-value) equi-join — a shuffle keyed by small ints,
+    never a cross product — finds every qualifying pair; bit_count(xor)
+    then filters candidates exactly. Same banded-join shape as the
+    MinHash and hyperplane-LSH paths (one reused exchange)."""
+    if max_hamming >= n_bands:
+        raise ValueError("exactness needs max_hamming < n_bands (pigeonhole)")
+    if SIMHASH_BITS % n_bands:
+        raise ValueError("n_bands must divide the signature width")
+    width = SIMHASH_BITS // n_bands
+    sig = simhash(df, id_col, text_col)
+    keys = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+        for b in range(n_bands)
+    ])
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(keys).alias("band", "key")
+    ).repartition(F.col("band"), F.col("key"))
+    a = banded.alias("a")
+    b = banded.alias("b").hint("shuffle_merge")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def embedding_neardup_pairs(
