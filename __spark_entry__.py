@@ -486,6 +486,22 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Connected components over MinHash-LSH candidate pairs: the
+    transitive-closure stage that turns pairwise near-dup evidence into
+    drop-lists (dedup.resolve_clusters; iterative min-label propagation)."""
+    pairs = dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir), num_hashes=4, bands=2, shingle=3
+    )
+    return dedup.resolve_clusters(pairs)
+
+
+def _q_corpus_curate(spark, sf_dir):
+    """Curation funnel: quality gate -> exact-normalized dedup -> per-language
+    cap (textstats.curate)."""
+    return textstats.curate(_docs(spark, sf_dir), min_quality=0.5, per_lang_cap=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": _q_token_counts,
@@ -513,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
+        "dup_clusters": _q_dup_clusters,
+        "corpus_curate": _q_corpus_curate,
     }
 
 
@@ -546,6 +564,19 @@ def _sql_minhash(num_hashes: int = 4) -> str:
         f"min(md5(concat('{i}:', sh))) AS mh_{i}" for i in range(num_hashes)
     )
     return f"SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+
+
+def _sql_lsh_pairs() -> str:
+    return f"""
+            WITH sig AS ({_sql_minhash(4)}),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0, mh_1)) AS band_key FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(concat_ws('|', mh_2, mh_3)) AS band_key FROM sig)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """
 
 
 def _sql_simhash() -> str:
@@ -794,15 +825,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY md5(text)"
         ),
         "minhash_sigs": _sql_minhash(4),
-        "lsh_pairs": f"""
-            WITH sig AS ({_sql_minhash(4)}),
-            banded AS (
-              SELECT doc_id, 0 AS band, md5(concat_ws('|', mh_0, mh_1)) AS band_key FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band, md5(concat_ws('|', mh_2, mh_3)) AS band_key FROM sig)
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        "lsh_pairs": _sql_lsh_pairs(),
+        "dup_clusters": f"""
+            WITH RECURSIVE p AS ({_sql_lsh_pairs()}),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        """,
+        "corpus_curate": f"""
+            WITH q AS ({_QUALITY_SQL}),
+            fp AS (SELECT doc_id,
+                          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_norm
+                   FROM documents),
+            lg AS ({_sql_lang_id()}),
+            scored AS (
+              SELECT q.doc_id, lg.lang_pred, q.n_tokens, q.quality, fp.fp_norm
+              FROM q JOIN fp USING (doc_id) JOIN lg USING (doc_id)
+              WHERE q.quality >= 0.5),
+            canon AS (
+              SELECT *, row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id ASC) AS rn
+              FROM scored)
+            SELECT doc_id, lang_pred, n_tokens, quality, lang_rank FROM (
+              SELECT doc_id, lang_pred, n_tokens, quality,
+                     row_number() OVER (PARTITION BY lang_pred ORDER BY quality DESC, doc_id ASC) AS lang_rank
+              FROM canon WHERE rn = 1
+            ) WHERE lang_rank <= 50
         """,
         "ngram_jaccard": """
             WITH sh AS (SELECT DISTINCT doc_id, term AS sh FROM (

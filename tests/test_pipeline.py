@@ -228,3 +228,57 @@ def test_simhash_pairs_exact_vs_brute(spark):
     assert (1, 3, 0) in got  # exact dup at hamming 0
     plan = dedup.simhash_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resolve_clusters_transitive(spark):
+    # chain 1-2, 2-3 plus isolated edge 10-11: components {1,2,3}, {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.resolve_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_resolve_clusters_matches_union_find(spark):
+    # random-ish graph vs a pure-python union-find
+    import random
+
+    rng = random.Random(42)
+    edges = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(45)})
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expect = {n: find(n) for n in nodes}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.resolve_clusters(pairs).collect()}
+    assert got == expect
+
+
+def test_dedup_documents_keeps_canonical(docs):
+    pairs = dedup.lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    kept = {r["doc_id"] for r in dedup.dedup_documents(docs, pairs).collect()}
+    assert 1 in kept and 2 not in kept  # exact dups 1,2 -> keep min id
+    assert 4 in kept and 5 in kept
+
+
+def test_curate_quality_gate_dedup_and_cap(docs):
+    out = textstats.curate(docs, min_quality=0.0, per_lang_cap=1).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang_pred"], []).append(r)
+    # cap: at most 1 doc per language
+    assert all(len(v) == 1 for v in by_lang.values())
+    ids = {r["doc_id"] for r in out}
+    assert not ({1, 2} <= ids)  # exact-normalized dups collapsed
+    # quality gate: a high threshold drops everything
+    assert textstats.curate(docs, min_quality=2.0).count() == 0

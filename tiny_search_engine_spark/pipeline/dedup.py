@@ -386,3 +386,82 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over candidate pairs -> (doc_id, cluster_id),
+    cluster_id = min doc_id in the component. The last stage of every dedup
+    path: exact/LSH/SimHash/Jaccard emit PAIRS, but dropping duplicates
+    needs transitive CLUSTERS (a~b, b~c => keep one of {a,b,c}).
+
+    Scale shape: iterative min-label propagation. Each round is one
+    shuffle keyed by node id (join labels to the symmetric edge list, take
+    the min neighbour label) and converges in O(component diameter)
+    rounds — near-dup clusters are dense (LSH emits most clique edges),
+    so diameter is small even when components are huge; web-dedup runs of
+    the equivalent MapReduce algorithm (Rastogi et al., "Finding Connected
+    Components in Map-Reduce", ICDE'13 hash-to-min family) converge in
+    <10 rounds at billions of edges. Lineage is truncated every round with
+    localCheckpoint so the plan does not grow with iterations; the edge
+    list is cached once and reused every round. Convergence is detected
+    exactly (count of labels that changed), not by a fixed round count.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges.cache()
+    # initial label: min(self, direct neighbours)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_documents(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Materialized dedup: drop every row whose id sits in a duplicate
+    cluster and is not that cluster's canonical (min) id. One anti-join
+    against the (small relative to the corpus) non-canonical id set —
+    broadcastable whenever duplicates are <~ tens of millions; Spark's
+    AQE converts the anti-join to broadcast automatically when the
+    victim list is under the threshold."""
+    victims = (
+        resolve_clusters(pairs, id_a=id_a, id_b=id_b)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(victims, id_col, "left_anti")

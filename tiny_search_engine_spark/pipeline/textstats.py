@@ -111,3 +111,57 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(norm).alias("fp_norm"),
         F.md5(sorted_join).alias("fp_bag"),
     )
+
+
+def curate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    per_lang_cap: int | None = None,
+) -> DataFrame:
+    """Training-corpus curation funnel, fused into one pass of column
+    algebra + one window: (1) drop docs below a quality threshold,
+    (2) collapse exact-normalized duplicates to the min-id canonical,
+    (3) optionally cap the number of docs kept per predicted language,
+    keeping the highest-quality ones (deterministic doc_id tiebreak).
+
+    Scale shape: stages 1-2 are a filter + one hash-groupBy on a 16-byte
+    fingerprint (shuffle carries id+fp only); stage 3 is a window
+    partitioned by language — at 100 TB a per-language cap implies a
+    global per-language ranking, so the window key is the (low-cardinality)
+    language, mitigated by the pre-filtering stages shrinking the input
+    first. All SQL-expressible: DuckDB oracle `corpus_curate` checks it
+    value-exact.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(df, id_col=id_col, text_col=text_col).select(
+        id_col, "n_tokens", "quality"
+    )
+    fp = fingerprint(df, id_col=id_col, text_col=text_col).select(id_col, "fp_norm")
+    lang = lang_id(df, id_col=id_col, text_col=text_col).select(id_col, "lang_pred")
+    scored = (
+        df.select(id_col)
+        .join(q, id_col)
+        .join(fp, id_col)
+        .join(lang, id_col)
+        .filter(F.col("quality") >= min_quality)
+    )
+    canon = Window.partitionBy("fp_norm").orderBy(F.col(id_col).asc())
+    scored = (
+        scored.withColumn("_rn", F.row_number().over(canon))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if per_lang_cap is not None:
+        w = Window.partitionBy("lang_pred").orderBy(
+            F.col("quality").desc(), F.col(id_col).asc()
+        )
+        scored = (
+            scored.withColumn("lang_rank", F.row_number().over(w))
+            .filter(F.col("lang_rank") <= per_lang_cap)
+        )
+    else:
+        scored = scored.withColumn("lang_rank", F.lit(1))
+    return scored.select(id_col, "lang_pred", "n_tokens", "quality", "lang_rank")
