@@ -369,10 +369,13 @@ def _q_embedding_neardup(spark, sf_dir):
 
 
 def _q_embedding_neardup_lsh(spark, sf_dir):
-    """Banded-LSH near-dup (the bucket-local 100 TB path). No SQL oracle:
-    the hyperplane construction (sha256-seeded sign sketches) is not
-    ANSI-SQL-expressible; tests pin exact-precision/recall against the
-    brute-force path instead (tests/test_pipeline.py)."""
+    """Banded-LSH near-dup (the bucket-local 100 TB path). The DuckDB
+    oracle inlines the deterministic sha256-seeded hyperplanes as SQL
+    literals (the plane construction is Python, but the resulting plan —
+    sign-bit buckets, band equi-join, exact cosine filter — is pure
+    relational algebra), so the driver value-checks this path too;
+    precision/recall vs brute force is additionally pinned in
+    tests/test_pipeline.py."""
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
     dim = len(emb.select("embedding").first()[0])
     # band shape follows the threshold: at cosine 0.3 (θ≈72°) per-plane
@@ -577,6 +580,48 @@ def _sql_lsh_pairs() -> str:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         """
+
+
+def _sql_embedding_lsh(
+    dim: int = 64, n_planes: int = 3, n_bands: int = 8, seed: int = 42, threshold: float = 0.3
+) -> str:
+    """Oracle for embedding_neardup_pairs_lsh: the sha256-seeded planes are
+    deterministic Python, so inline them as literals; everything downstream
+    (sign-bit bucket per band, band equi-join, exact cosine) is SQL.
+    Element-order left-to-right double accumulation matches the engine's
+    F.aggregate fold bit-for-bit."""
+    from tiny_search_engine_spark.pipeline.simsearch import hyperplanes
+
+    band_exprs = []
+    for band in range(n_bands):
+        bits = []
+        for p, plane in enumerate(hyperplanes(dim, n_planes, seed + band)):
+            lit = "[" + ", ".join(repr(c) for c in plane) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        band_exprs.append(
+            f"SELECT vec_id, {band} AS band, {' + '.join(bits)} AS bucket FROM e"
+        )
+    banded = " UNION ALL ".join(band_exprs)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 100),
+        banded AS ({banded}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
+               round(list_dot_product(na.v, nb.v)
+                     / (sqrt(list_dot_product(na.v, na.v))
+                        * sqrt(list_dot_product(nb.v, nb.v))), 6) AS cosine
+        FROM cand JOIN e na ON na.vec_id = id_a JOIN e nb ON nb.vec_id = id_b
+        WHERE round(list_dot_product(na.v, nb.v)
+                    / (sqrt(list_dot_product(na.v, na.v))
+                       * sqrt(list_dot_product(nb.v, nb.v))), 6) >= {threshold}
+    """
 
 
 def _sql_simhash() -> str:
@@ -904,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
             WHERE cosine >= 0.3
         """,
+        "embedding_neardup_lsh": _sql_embedding_lsh(),
         "knn_ivf": _sql_knn_ivf(),
         "synonym_expand": _sql_synonym_expand(),
         "vsm_topk": _sql_vsm_topk(),

@@ -45,11 +45,38 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    def cpu_canary() -> float:
+        """Single-thread spin, seconds for 20M iterations. This sandbox VM
+        has multi-minute throttle windows where everything (JVM + python)
+        runs 10-100x slower; the canary records the machine state alongside
+        the timings so a throttled run is identifiable, and the heavy
+        sections below are best-of-2 so one clean window wins."""
+        t0 = time.time()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i
+        return round(time.time() - t0, 3)
+
     def timed(name: str, fn):
         t0 = time.time()
         out = fn()
         timings[name] = round(time.time() - t0, 3)
         return out
+
+    def timed_best2(name: str, fn):
+        """Run twice, keep the best wall time (both recorded in extra) —
+        the throttle-window discipline used by scripts/scaling_bench.py."""
+        t0 = time.time()
+        out = fn(0)
+        t1 = round(time.time() - t0, 3)
+        t0 = time.time()
+        out = fn(1)
+        t2 = round(time.time() - t0, 3)
+        timings[name] = min(t1, t2)
+        extra[f"{name}_runs"] = [t1, t2]
+        return out
+
+    extra["cpu_canary_before_s"] = cpu_canary()
 
     from tiny_search_engine_spark.session import scratch_dir
     work = scratch_dir("tse_bench_")
@@ -75,12 +102,12 @@ def main() -> None:
         )
         wsrc.unpersist()
         shutil.rmtree(os.path.join(work, "warm"), ignore_errors=True)
-        store = timed(
+        store = timed_best2(
             "index_build",
-            lambda: build_index(
+            lambda run: build_index(
                 spark,
                 src,
-                os.path.join(work, "store"),
+                os.path.join(work, f"store{run}"),
                 BuildConfig(
                     tokenizer="code",
                     stopwords=frozenset(make_stopwords()),
@@ -99,7 +126,7 @@ def main() -> None:
         # qps at a production batch size is the honest throughput number
         queries = [(i, q) for i, q in enumerate(make_queries(1000, seed=7))]
         eng = QueryEngine(spark, store, QueryConfig(profile="standard", compat="fixed"))
-        timed("wand_topk_1000q", lambda: eng.wand_topk(queries, k=20).count())
+        timed_best2("wand_topk_1000q", lambda run: eng.wand_topk(queries, k=20).count())
         timed("bm25_exact_100q", lambda: eng.bm25_topk(queries[:100], k=20).count())
         extra["wand_qps"] = round(len(queries) / timings["wand_topk_1000q"], 2)
 
@@ -133,6 +160,7 @@ def main() -> None:
         )
         timed("bm25_topk_docs_oracle", lambda: entrymod._q_bm25_topk(spark, sf_dir).count())
     finally:
+        extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
 
