@@ -127,3 +127,36 @@ def test_query_stream_matches_batch(spark, tiny_store, tmp_path):
         spark, eng, qdir + "/*", rdir, k=5
     ).awaitTermination(120)
     assert key(read_results(spark, rdir)) == key(eng.wand_topk(q1 + q2, k=5))
+
+
+def test_delete_docs_equals_rebuild_without_them(spark, tmp_path):
+    """delete_docs (the reference's declared-but-undefined delete_index,
+    table.h:72, as a seeded compaction) must equal a from-scratch build
+    over the corpus minus the victims — postings, stats, and meta."""
+    from pyspark.sql import functions as F
+
+    from tiny_search_engine_spark.streaming import delete_docs
+
+    cfg = BuildConfig(stopwords=frozenset(make_stopwords()), postings_per_shard=64)
+    src = source_files(spark, 60, seed=37)
+    base = build_index(spark, src, str(tmp_path / "dbase"), cfg)
+
+    victims = base.docs(spark).select("doc_id").orderBy("doc_id").limit(7)
+    deleted = delete_docs(spark, base, str(tmp_path / "ddel"), victims, cfg)
+
+    victim_ids = {r["doc_id"] for r in victims.collect()}
+    from tiny_search_engine_spark.build import with_doc_id
+
+    kept_src = with_doc_id(src).filter(~F.col("doc_id").isin(victim_ids)).drop("doc_id")
+    full = build_index(spark, kept_src, str(tmp_path / "dfull"), cfg)
+
+    assert _postings_map(spark, deleted) == _postings_map(spark, full)
+    del_stats = {r["doc_id"]: (r["doc_len"], round(r["vec_module"], 9))
+                 for r in deleted.doc_stats(spark).collect()}
+    full_stats = {r["doc_id"]: (r["doc_len"], round(r["vec_module"], 9))
+                  for r in full.doc_stats(spark).collect()}
+    assert del_stats == full_stats
+    assert deleted.meta()["n_docs"] == full.meta()["n_docs"] == 53
+    assert abs(deleted.meta()["avg_doc_len"] - full.meta()["avg_doc_len"]) < 1e-9
+    # base store untouched (snapshot semantics)
+    assert base.meta()["n_docs"] == 60

@@ -1,1 +1,1 @@
-from .ingest import compact, compact_incremental, ingest_available_now  # noqa: F401
+from .ingest import compact, compact_incremental, delete_docs, ingest_available_now  # noqa: F401

@@ -182,3 +182,63 @@ def compact_incremental(
     # downstream stages (term_stats, doc_stats, postings, meta) recompute
     # from the seeded tables via the normal resumable build
     return build_index(spark, None, out_dir, cfg, resume=True)
+
+
+def delete_docs(
+    spark: SparkSession,
+    base_store: SegmentStore,
+    out_dir: str,
+    doc_ids: DataFrame,
+    cfg: BuildConfig | None = None,
+) -> SegmentStore:
+    """Row-level delete — the operation the reference DECLARES but never
+    defines (``Table::delete_index``, /root/reference/include/table.h:72,
+    no definition anywhere in src/) — done properly as a seeded compaction.
+
+    *doc_ids* (one ``doc_id`` column) are anti-joined out of the base
+    store's ``docs_raw`` / ``tokens`` / ``doc_term`` tables (the delete set
+    is broadcast — victims are tiny relative to the corpus), and the
+    corpus-global stages (total-tf idf, avg_doc_len, doc weights,
+    postings) recompute from the seeded tables via the normal resumable
+    build: deleting docs changes N and every idf, so stat recompute is a
+    correctness requirement, not an implementation shortcut. The result is
+    a NEW immutable store (snapshot semantics, like an Iceberg row-delete
+    followed by compaction); the base store is untouched.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ..build import _write_lineage
+
+    cfg = cfg or BuildConfig()
+    ids = doc_ids.select("doc_id").dropDuplicates(["doc_id"])
+
+    out = SegmentStore(out_dir)
+    os.makedirs(out.lineage_path, exist_ok=True)
+
+    base_raw = base_store.docs_raw(spark)
+    base_raw.join(F.broadcast(ids), "doc_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(out.docs_raw_path)
+    _write_lineage(out, "docs_raw", {"copy_content": cfg.copy_content, "delete": True})
+
+    if cfg.write_tokens:
+        base_store.tokens(spark).join(F.broadcast(ids), "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(out.tokens_path)
+        _write_lineage(out, "tokens", {"tokenizer": cfg.tokenizer, "delete": True})
+
+    base_dt = base_store.doc_term(spark)
+    kept_dt = base_dt.join(F.broadcast(ids), "doc_id", "left_anti")
+    obs = Observation("del_doc_term")
+    kept_dt = kept_dt.observe(
+        obs, F.sum((F.col("first_idx") == 0).cast("long")).alias("n_docs")
+    )
+    kept_dt.write.mode("overwrite").parquet(out.doc_term_path)
+    _write_lineage(
+        out,
+        "doc_term",
+        {"fused_tokenize": True, "delete": True, "n_docs": int(obs.get["n_docs"] or 0)},
+    )
+
+    return build_index(spark, None, out_dir, cfg, resume=True)
