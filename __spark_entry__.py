@@ -505,6 +505,47 @@ def _q_corpus_curate(spark, sf_dir):
     return textstats.curate(_docs(spark, sf_dir), min_quality=0.5, per_lang_cap=50)
 
 
+def _events(spark, sf_dir):
+    import os as _os
+
+    # driver parquet stores ts as TIMESTAMP_NTZ; session tz is pinned UTC,
+    # so the cast to (LTZ) timestamp is the identity and unix_micros works
+    return spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _q_event_sessions(spark, sf_dir):
+    """Inactivity-gap sessionization of the events table (pipeline.events).
+    Timestamps surfaced as unix microseconds so the value-hash compare is
+    timezone-independent."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    return ev.sessionize(_events(spark, sf_dir), gap_minutes=30).select(
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+def _q_event_windowed(spark, sf_dir):
+    """Tumbling 1-hour window stats per event_type, incl. exact distinct
+    users and a JSON-extracted property mean (pipeline.events)."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    return ev.windowed_stats(_events(spark, sf_dir), "1 hour").select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "n_users",
+        "avg_k",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": _q_token_counts,
@@ -534,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "dup_clusters": _q_dup_clusters,
         "corpus_curate": _q_corpus_curate,
+        "event_sessions": _q_event_sessions,
+        "event_windowed": _q_event_windowed,
     }
 
 
@@ -958,6 +1001,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, substring(text, 1, 60) AS prefix FROM documents "
             f"WHERE doc_id < 30), (VALUES {_QUERIES_SQL_VALUES}) AS q(query_id, query)"
         ),
+        "event_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            s AS (
+              SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o)
+            SELECT user_id, session_id,
+                   epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+                   count(*) AS n_events, round(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "event_windowed": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value,
+                   count(DISTINCT user_id) AS n_users,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
+            FROM events GROUP BY 1, 2
+        """,
         "lang_id": _sql_lang_id(),
         "quality_score": _QUALITY_SQL,
         "token_count": (

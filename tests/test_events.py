@@ -1,0 +1,125 @@
+"""Event analytics ops: behavioral pins on crafted inputs (DuckDB-oracle
+equivalence runs in scripts/check_oracles.py + the driver)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_search_engine_spark.pipeline import events as ev
+
+
+@pytest.fixture(scope="module")
+def elog(spark):
+    rows = [
+        # user 1: two sessions (gap 31 min between event 2 and 3)
+        (0, datetime(2024, 1, 1, 10, 0, 0), 1, "view", 1.0, '{"k": 10}'),
+        (1, datetime(2024, 1, 1, 10, 10, 0), 1, "click", 2.0, '{"k": 20}'),
+        (2, datetime(2024, 1, 1, 10, 41, 0), 1, "view", 3.0, '{"k": 30}'),
+        # user 2: one session, exactly-30-min gap does NOT split
+        (3, datetime(2024, 1, 1, 11, 0, 0), 2, "view", 4.0, '{"k": 40}'),
+        (4, datetime(2024, 1, 1, 11, 30, 0), 2, "error", 5.0, '{"k": 50}'),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_sessionize_gap_split(elog):
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["total_value"])
+        for r in ev.sessionize(elog, gap_minutes=30).collect()
+    }
+    assert out == {
+        (1, 1): (2, 3.0),  # events 0,1
+        (1, 2): (1, 3.0),  # event 2 after a 31-min gap
+        (2, 1): (2, 9.0),  # 30-min gap is not > 30 min
+    }
+
+
+def test_sessionize_bounds(elog):
+    r = [
+        x
+        for x in ev.sessionize(elog, gap_minutes=30).collect()
+        if x["user_id"] == 1 and x["session_id"] == 1
+    ][0]
+    assert r["session_start"] == datetime(2024, 1, 1, 10, 0, 0)
+    assert r["session_end"] == datetime(2024, 1, 1, 10, 10, 0)
+
+
+def test_windowed_stats(elog):
+    out = {
+        (r["window_start"].hour, r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+            r["n_users"],
+            r["avg_k"],
+        )
+        for r in ev.windowed_stats(elog, "1 hour").collect()
+    }
+    assert out[(10, "view")] == (2, 4.0, 1, 20.0)  # events 0,2: k=10,30
+    assert out[(10, "click")] == (1, 2.0, 1, 20.0)
+    assert out[(11, "view")] == (1, 4.0, 1, 40.0)
+    assert out[(11, "error")] == (1, 5.0, 1, 50.0)
+
+
+def test_windowed_stats_codegen_plan(elog):
+    """The op must stay JVM-side: no Python UDFs in the plan."""
+    plan = (
+        ev.windowed_stats(elog)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    """Watermarked streaming window agg: after the watermark passes a
+    window's end (advanced by a later epoch), the finalized rows equal
+    the batch operator's for those windows; open windows are withheld."""
+    import os
+    from datetime import datetime
+
+    from tiny_search_engine_spark.streaming import windowed_stats_stream
+
+    src = str(tmp_path / "evsrc")
+    out = str(tmp_path / "evout")
+    ckpt = str(tmp_path / "evckpt")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    early = [
+        (0, datetime(2024, 1, 1, 0, 5), 1, "view", 1.0, '{"k": 1}'),
+        (1, datetime(2024, 1, 1, 0, 50), 2, "view", 2.0, '{"k": 3}'),
+        (2, datetime(2024, 1, 1, 1, 10), 1, "click", 3.0, '{"k": 5}'),
+    ]
+    spark.createDataFrame(early, schema).write.parquet(os.path.join(src, "e0"))
+    windowed_stats_stream(spark, src, out, ckpt, window="1 hour", watermark="30 minutes")
+
+    # late event INSIDE allowed lateness for hour-1, plus a sentinel that
+    # pushes the watermark past hour 1 (ts 3:00 - 30min = 2:30 > 2:00)
+    late = [
+        (3, datetime(2024, 1, 1, 1, 20), 3, "click", 4.0, '{"k": 7}'),
+        (4, datetime(2024, 1, 1, 3, 0), 9, "view", 0.0, '{"k": 0}'),
+    ]
+    spark.createDataFrame(late, schema).write.parquet(os.path.join(src, "e1"))
+    windowed_stats_stream(spark, src, out, ckpt, window="1 hour", watermark="30 minutes")
+
+    # append mode emits a window in the micro-batch AFTER the watermark
+    # passes its end, so a third epoch triggers the flush of hours 0-1
+    sentinel2 = [(5, datetime(2024, 1, 1, 5, 0), 9, "view", 0.0, '{"k": 0}')]
+    spark.createDataFrame(sentinel2, schema).write.parquet(os.path.join(src, "e2"))
+    windowed_stats_stream(spark, src, out, ckpt, window="1 hour", watermark="30 minutes")
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"], r["avg_k"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # hours 0, 1, 3 finalized (the 5:00 sentinel advanced the watermark to
+    # 4:30 and availableNow runs a final flush batch); hour 5 still open
+    assert got == {
+        (datetime(2024, 1, 1, 0, 0), "view"): (2, 3.0, 2.0),
+        (datetime(2024, 1, 1, 1, 0), "click"): (2, 7.0, 6.0),  # late event merged
+        (datetime(2024, 1, 1, 3, 0), "view"): (1, 0.0, 0.0),
+    }

@@ -1,0 +1,93 @@
+"""Event-stream analytics operators: sessionization, tumbling-window
+aggregation, JSON property extraction.
+
+The reference's only "event stream" is the interactive stdin query loop
+(/root/reference/src/main.cpp:75-90) with a DEBUG qps counter
+(main.cpp:92-98) and per-stage µs timers (table.cpp:594-603); these
+operators are the distributed re-expression of that serving-telemetry
+surface: what you aggregate when the query log is a table (or a stream)
+instead of one terminal.
+
+Scale shape:
+* ``sessionize`` — one shuffle keyed by user_id (the window partition
+  key), then pure window algebra: lag → gap flag → running sum = session
+  index. Sessions never cross users, so partitions are independent; a
+  skewed power-user is bounded by their own event count, not the corpus.
+* ``windowed_stats`` — one hash aggregation keyed by (window, type):
+  map-side partial aggregation collapses each partition to ~(windows ×
+  types) rows before the shuffle, so shuffle volume is bounded by key
+  cardinality, not event count. The identical plan runs under Structured
+  Streaming as ``events.withWatermark("ts", ...)`` + the same
+  ``F.window`` group — the batch oracle checks the aggregation semantics.
+
+Everything is built-in column algebra (whole-stage codegen, no Python);
+each op has a value-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Inactivity-gap sessionization: a new session starts when a user's
+    gap since their previous event exceeds *gap_minutes*.
+
+    Returns (user_id, session_id, session_start, session_end, n_events,
+    total_value) with session_id numbering a user's sessions from 1 in
+    time order (deterministic: ties on ts broken by event_id)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # exact integer microseconds — float seconds would make the gap
+    # threshold comparison epsilon-dependent between engines. The cast
+    # accepts TIMESTAMP_NTZ sources (parquet isAdjustedToUTC=false) —
+    # the session timezone is pinned to UTC, so NTZ->LTZ is the identity.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def windowed_stats(df: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregation per event_type: event count, value sum,
+    exact distinct users, and the mean of the JSON property ``$.k``
+    (the reference dumps features as JSON via jsonxx,
+    feature_mgr.cpp:21-35 — here JSON is parsed on the way IN too).
+
+    Batch form of the streaming plan ``withWatermark("ts", ...)
+    .groupBy(F.window("ts", window), "event_type")``."""
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.avg(F.get_json_object("props", "$.k").cast("double")), 6
+            ).alias("avg_k"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+            "avg_k",
+        )
+    )

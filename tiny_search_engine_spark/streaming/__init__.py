@@ -1,1 +1,2 @@
+from .event_stream import windowed_stats_stream  # noqa: F401
 from .ingest import compact, compact_incremental, delete_docs, ingest_available_now  # noqa: F401
