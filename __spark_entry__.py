@@ -546,6 +546,14 @@ def _q_event_windowed(spark, sf_dir):
     )
 
 
+def _q_event_rollup(spark, sf_dir):
+    """ROLLUP(event_type, hour) lattice in one pass (pipeline.events) —
+    the grouping-sets surface the reference lacks (SURVEY.md §F)."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    return ev.type_hour_rollup(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": _q_token_counts,
@@ -577,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": _q_corpus_curate,
         "event_sessions": _q_event_sessions,
         "event_windowed": _q_event_windowed,
+        "event_rollup": _q_event_rollup,
     }
 
 
@@ -1025,6 +1034,13 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
             FROM events GROUP BY 1, 2
+        """,
+        "event_rollup": """
+            SELECT event_type, hod, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   grouping(event_type) * 2 + grouping(hod) AS level
+            FROM (SELECT event_type, extract(hour FROM ts) AS hod, value FROM events)
+            GROUP BY ROLLUP(event_type, hod)
         """,
         "lang_id": _sql_lang_id(),
         "quality_score": _QUALITY_SQL,

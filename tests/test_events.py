@@ -123,3 +123,16 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
         (datetime(2024, 1, 1, 1, 0), "click"): (2, 7.0, 6.0),  # late event merged
         (datetime(2024, 1, 1, 3, 0), "view"): (1, 0.0, 0.0),
     }
+
+
+def test_type_hour_rollup_levels(elog):
+    rows = ev.type_hour_rollup(elog).collect()
+    # grand total: level 3, all keys null
+    gt = [r for r in rows if r["level"] == 3]
+    assert len(gt) == 1 and gt[0]["n_events"] == 5 and gt[0]["sum_value"] == 15.0
+    # per-type subtotals: level 1 (hod rolled up)
+    sub = {r["event_type"]: r["n_events"] for r in rows if r["level"] == 1}
+    assert sub == {"view": 3, "click": 1, "error": 1}
+    # leaf cells: level 0
+    leaf = {(r["event_type"], r["hod"]): r["n_events"] for r in rows if r["level"] == 0}
+    assert leaf[("view", 10)] == 2 and leaf[("view", 11)] == 1

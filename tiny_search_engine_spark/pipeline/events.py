@@ -91,3 +91,27 @@ def windowed_stats(df: DataFrame, window: str = "1 hour") -> DataFrame:
             "avg_k",
         )
     )
+
+
+def type_hour_rollup(df: DataFrame) -> DataFrame:
+    """Multi-level aggregate via ROLLUP(event_type, hour-of-day): per
+    (type, hour) cells, per-type subtotals, and a grand total in ONE
+    pass — Spark expands the grouping sets map-side, so the shuffle
+    still carries one partial aggregate per (grouping-set, key), not one
+    pass per level. The reference has no grouping sets (SURVEY.md §F);
+    this is the Spark-native answer to its per-stage counter logging
+    (/root/reference/src/table.cpp:594-603) generalized to a lattice.
+
+    NULL marks the rolled-up dimension (standard SQL semantics);
+    ``level`` = GROUPING__ID distinguishes a real NULL key from a
+    rollup row."""
+    hod = F.hour(F.col("ts").cast("timestamp")).alias("hod")
+    return (
+        df.select(F.col("event_type"), hod, F.col("value"))
+        .rollup("event_type", "hod")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.grouping_id().alias("level"),
+        )
+    )
