@@ -64,8 +64,10 @@ def main() -> None:
         return out
 
     def timed_best2(name: str, fn):
-        """Run twice, keep the best wall time (both recorded in extra) —
-        the throttle-window discipline used by scripts/scaling_bench.py."""
+        """Run twice, keep the best wall time (both runs + a per-item CPU
+        canary recorded in extra) — the throttle-window discipline used by
+        scripts/scaling_bench.py; a mid-suite throttle window is visible
+        as a slow canary next to the slow run."""
         t0 = time.time()
         out = fn(0)
         t1 = round(time.time() - t0, 3)
@@ -74,6 +76,7 @@ def main() -> None:
         t2 = round(time.time() - t0, 3)
         timings[name] = min(t1, t2)
         extra[f"{name}_runs"] = [t1, t2]
+        extra[f"{name}_canary_s"] = cpu_canary()
         return out
 
     extra["cpu_canary_before_s"] = cpu_canary()
@@ -141,12 +144,15 @@ def main() -> None:
             BuildConfig(tokenizer="code", stopwords=frozenset(make_stopwords())),
         )
         peng = QueryEngine(spark, pstore, QueryConfig(profile="standard", compat="fixed"))
-        timed("search_pipeline_20q", lambda: peng.search(queries[:20], k=20).count())
+        # engine warmup: the first search materializes the store caches
+        # (tokens/doc arrays) — one-time cost, not per-query cost
+        peng.search(queries[990:992], k=20).count()
+        timed_best2("search_pipeline_20q", lambda run: peng.search(queries[:20], k=20).count())
 
         # ---- pipeline ops over the driver documents/embeddings tables ----
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        timed("dedup_minhash_lsh", lambda: dedup.lsh_candidate_pairs(docs).count())
+        timed_best2("dedup_minhash_lsh", lambda run: dedup.lsh_candidate_pairs(docs).count())
         timed("dedup_simhash", lambda: dedup.simhash(docs).count())
         knn_q = emb.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("query_vec_id"), "embedding"
@@ -158,7 +164,12 @@ def main() -> None:
                 emb, knn_q, k=10, n_centroids=16, n_probe=4
             ).count(),
         )
-        timed("bm25_topk_docs_oracle", lambda: entrymod._q_bm25_topk(spark, sf_dir).count())
+        timed_best2(
+            "bm25_topk_docs_oracle",
+            lambda run: entrymod._q_bm25_topk(spark, sf_dir).count(),
+        )
+        timed("event_sessionize", lambda: entrymod._q_event_sessions(spark, sf_dir).count())
+        timed("event_windowed", lambda: entrymod._q_event_windowed(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)
