@@ -546,6 +546,18 @@ def _q_event_windowed(spark, sf_dir):
     )
 
 
+def _q_knn_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN: bucket-local candidates + exact cosine rerank
+    (simsearch.knn_lsh). Oracle inlines the deterministic planes as SQL
+    literals, like embedding_neardup_lsh."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return simsearch.knn_lsh(emb, queries, dim=dim, k=10)
+
+
 def _q_event_rollup(spark, sf_dir):
     """ROLLUP(event_type, hour) lattice in one pass (pipeline.events) —
     the grouping-sets surface the reference lacks (SURVEY.md §F)."""
@@ -586,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "event_windowed": _q_event_windowed,
         "event_rollup": _q_event_rollup,
+        "knn_lsh": _q_knn_lsh,
     }
 
 
@@ -673,6 +686,37 @@ def _sql_embedding_lsh(
         WHERE round(list_dot_product(na.v, nb.v)
                     / (sqrt(list_dot_product(na.v, na.v))
                        * sqrt(list_dot_product(nb.v, nb.v))), 6) >= {threshold}
+    """
+
+
+def _sql_knn_lsh(
+    dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 10, n_queries: int = 5
+) -> str:
+    """Oracle for knn_lsh: deterministic planes inlined as literals; the
+    bucket assignment, bucket-equi-join, exact cosine and windowed top-k
+    are pure SQL."""
+    from tiny_search_engine_spark.pipeline.simsearch import hyperplanes
+
+    bits = []
+    for p, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+        lit = "[" + ", ".join(repr(c) for c in plane) + "]::DOUBLE[]"
+        bits.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        q AS (SELECT vec_id AS query_vec_id, v AS qv, bucket FROM b WHERE vec_id < {n_queries}),
+        scored AS (
+          SELECT q.query_vec_id, b.vec_id,
+                 round(list_dot_product(b.v, q.qv)
+                       / (sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+          FROM b JOIN q ON b.bucket = q.bucket)
+        SELECT query_vec_id, rank, vec_id, cosine FROM (
+          SELECT query_vec_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_vec_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored) WHERE rank <= {k}
     """
 
 
@@ -1002,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE cosine >= 0.3
         """,
         "embedding_neardup_lsh": _sql_embedding_lsh(),
+        "knn_lsh": _sql_knn_lsh(),
         "knn_ivf": _sql_knn_ivf(),
         "synonym_expand": _sql_synonym_expand(),
         "vsm_topk": _sql_vsm_topk(),
