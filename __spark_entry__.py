@@ -546,6 +546,29 @@ def _q_event_windowed(spark, sf_dir):
     )
 
 
+def _q_dup_set_ops(spark, sf_dir):
+    """Native set operators (SURVEY.md §F: the reference has posting-union
+    only; Spark's intersect/exceptAll come free): doc ids flagged by the
+    MinHash-LSH detector split into those ALSO flagged by true n-gram
+    Jaccard >= 0.3 (intersect) vs LSH-only candidates (exceptAll) — the
+    set algebra of comparing two dup detectors' witness sets."""
+    docs = _docs(spark, sf_dir)
+    lsh = dedup.lsh_candidate_pairs(docs, num_hashes=4, bands=2, shingle=3)
+    jac = dedup.ngram_jaccard_pairs(docs, shingle=1, threshold=0.3)
+
+    def members(pairs):
+        return (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+
+    m_lsh, m_jac = members(lsh), members(jac)
+    return m_lsh.intersect(m_jac).withColumn("kind", F.lit("both")).unionByName(
+        m_lsh.exceptAll(m_jac).withColumn("kind", F.lit("lsh_only"))
+    )
+
+
 def _q_knn_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN: bucket-local candidates + exact cosine rerank
     (simsearch.knn_lsh). Oracle inlines the deterministic planes as SQL
@@ -599,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windowed": _q_event_windowed,
         "event_rollup": _q_event_rollup,
         "knn_lsh": _q_knn_lsh,
+        "dup_set_ops": _q_dup_set_ops,
     }
 
 
@@ -687,6 +711,22 @@ def _sql_embedding_lsh(
                     / (sqrt(list_dot_product(na.v, na.v))
                        * sqrt(list_dot_product(nb.v, nb.v))), 6) >= {threshold}
     """
+
+
+def _sql_ngram_jaccard() -> str:
+    return """
+            WITH sh AS (SELECT DISTINCT doc_id, term AS sh FROM (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+              FROM documents)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT id_a, id_b, n_common,
+                   round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+        """
 
 
 def _sql_knn_lsh(
@@ -998,19 +1038,7 @@ def oracle_sql() -> dict[str, str]:
               FROM canon WHERE rn = 1
             ) WHERE lang_rank <= 50
         """,
-        "ngram_jaccard": """
-            WITH sh AS (SELECT DISTINCT doc_id, term AS sh FROM (
-              SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
-              FROM documents)),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-                       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                       GROUP BY 1, 2)
-            SELECT id_a, id_b, n_common,
-                   round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-            FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-            WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
-        """,
+        "ngram_jaccard": _sql_ngram_jaccard(),
         "simhash_sigs": _sql_simhash(),
         # the banded join is exact for hamming <= 3 < 4 bands (pigeonhole),
         # so the O(n^2) SQL self-join is a true oracle, not an approximation
@@ -1047,6 +1075,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup_lsh": _sql_embedding_lsh(),
         "knn_lsh": _sql_knn_lsh(),
+        "dup_set_ops": f"""
+            WITH lshp AS ({_sql_lsh_pairs()}),
+            jacp AS ({_sql_ngram_jaccard()}),
+            m_lsh AS (SELECT DISTINCT doc_id FROM (
+              SELECT id_a AS doc_id FROM lshp UNION ALL SELECT id_b FROM lshp)),
+            m_jac AS (SELECT DISTINCT doc_id FROM (
+              SELECT id_a AS doc_id FROM jacp UNION ALL SELECT id_b FROM jacp))
+            SELECT doc_id, 'both' AS kind
+            FROM (SELECT doc_id FROM m_lsh INTERSECT SELECT doc_id FROM m_jac)
+            UNION ALL
+            SELECT doc_id, 'lsh_only' AS kind
+            FROM (SELECT doc_id FROM m_lsh EXCEPT ALL SELECT doc_id FROM m_jac)
+        """,
         "knn_ivf": _sql_knn_ivf(),
         "synonym_expand": _sql_synonym_expand(),
         "vsm_topk": _sql_vsm_topk(),
