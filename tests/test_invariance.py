@@ -64,3 +64,80 @@ def test_resume_skips_completed_stages(spark, tmp_path):
     t0 = time.time()
     build_index(spark, src, str(tmp_path / "s"), cfg, resume=True)
     assert time.time() - t0 < 10  # all stages skipped
+
+
+def test_pipeline_ops_partitioning_invariance(spark):
+    """The new pipeline ops must be partitioning-invariant too: identical
+    results when the input arrives in 2 vs 13 partitions."""
+    import random
+    from datetime import datetime, timedelta
+
+    from tiny_search_engine_spark.pipeline import dedup, events as ev
+
+    # connected components over a random pair graph
+    rng = random.Random(5)
+    edges = sorted({tuple(sorted(rng.sample(range(80), 2))) for _ in range(70)})
+    p2 = spark.createDataFrame(edges, "id_a long, id_b long").repartition(2)
+    p13 = spark.createDataFrame(edges, "id_a long, id_b long").repartition(13)
+    cc2 = {(r["doc_id"], r["cluster_id"]) for r in dedup.resolve_clusters(p2).collect()}
+    cc13 = {(r["doc_id"], r["cluster_id"]) for r in dedup.resolve_clusters(p13).collect()}
+    assert cc2 == cc13
+
+    # sessionization over a random event log
+    base = datetime(2024, 3, 1)
+    rows = [
+        (i, base + timedelta(seconds=rng.randrange(0, 86400)), rng.randrange(6),
+         "view", round(rng.random(), 3), "{}")
+        for i in range(300)
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    e2 = spark.createDataFrame(rows, schema).repartition(2)
+    e13 = spark.createDataFrame(rows, schema).repartition(13)
+    k = lambda df: sorted(
+        (r["user_id"], r["session_id"], r["n_events"], r["total_value"])
+        for r in ev.sessionize(df).collect()
+    )
+    assert k(e2) == k(e13)
+
+
+def test_sessionize_matches_pure_python():
+    """Property-style: Spark sessionization == a straightforward pure-Python
+    sessionizer over randomized event logs (several seeds)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from tiny_search_engine_spark.pipeline import events as ev
+    from tiny_search_engine_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    base = datetime(2024, 3, 1)
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = [
+            (i, base + timedelta(seconds=rng.randrange(0, 7200 * 24)), rng.randrange(4),
+             "view", 1.0, "{}")
+            for i in range(200)
+        ]
+        got = {
+            (r["user_id"], r["session_id"]): r["n_events"]
+            for r in ev.sessionize(
+                spark.createDataFrame(rows, schema), gap_minutes=30
+            ).collect()
+        }
+        # pure-python reference: sort by (ts, event_id) per user, split on gap
+        expect = {}
+        byu = {}
+        for eid, ts, uid, *_ in rows:
+            byu.setdefault(uid, []).append((ts, eid))
+        for uid, evs in byu.items():
+            evs.sort()
+            sid, prev = 0, None
+            for ts, _eid in evs:
+                if prev is None or (ts - prev).total_seconds() > 1800:
+                    sid += 1
+                expect[(uid, sid)] = expect.get((uid, sid), 0) + 1
+                prev = ts
+        assert got == expect, f"seed {seed}"
