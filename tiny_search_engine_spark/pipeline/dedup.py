@@ -399,48 +399,54 @@ def resolve_clusters(
     path: exact/LSH/SimHash/Jaccard emit PAIRS, but dropping duplicates
     needs transitive CLUSTERS (a~b, b~c => keep one of {a,b,c}).
 
-    Scale shape: iterative min-label propagation. Each round is one
-    shuffle keyed by node id (join labels to the symmetric edge list, take
-    the min neighbour label) and converges in O(component diameter)
-    rounds — near-dup clusters are dense (LSH emits most clique edges),
-    so diameter is small even when components are huge; web-dedup runs of
-    the equivalent MapReduce algorithm (Rastogi et al., "Finding Connected
-    Components in Map-Reduce", ICDE'13 hash-to-min family) converge in
-    <10 rounds at billions of edges. Lineage is truncated every round with
-    localCheckpoint so the plan does not grow with iterations; the edge
-    list is cached once and reused every round. Convergence is detected
-    exactly (count of labels that changed), not by a fixed round count.
+    Scale shape: FRONTIER-based min-label propagation. Each round joins
+    the symmetric edge list against only the labels that CHANGED last
+    round (the frontier), not the full label table — after round one the
+    frontier collapses to component boundaries, so per-round shuffle
+    volume decays geometrically instead of staying O(V). Rounds needed =
+    O(component diameter); near-dup clusters are dense (LSH emits most
+    clique edges), so diameter is small even when components are huge —
+    web-dedup runs of the equivalent MapReduce algorithm (Rastogi et al.,
+    "Finding Connected Components in Map-Reduce", ICDE'13 hash-to-min
+    family) converge in <10 rounds at billions of edges. Lineage is
+    truncated every round with localCheckpoint so the plan does not grow
+    with iterations; the edge list is cached once and reused. Convergence
+    is detected exactly (empty frontier), not by a fixed round count.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges.cache()
-    # initial label: min(self, direct neighbours)
+    # initial label: min(self, direct neighbours); every node starts dirty
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .withColumnRenamed("src", "node")
         .localCheckpoint()
     )
+    frontier = labels
     for _ in range(max_iters):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["node"])
+        prop = (
+            edges.join(
+                frontier.withColumnRenamed("node", "fnode"),
+                edges["dst"] == F.col("fnode"),
+            )
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("cand"))
         )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
+        merged = (
+            labels.join(prop, labels["node"] == prop["src"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+                F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
+                (F.col("cand") < F.col("label")).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("_chg")).count()
-        labels = new_labels.drop("_chg")
-        if changed == 0:
+        frontier = merged.filter(F.col("_chg")).select("node", "label")
+        labels = merged.drop("_chg")
+        if frontier.count() == 0:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
