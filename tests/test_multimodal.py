@@ -47,3 +47,23 @@ def test_frame_sampling(media):
     assert len(out) > 0
     for r in out:
         assert r["frame_idx"] % 5 == 0
+
+
+def test_features_feed_knn(spark, media):
+    """Composability: extracted media features are first-class embeddings —
+    they feed the similarity-search operators unchanged (self is top-1)."""
+    from tiny_search_engine_spark.pipeline import simsearch
+
+    feats = multimodal.extract_features(media, dim=8).select(
+        F.col("media_id").alias("vec_id"), F.col("feat").alias("embedding")
+    )
+    q = feats.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    by_q = {}
+    for r in simsearch.knn_cosine(feats, q, k=3).collect():
+        by_q.setdefault(r["query_vec_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rs in by_q.items():
+        best = [r for r in rs if r["rank"] == 1][0]
+        assert best["vec_id"] == qid and abs(best["cosine"] - 1.0) < 1e-6
