@@ -282,3 +282,16 @@ def test_curate_quality_gate_dedup_and_cap(docs):
     assert not ({1, 2} <= ids)  # exact-normalized dups collapsed
     # quality gate: a high threshold drops everything
     assert textstats.curate(docs, min_quality=2.0).count() == 0
+
+
+def test_resolve_clusters_long_chain(spark):
+    """A 2000-node path graph (diameter 1999) must converge — pointer
+    jumping makes rounds ~ log2(diameter), and plain min-propagation
+    would silently hit the round cap and split the cluster."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1999)], "id_a long, id_b long"
+    )
+    out = dedup.resolve_clusters(pairs)
+    labels = {r["cluster_id"] for r in out.collect()}
+    assert labels == {0}
+    assert out.count() == 2000

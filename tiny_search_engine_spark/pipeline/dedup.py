@@ -392,7 +392,7 @@ def resolve_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 25,
+    max_iters: int = 50,
 ) -> DataFrame:
     """Connected components over candidate pairs -> (doc_id, cluster_id),
     cluster_id = min doc_id in the component. The last stage of every dedup
@@ -427,6 +427,7 @@ def resolve_clusters(
     )
     frontier = labels
     for _ in range(max_iters):
+        # step 1 — neighbour-min from the frontier only
         prop = (
             edges.join(
                 frontier.withColumnRenamed("node", "fnode"),
@@ -435,19 +436,41 @@ def resolve_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("cand"))
         )
+        step1 = labels.join(prop, labels["node"] == prop["src"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("cand", "label")).alias("l1"),
+            F.col("label").alias("l0"),
+        )
+        # step 2 — pointer jump: l2(v) = min(l1(v), l1(l1(v))). Labels are
+        # always node ids present in the table, so the self-join resolves;
+        # this halves label-chain length each round, turning O(diameter)
+        # convergence into O(log diameter) (Shiloach-Vishkin style) —
+        # the difference between ~20 rounds and ~6 on sparse chain-y
+        # graphs, while clique-dense LSH graphs still finish in 2-3.
+        jump = step1.select(F.col("node").alias("jnode"), F.col("l1").alias("jl"))
         merged = (
-            labels.join(prop, labels["node"] == prop["src"], "left")
+            step1.join(jump, step1["l1"] == jump["jnode"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("cand", "label")).alias("label"),
-                (F.col("cand") < F.col("label")).alias("_chg"),
+                F.least(F.col("l1"), F.coalesce("jl", "l1")).alias("label"),
+                "l0",
             )
+            .withColumn("_chg", F.col("label") < F.col("l0"))
+            .drop("l0")
             .localCheckpoint()
         )
         frontier = merged.filter(F.col("_chg")).select("node", "label")
         labels = merged.drop("_chg")
         if frontier.count() == 0:
             break
+    else:
+        # silently returning unconverged labels would split real clusters —
+        # with pointer jumping, rounds ~ log2(diameter), so 50 covers any
+        # graph that fits in a datacenter; hitting this means a bug
+        edges.unpersist()
+        raise RuntimeError(
+            f"resolve_clusters did not converge within {max_iters} rounds"
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
