@@ -639,7 +639,7 @@ def _sql_term_stats_inner() -> str:
     n = "(SELECT count(*) FROM documents)"
     idf = _IDF_SQL.format(n=n)
     return (
-        f"SELECT term, count(*) AS df, sum(tf) AS ttf, {idf} AS idf "
+        f"SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf, {idf} AS idf "
         f"FROM ({_sql_doc_term()}) GROUP BY term"
     )
 
@@ -990,7 +990,7 @@ def oracle_sql() -> dict[str, str]:
         "term_hits_funnel": f"""
             WITH doc_term AS (SELECT doc_id, term, count(*) AS tf_d FROM ({_TOKENS_SQL}) GROUP BY 1, 2),
             qt AS ({qterms}),
-            hits AS (SELECT query_id, doc_id, sum(least(tf_q, tf_d)) AS term_hits
+            hits AS (SELECT query_id, doc_id, CAST(sum(least(tf_q, tf_d)) AS BIGINT) AS term_hits
                      FROM doc_term JOIN qt USING (term) GROUP BY 1, 2)
             SELECT query_id, rank, doc_id, term_hits FROM (
               SELECT query_id, doc_id, term_hits,
@@ -1105,9 +1105,9 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
             s AS (
-              SELECT *, sum(new_s) OVER (
+              SELECT *, CAST(sum(new_s) OVER (
                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                ROWS UNBOUNDED PRECEDING) AS session_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM o)
             SELECT user_id, session_id,
                    epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,

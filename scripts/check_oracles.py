@@ -86,11 +86,33 @@ def main():
             res = con.execute(oracles[name])
             cols_d = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            duck_pd = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"[FAIL-DUCK] {name}: {type(e).__name__}: {str(e)[:300]}")
             failed.append(name)
             continue
         errs = compare(name, spark_rows, duck_rows, cols_s, cols_d)
+        # driver-mimic dtype check: the driver compares pandas frames, so a
+        # DuckDB HUGEINT (SUM over ints -> float64 in fetchdf) vs a Spark
+        # bigint hashes differently even when every value is equal. Compare
+        # the *pandas* dtype kind on both sides (Spark toPandas converts
+        # nullable-int-with-NULL to float64 exactly like DuckDB does, so
+        # only genuine drift is flagged).
+        try:
+            spark_pd = df.toPandas()
+        except Exception:
+            spark_pd = None
+        if spark_pd is not None:
+            for c in duck_pd.columns:
+                if c not in spark_pd.columns:
+                    continue
+                dk = duck_pd[c].dtype.kind
+                sk = spark_pd[c].dtype.kind
+                if {dk, sk} == {"i", "f"}:
+                    errs.append(
+                        f"dtype-kind drift on '{c}': spark={spark_pd[c].dtype} "
+                        f"duck={duck_pd[c].dtype} — driver hash will differ"
+                    )
         if errs:
             print(f"[MISMATCH] {name}:")
             for e in errs:
