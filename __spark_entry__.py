@@ -347,6 +347,15 @@ def _q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle=1, threshold=0.3)
 
 
+def _q_ngram_jaccard_capped(spark, sf_dir):
+    """Hot-shingle-capped n-gram Jaccard (the 100 TB shape): shingles with
+    document frequency > 50 are dropped from numerator and denominator
+    before pairing, bounding the self-join fan-out (pipeline.dedup)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), shingle=1, threshold=0.3, max_shingle_df=50
+    )
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -603,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": _q_minhash_sigs,
         "lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "simhash_sigs": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "knn_cosine": _q_knn_cosine,
@@ -718,6 +728,26 @@ def _sql_ngram_jaccard() -> str:
             WITH sh AS (SELECT DISTINCT doc_id, term AS sh FROM (
               SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
               FROM documents)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT id_a, id_b, n_common,
+                   round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+        """
+
+
+def _sql_ngram_jaccard_capped(cap: int = 50) -> str:
+    """Same as _sql_ngram_jaccard but over the capped shingle universe:
+    a df census drops shingles with df > cap before pairing."""
+    return f"""
+            WITH sh0 AS (SELECT DISTINCT doc_id, term AS sh FROM (
+              SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+              FROM documents)),
+            cen AS (SELECT sh, count(*) AS sdf FROM sh0 GROUP BY sh),
+            sh AS (SELECT doc_id, sh0.sh FROM sh0 JOIN cen USING (sh) WHERE sdf <= {cap}),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -912,6 +942,24 @@ def _sql_vsm_topk() -> str:
     """
 
 
+def _emb_dim(default: int = 64) -> int:
+    """Embedding width for the LSH oracles, read from the same parquet the
+    engine queries derive it from (oracle and engine cannot drift). The
+    driver compares at sf0.01; SPARK_GRAFT_SF_DIR overrides for local runs."""
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    for cand in (base, "/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        p = os.path.join(cand, "embeddings.parquet")
+        if os.path.exists(p):
+            try:
+                import pyarrow.parquet as pq
+
+                tbl = pq.ParquetFile(p).read_row_group(0, columns=["embedding"])
+                return len(tbl.column("embedding")[0])
+            except Exception:
+                break
+    return default
+
+
 def oracle_sql() -> dict[str, str]:
     n = "(SELECT count(*) FROM documents)"
     doc_term = _sql_doc_term()
@@ -1039,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE lang_rank <= 50
         """,
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "ngram_jaccard_capped": _sql_ngram_jaccard_capped(50),
         "simhash_sigs": _sql_simhash(),
         # the banded join is exact for hamming <= 3 < 4 bands (pigeonhole),
         # so the O(n^2) SQL self-join is a true oracle, not an approximation
@@ -1073,8 +1122,8 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
             WHERE cosine >= 0.3
         """,
-        "embedding_neardup_lsh": _sql_embedding_lsh(),
-        "knn_lsh": _sql_knn_lsh(),
+        "embedding_neardup_lsh": _sql_embedding_lsh(dim=_emb_dim()),
+        "knn_lsh": _sql_knn_lsh(dim=_emb_dim()),
         "dup_set_ops": f"""
             WITH lshp AS ({_sql_lsh_pairs()}),
             jacp AS ({_sql_ngram_jaccard()}),

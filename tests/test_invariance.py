@@ -100,6 +100,23 @@ def test_pipeline_ops_partitioning_invariance(spark):
     )
     assert k(e2) == k(e13)
 
+    # two-phase per-language cap in curate: phase 1 prunes within the
+    # incoming partitions, so this is the op most at risk of partitioning
+    # sensitivity — the exact global top-cap must survive any layout
+    from tiny_search_engine_spark.pipeline import textstats
+
+    words = ["alpha", "beta", "gamma", "delta", "code", "index", "merge"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(3, 30))))
+        for i in range(200)
+    ]
+    d2 = spark.createDataFrame(docs, "doc_id long, text string").repartition(2)
+    d13 = spark.createDataFrame(docs, "doc_id long, text string").repartition(13)
+    c = lambda df: sorted(
+        map(tuple, textstats.curate(df, min_quality=0.0, per_lang_cap=7).collect())
+    )
+    assert c(d2) == c(d13)
+
 
 def test_sessionize_matches_pure_python():
     """Property-style: Spark sessionization == a straightforward pure-Python

@@ -49,6 +49,55 @@ def test_ngram_jaccard(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """One shingle present in EVERY doc (the '#include <stdio.h>' case):
+    the capped variant must drop it from both numerator and denominator,
+    matching a pure-Python capped Jaccard, and the join size stays
+    bounded by the cap instead of O(n_docs²)."""
+    rows = [(i, f"common alpha{i} beta{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 10  # "common" (df=40) and "beta0/1" (df=20) are hot; alpha_i (df=1) survive
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, shingle=1, threshold=0.0, max_shingle_df=cap
+        ).collect()
+    }
+    # pure-Python oracle over the capped universe
+    toks = {i: {"common", f"alpha{i}", f"beta{i % 2}"} for i in range(40)}
+    from collections import Counter
+
+    sdf = Counter(t for s in toks.values() for t in s)
+    capped = {i: {t for t in s if sdf[t] <= cap} for i, s in toks.items()}
+    want = {}
+    for a in range(40):
+        for b in range(a + 1, 40):
+            inter = len(capped[a] & capped[b])
+            if inter:
+                want[(a, b)] = (inter, round(inter / len(capped[a] | capped[b]), 6))
+    assert got == want
+    # every surviving shingle is unique to one doc here -> no pairs at all
+    assert got == {}
+
+    # uncapped control: the universal shingle makes all C(40,2) pairs
+    uncapped = dedup.ngram_jaccard_pairs(df, shingle=1, threshold=0.0).count()
+    assert uncapped == 40 * 39 // 2
+
+
+def test_ngram_jaccard_cap_preserves_true_pairs(docs):
+    """With a cap high enough to only kill corpus-wide boilerplate, the
+    genuinely similar pairs keep their (capped-universe) Jaccard."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, shingle=1, threshold=0.5, max_shingle_df=3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dups stay 1.0 in any sub-universe
+    assert pairs[(1, 3)] > 0.7
+
+
 def test_simhash_identical_and_near(docs):
     s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert s[1] == s[2]
@@ -282,6 +331,28 @@ def test_curate_quality_gate_dedup_and_cap(docs):
     assert not ({1, 2} <= ids)  # exact-normalized dups collapsed
     # quality gate: a high threshold drops everything
     assert textstats.curate(docs, min_quality=2.0).count() == 0
+    # uncapped output carries no lang_rank (no global ranking performed)
+    assert "lang_rank" not in textstats.curate(docs, min_quality=0.0).columns
+
+
+def test_curate_plan_has_partial_window_limit(docs):
+    """Scale pin: the per-language cap must be planned as a two-phase
+    top-k — Catalyst's rank-limit pushdown (WindowGroupLimit Partial)
+    prunes each map task to ≤ cap rows per language BEFORE the exchange,
+    so a hot language never funnels its raw rows through one reducer.
+    If a Spark upgrade or a query rewrite loses this, fail loudly."""
+    plan = (
+        textstats.curate(docs, min_quality=0.0, per_lang_cap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit [lang_pred" in l and "Partial" in l]
+    exchange = [i for i, l in enumerate(lines)
+                if "Exchange hashpartitioning(lang_pred" in l]
+    assert partial and exchange, plan
+    # deeper in the tree (= earlier in execution) than the exchange
+    assert min(exchange) < max(partial), plan
 
 
 def test_resolve_clusters_long_chain(spark):

@@ -1,0 +1,105 @@
+"""Ranking-quality evaluation: NDCG@k over a labeled query set.
+
+The reference's entire quality methodology is labeled-corpus NDCG@3
+(/root/reference/README.md:50-57 — every release is scored "NDCG@3;
+n_queries" on a query→(url,label) test set whose labels live in column 4
+of index/url.list.utf8, parsed then ignored by the C++ build at
+src/table.cpp:157-171). This module closes that gap for the Spark engine:
+rounds can compare ranking QUALITY across scorer profiles (vsm vs cqr·ctr
+vs bm25), not just rank-identity against the golden model.
+
+Everything is column algebra — no UDFs, no driver loops — so it runs on a
+billion-query eval set exactly like on thirty: one broadcast-able join of
+the ranking against the label table, one per-query aggregation, one global
+mean. Gain is the classic graded-relevance form (2^label − 1); discount is
+1/log2(rank+1); IDCG ranks the query's OWN labels descending (standard
+NDCG, label ties broken by doc_id for determinism). Queries with no
+positive label get ndcg = 0.0 (they cannot be ranked well, and dropping
+them would inflate the mean — the reference reports "metric; n_queries"
+for the same reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def labels_from_tsv(versions: DataFrame) -> DataFrame:
+    """(query, doc_id, label) from a load_tsv_corpus frame: the label of a
+    (query, url) pair is taken from its LAST line (same last-wins rule as
+    the forward table), null labels → 0."""
+    w = Window.partitionBy("query", "doc_id").orderBy(F.col("line_id").desc())
+    return (
+        versions.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query",
+            "doc_id",
+            F.coalesce(F.col("label"), F.lit(0)).alias("label"),
+        )
+    )
+
+
+def _dcg(label_col, rank_col):
+    return (F.pow(F.lit(2.0), label_col) - F.lit(1.0)) / F.log2(rank_col + F.lit(1.0))
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int = 3,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-query NDCG@k: *ranked* is (query, rank, doc) — any ranking the
+    engine produced; *labels* is (query, doc, graded relevance).
+
+    Returns one row per query present in *ranked*: (query_col, ndcg).
+    Unlabeled retrieved docs count as label 0; IDCG uses the query's full
+    label set (the ideal ranking may include docs the engine missed —
+    that's what makes recall failures visible in the score).
+    """
+    r = ranked.select(query_col, doc_col, rank_col).filter(F.col(rank_col) <= k)
+    lab = labels.select(
+        F.col(query_col), F.col(doc_col), F.col(label_col).cast("double").alias("_lab")
+    )
+    dcg = (
+        r.join(lab, [query_col, doc_col], "left")
+        .withColumn("_g", _dcg(F.coalesce("_lab", F.lit(0.0)), F.col(rank_col)))
+        .groupBy(query_col)
+        .agg(F.sum("_g").alias("_dcg"))
+    )
+    iw = Window.partitionBy(query_col).orderBy(
+        F.col("_lab").desc(), F.col(doc_col).asc()
+    )
+    idcg = (
+        lab.withColumn("_ir", F.row_number().over(iw))
+        .filter(F.col("_ir") <= k)
+        .withColumn("_g", _dcg(F.col("_lab"), F.col("_ir")))
+        .groupBy(query_col)
+        .agg(F.sum("_g").alias("_idcg"))
+    )
+    return (
+        dcg.join(idcg, query_col, "left")
+        .select(
+            query_col,
+            F.when(
+                F.coalesce("_idcg", F.lit(0.0)) > 0.0, F.col("_dcg") / F.col("_idcg")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )
+
+
+def mean_ndcg_at_k(ranked: DataFrame, labels: DataFrame, k: int = 3, **kw) -> float:
+    """The reference's headline number: mean NDCG@k over the query set."""
+    row = (
+        ndcg_at_k(ranked, labels, k=k, **kw)
+        .agg(F.avg("ndcg").alias("m"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    return float(row["m"]) if row["n"] else 0.0

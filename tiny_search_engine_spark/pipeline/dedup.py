@@ -25,10 +25,14 @@ oracle can verify bit-identical signatures.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import WS_SPLIT
+
+_LOG = logging.getLogger(__name__)
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -174,6 +178,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard similar pairs: explode distinct shingles,
     self-equi-join on shingle, |∩| / (|A|+|B|-|∩|) ≥ threshold.
@@ -181,18 +186,49 @@ def ngram_jaccard_pairs(
     Tokens are staged as a column before shingling (see _shingles_of),
     and the self-join sort-merges over ONE explicit shuffle on the
     shingle so the exploded pipeline runs once (ReusedExchange) instead
-    of once per join side."""
+    of once per join side.
+
+    ``max_shingle_df`` is the hot-shingle cap (the 100 TB guard): a
+    shingle present in d docs emits O(d²) join rows, so one boilerplate
+    line ("#include <stdio.h>") in a web-scale corpus is a cartesian
+    bomb. With the cap set, shingles whose document frequency exceeds it
+    are dropped from BOTH the intersection and the per-doc sizes —
+    i.e. Jaccard is computed over the sub-universe of shingles with
+    df ≤ cap (they carry ~no similarity signal anyway: a shingle in
+    half the corpus says nothing about any particular pair). The census
+    is one groupBy on the already-exploded shingles; the hot set is
+    tiny by construction, so the filter is a broadcast anti-join. The
+    dropped mass (#hot shingles, #occurrence rows removed) is logged."""
     tok_df = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
     sh = tok_df.select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles_of(F.col("_toks"), shingle))).alias("sh"),
     )
-    # per-doc distinct-shingle counts as row-local column algebra — no
-    # third evaluation of the exploded pipeline, no extra shuffle
-    sizes = tok_df.select(
-        F.col(id_col),
-        F.size(F.array_distinct(_shingles_of(F.col("_toks"), shingle))).alias("n_sh"),
-    )
+    if max_shingle_df is not None:
+        # df census -> hot set -> broadcast anti-join, mirroring the
+        # posting skew census in build.py (pow2 doc-range sharding).
+        census = sh.groupBy("sh").agg(F.count("*").alias("sdf"))
+        hot = census.filter(F.col("sdf") > max_shingle_df)
+        dropped = hot.agg(
+            F.count("*").alias("n_hot"),
+            F.coalesce(F.sum("sdf"), F.lit(0)).alias("occ_dropped"),
+        ).collect()[0]
+        _LOG.info(
+            "ngram_jaccard_pairs hot-shingle cap df>%d: dropped %d shingles, "
+            "%d occurrence rows",
+            max_shingle_df, dropped["n_hot"], dropped["occ_dropped"],
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+        # sizes must count only surviving shingles so the Jaccard
+        # denominator matches the capped universe.
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        # per-doc distinct-shingle counts as row-local column algebra — no
+        # third evaluation of the exploded pipeline, no extra shuffle
+        sizes = tok_df.select(
+            F.col(id_col),
+            F.size(F.array_distinct(_shingles_of(F.col("_toks"), shingle))).alias("n_sh"),
+        )
     sh = sh.repartition(F.col("sh"))
     a = sh.alias("a")
     b = sh.alias("b").hint("shuffle_merge")
@@ -426,6 +462,18 @@ def resolve_clusters(
         .localCheckpoint()
     )
     frontier = labels
+    try:
+        converged = _propagate(edges, labels, frontier, max_iters)
+    finally:
+        # unpersist on EVERY exit path — a Spark job failure mid-iteration
+        # must not leak the cached edge list for the session lifetime
+        edges.unpersist()
+    return converged.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _propagate(edges, labels, frontier, max_iters: int) -> DataFrame:
     for _ in range(max_iters):
         # step 1 — neighbour-min from the frontier only
         prop = (
@@ -462,17 +510,13 @@ def resolve_clusters(
         frontier = merged.filter(F.col("_chg")).select("node", "label")
         labels = merged.drop("_chg")
         if frontier.count() == 0:
-            break
-    else:
-        # silently returning unconverged labels would split real clusters —
-        # with pointer jumping, rounds ~ log2(diameter), so 50 covers any
-        # graph that fits in a datacenter; hitting this means a bug
-        edges.unpersist()
-        raise RuntimeError(
-            f"resolve_clusters did not converge within {max_iters} rounds"
-        )
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+            return labels
+    # silently returning unconverged labels would split real clusters —
+    # with pointer jumping, rounds ~ log2(diameter), so 50 covers any
+    # graph that fits in a datacenter; hitting this means a bug
+    raise RuntimeError(
+        f"resolve_clusters did not converge within {max_iters} rounds"
+    )
 
 
 def dedup_documents(

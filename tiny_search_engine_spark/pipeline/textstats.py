@@ -127,12 +127,25 @@ def curate(
     keeping the highest-quality ones (deterministic doc_id tiebreak).
 
     Scale shape: stages 1-2 are a filter + one hash-groupBy on a 16-byte
-    fingerprint (shuffle carries id+fp only); stage 3 is a window
-    partitioned by language — at 100 TB a per-language cap implies a
-    global per-language ranking, so the window key is the (low-cardinality)
-    language, mitigated by the pre-filtering stages shrinking the input
-    first. All SQL-expressible: DuckDB oracle `corpus_curate` checks it
-    value-exact.
+    fingerprint (shuffle carries id+fp only); stage 3 is a TWO-PHASE
+    top-k: because the rank is a row_number filtered by a constant,
+    Catalyst's rank-limit pushdown (SPARK-37099) plans it as
+    ``WindowGroupLimit [lang_pred] ... Partial`` BEFORE the exchange —
+    every map task prunes to ≤ cap rows per language locally — followed
+    by the Final limit + window after the shuffle, so the one reducer a
+    hot language lands on ranks at most cap × n_tasks rows, never the
+    raw language partition (billions of rows at 100 TB).
+    test_curate_plan_has_partial_window_limit pins that plan shape and
+    test_invariance.py pins partitioning-invariance of the result. A
+    hand-rolled pre-prune window keyed on (lang, spark_partition_id())
+    was measured and rejected: it reaches the same cap × n_tasks bound
+    but pays a second exchange. All SQL-expressible: DuckDB oracle
+    `corpus_curate` checks it value-exact.
+
+    With ``per_lang_cap=None`` no ranking is performed and no
+    ``lang_rank`` column is emitted (computing a true global
+    per-language rank nobody asked for would be the exact single-reducer
+    scan the cap path avoids).
     """
     from pyspark.sql import Window
 
@@ -162,6 +175,5 @@ def curate(
             scored.withColumn("lang_rank", F.row_number().over(w))
             .filter(F.col("lang_rank") <= per_lang_cap)
         )
-    else:
-        scored = scored.withColumn("lang_rank", F.lit(1))
-    return scored.select(id_col, "lang_pred", "n_tokens", "quality", "lang_rank")
+        return scored.select(id_col, "lang_pred", "n_tokens", "quality", "lang_rank")
+    return scored.select(id_col, "lang_pred", "n_tokens", "quality")

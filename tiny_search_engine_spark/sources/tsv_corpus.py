@@ -40,8 +40,14 @@ def load_tsv_corpus(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.col("n_cols") >= 3)  # short lines skipped, table.cpp:160-166
         .select(
             F.col("line_id"),
+            parts.getItem(0).alias("query"),
             parts.getItem(1).alias("title"),
             parts.getItem(2).alias("url"),
+            # col 3: relevance label — the reference parses then ignores it
+            # (table.cpp:157-171); carried here so eval.ndcg_at_k can score
+            # rankings the way the reference's README.md:50-57 methodology
+            # does (NDCG@3 over the labeled corpus)
+            F.when(F.col("n_cols") >= 4, parts.getItem(3).cast("int")).alias("label"),
         )
         .filter(F.length("title") > 0)
     )

@@ -205,10 +205,12 @@ def delete_docs(
     a NEW immutable store (snapshot semantics, like an Iceberg row-delete
     followed by compaction); the base store is untouched.
     """
+    import json
+
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    from ..build import _write_lineage
+    from ..build import _stage_done, _write_lineage
 
     cfg = cfg or BuildConfig()
     ids = doc_ids.select("doc_id").dropDuplicates(["doc_id"])
@@ -223,6 +225,12 @@ def delete_docs(
     _write_lineage(out, "docs_raw", {"copy_content": cfg.copy_content, "delete": True})
 
     if cfg.write_tokens:
+        if not _stage_done(base_store.tokens_path):
+            raise ValueError(
+                "delete_docs: cfg.write_tokens=True but the base store at "
+                f"{base_store.root} has no tokens table — it was built with "
+                "write_tokens=False; rerun with a matching BuildConfig"
+            )
         base_store.tokens(spark).join(F.broadcast(ids), "doc_id", "left_anti").write.mode(
             "overwrite"
         ).parquet(out.tokens_path)
@@ -235,10 +243,21 @@ def delete_docs(
         obs, F.sum((F.col("first_idx") == 0).cast("long")).alias("n_docs")
     )
     kept_dt.write.mode("overwrite").parquet(out.doc_term_path)
+    # carry the base store's doc_term lineage forward (e.g. whether it was
+    # built with fused tokenize) instead of asserting a build mode this
+    # compaction never ran
+    carried = {}
+    base_dt_lineage = os.path.join(base_store.lineage_path, "doc_term.json")
+    if os.path.exists(base_dt_lineage):
+        with open(base_dt_lineage) as f:
+            carried = {
+                k: v for k, v in json.load(f).items()
+                if k not in ("stage", "written_at", "n_docs", "delete")
+            }
     _write_lineage(
         out,
         "doc_term",
-        {"fused_tokenize": True, "delete": True, "n_docs": int(obs.get["n_docs"] or 0)},
+        {**carried, "delete": True, "n_docs": int(obs.get["n_docs"] or 0)},
     )
 
     return build_index(spark, None, out_dir, cfg, resume=True)

@@ -40,13 +40,115 @@ class Token(NamedTuple):
 _CODE_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+(?:\.\d+)?|[^\w\s]")
 _WS_RE = re.compile(r"\S+")
 
-_PATTERNS = {"code": _CODE_RE, "ws": _WS_RE}
+
+class Tokenizer:
+    """Plugin surface (SURVEY §2 B1): subclass, implement ``tokens``, then
+    ``register_tokenizer("name", instance)`` — every consumer (build fast
+    path, positional token table, query analysis, the pure-Python golden
+    model) resolves tokenizers through the registry, so a third tokenizer
+    needs NO edits anywhere else. Instances must be picklable (they are
+    shipped to executors inside mapInPandas closures) and deterministic.
+    """
+
+    def tokens(self, text: str) -> list[Token]:
+        raise NotImplementedError
+
+    def words_and_end(self, text: str) -> tuple[list[str], int]:
+        """(token strings, last-token end char index) in ONE pass — the
+        fused build path needs exactly these two; override when a faster
+        computation than full tokenize exists (see RegexTokenizer)."""
+        toks = self.tokens(text)
+        if not toks:
+            return [], 0
+        return [t.term for t in toks], toks[-1].offset + toks[-1].length
+
+
+class RegexTokenizer(Tokenizer):
+    """One token per regex match. ``last_end`` optionally supplies an
+    O(trailing-run) last-token-end scan so words_and_end avoids finditer."""
+
+    def __init__(self, pattern: re.Pattern, last_end=None):
+        self.pat = pattern
+        self._last_end = last_end
+
+    def tokens(self, text: str) -> list[Token]:
+        return [
+            Token(m.group(0), m.start(), m.end() - m.start())
+            for m in self.pat.finditer(text)
+        ]
+
+    def words_and_end(self, text: str) -> tuple[list[str], int]:
+        if self._last_end is None:
+            return super().words_and_end(text)
+        return self.pat.findall(text), self._last_end(text)
+
+
+class DictTokenizer(Tokenizer):
+    """Dictionary longest-match (jieba MP mode's greedy cousin): at each
+    position take the longest case-folded wordlist entry; unmatched
+    non-space chars come through as single-char tokens (jieba's OOV
+    behavior). This is what /root/reference/src/segment.cpp:60-76 does via
+    cppjieba modulo the missing dict blobs — registering it proves the B1
+    pluggable-tokenizer seam with a genuinely non-regex third mode."""
+
+    def __init__(self, words):
+        ws = {w.lower() for w in words if w}
+        if not ws:
+            raise ValueError("DictTokenizer needs a non-empty wordlist")
+        self.wordset = frozenset(ws)
+        self.maxlen = max(map(len, ws))
+        prefixes = set()
+        for w in ws:
+            for i in range(1, len(w)):
+                prefixes.add(w[:i])
+        self.prefixes = frozenset(prefixes)
+
+    def tokens(self, text: str) -> list[Token]:
+        out: list[Token] = []
+        low = text.lower()
+        i, n = 0, len(text)
+        while i < n:
+            if text[i].isspace():
+                i += 1
+                continue
+            best = 0
+            limit = min(n, i + self.maxlen)
+            j = i + 1
+            while j <= limit:
+                seg = low[i:j]
+                if seg in self.wordset:
+                    best = j - i
+                if seg not in self.prefixes:
+                    break  # no dictionary word extends this segment
+                j += 1
+            length = best or 1
+            out.append(Token(text[i : i + length], i, length))
+            i += length
+        return out
+
+
+def register_tokenizer(name: str, tok: Tokenizer) -> None:
+    """Register a tokenizer under ``name`` for this Python session. Build
+    stores record the NAME in their meta/lineage; a session that queries a
+    store built with a custom tokenizer must register the same name first."""
+    if not isinstance(tok, Tokenizer):
+        raise TypeError(f"expected a Tokenizer instance, got {type(tok).__name__}")
+    _REGISTRY[name] = tok
+
+
+def get_tokenizer(name: str) -> Tokenizer:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown tokenizer {name!r}; built-ins: code, ws — register "
+            f"custom modes with register_tokenizer(name, tok)"
+        ) from None
 
 
 def tokenize(text: str, mode: str = "code") -> list[Token]:
     """Pure function: text → [(term, offset, length)]. Deterministic."""
-    pat = _PATTERNS[mode]
-    return [Token(m.group(0), m.start(), m.end() - m.start()) for m in pat.finditer(text)]
+    return get_tokenizer(mode).tokens(text)
 
 
 def tokenize_with_stats(text: str, mode: str = "code"):
@@ -99,7 +201,7 @@ def make_tokenize_iterator(mode: str, id_col: str = "doc_id", text_col: str = "c
     term signs are added JVM-side afterwards via F.xxhash64(F.lower(term))
     so the Python stage stays string-only.
     """
-    pat = _PATTERNS[mode]
+    tok = get_tokenizer(mode)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,16 +216,16 @@ def make_tokenize_iterator(mode: str, id_col: str = "doc_id", text_col: str = "c
                     continue
                 seen: dict[str, int] = {}
                 pos = 0
-                for m in pat.finditer(text):
-                    w = m.group(0)
+                for t in tok.tokens(text):
+                    w = t.term
                     lw = w.lower()
                     c = seen.get(lw, 0) + 1
                     seen[lw] = c
                     ids.append(did)
                     poss.append(pos)
                     terms.append(w)
-                    offs.append(m.start())
-                    lens.append(m.end() - m.start())
+                    offs.append(t.offset)
+                    lens.append(t.length)
                     dups.append(c)
                     pos += 1
             yield pd.DataFrame(
@@ -177,7 +279,9 @@ def _last_token_end_ws(text: str) -> int:
     return i
 
 
-_LAST_TOKEN_END = {"code": _last_token_end_code, "ws": _last_token_end_ws}
+_REGISTRY: dict[str, "Tokenizer"] = {}
+_REGISTRY["code"] = RegexTokenizer(_CODE_RE, _last_token_end_code)
+_REGISTRY["ws"] = RegexTokenizer(_WS_RE, _last_token_end_ws)
 
 
 def make_doc_term_iterator(mode: str, id_col: str = "doc_id", text_col: str = "content"):
@@ -203,8 +307,7 @@ def make_doc_term_iterator(mode: str, id_col: str = "doc_id", text_col: str = "c
     representative row per batch-unique term (null elsewhere) — the
     dominant Arrow/parquet string column collapses to ~1% of rows.
     Consumers aggregate it with ``first(term, ignorenulls=True)``."""
-    pat = _PATTERNS[mode]
-    last_end = _LAST_TOKEN_END[mode]
+    tok = get_tokenizer(mode)
 
     empty = {
         id_col: pd.Series([], dtype="int64"),
@@ -229,11 +332,11 @@ def make_doc_term_iterator(mode: str, id_col: str = "doc_id", text_col: str = "c
             for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
                 if text is None:
                     continue
-                ws = pat.findall(text)
+                ws, dlen = tok.words_and_end(text)
                 if not ws:  # token-less docs rejected (table.cpp:270)
                     continue
                 words_lists.append(ws)
-                dlens.append(last_end(text))
+                dlens.append(dlen)
                 keep_ids.append(did)
             if not words_lists:
                 yield pd.DataFrame(empty)
