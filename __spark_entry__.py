@@ -405,6 +405,22 @@ def _q_knn_ivf(spark, sf_dir):
     )
 
 
+def _q_knn_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with the real spherical-k-means codebook
+    (simsearch.ivf_centroids_kmeans). Iterative Lloyd training is not
+    SQL-expressible, so this entry is deliberately rows-only (no
+    oracle_sql); the oracle-checked knn_ivf (lowest-id codebook) anchors
+    the IVF dataflow and tests pin kmeans recall >= stand-in recall."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    return simsearch.knn_ivf(
+        emb, queries, k=IVF_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+        codebook="kmeans",
+    )
+
+
 def _q_synonym_expand(spark, sf_dir):
     from tiny_search_engine_spark.query import synonym_expand
 
@@ -555,6 +571,35 @@ def _q_event_windowed(spark, sf_dir):
     )
 
 
+def _labels_df(spark, sf_dir):
+    """Deterministic synthetic relevance labels over (query, doc): the
+    reference's eval corpus carries a graded label column
+    (index/url.list.utf8 col 4); the driver testdata has none, so labels
+    are a fixed SQL-expressible function of the pair."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .crossJoin(F.broadcast(_queries_df(spark).select("query_id")))
+        .select(
+            "query_id",
+            "doc_id",
+            ((F.col("doc_id") * 7 + F.col("query_id") * 13) % 4).alias("label"),
+        )
+    )
+
+
+def _q_eval_ndcg(spark, sf_dir):
+    """NDCG@3 of the bm25_topk ranking against the synthetic labels —
+    the reference's README evaluation methodology (NDCG@3 over a labeled
+    query set) as a first-class, oracle-checked operator (eval.py)."""
+    from tiny_search_engine_spark import eval as ev
+
+    ranked = _q_bm25_topk(spark, sf_dir)
+    return ev.ndcg_at_k(ranked, _labels_df(spark, sf_dir), k=3).select(
+        "query_id", F.round("ndcg", 6).alias("ndcg")
+    )
+
+
 def _q_dup_set_ops(spark, sf_dir):
     """Native set operators (SURVEY.md §F: the reference has posting-union
     only; Spark's intersect/exceptAll come free): doc ids flagged by the
@@ -633,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": _q_event_rollup,
         "knn_lsh": _q_knn_lsh,
         "dup_set_ops": _q_dup_set_ops,
+        "eval_ndcg": _q_eval_ndcg,
+        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
     }
 
 
@@ -736,6 +783,27 @@ def _sql_ngram_jaccard() -> str:
                    round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
             FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+        """
+
+
+def _sql_bm25_topk(n: str, qterms: str) -> str:
+    return f"""
+            WITH doc_term AS (SELECT doc_id, term, count(*) AS tf_d FROM ({_TOKENS_SQL}) GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS doc_len FROM ({_TOKENS_SQL}) GROUP BY 1),
+            adl AS (SELECT avg(doc_len) AS avg_dl FROM dl),
+            ts AS (SELECT term, sum(tf_d) AS ttf, {_IDF_SQL.format(n=n)} AS idf FROM doc_term GROUP BY term),
+            qt AS ({qterms}),
+            scored AS (
+              SELECT query_id, doc_id,
+                     round(sum(ts.idf
+                       * (tf_d * ({BM25_K1} + 1) / (tf_d + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len / adl.avg_dl)))
+                       * (tf_q * ({BM25_K2} + 1) / (tf_q + {BM25_K2}))), 4) AS bm25
+              FROM doc_term JOIN qt USING (term) JOIN dl USING (doc_id) JOIN ts USING (term), adl
+              GROUP BY query_id, doc_id)
+            SELECT query_id, rank, doc_id, bm25 FROM (
+              SELECT query_id, doc_id, bm25,
+                     row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+              FROM scored) WHERE rank <= {TOPK}
         """
 
 
@@ -985,23 +1053,25 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT round(avg(n), 6) AS avg_doc_len FROM ("
             f"SELECT doc_id, count(*) AS n FROM ({_TOKENS_SQL}) GROUP BY doc_id)"
         ),
-        "bm25_topk": f"""
-            WITH doc_term AS (SELECT doc_id, term, count(*) AS tf_d FROM ({_TOKENS_SQL}) GROUP BY 1, 2),
-            dl AS (SELECT doc_id, count(*) AS doc_len FROM ({_TOKENS_SQL}) GROUP BY 1),
-            adl AS (SELECT avg(doc_len) AS avg_dl FROM dl),
-            ts AS (SELECT term, sum(tf_d) AS ttf, {_IDF_SQL.format(n=n)} AS idf FROM doc_term GROUP BY term),
-            qt AS ({qterms}),
-            scored AS (
-              SELECT query_id, doc_id,
-                     round(sum(ts.idf
-                       * (tf_d * ({BM25_K1} + 1) / (tf_d + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len / adl.avg_dl)))
-                       * (tf_q * ({BM25_K2} + 1) / (tf_q + {BM25_K2}))), 4) AS bm25
-              FROM doc_term JOIN qt USING (term) JOIN dl USING (doc_id) JOIN ts USING (term), adl
-              GROUP BY query_id, doc_id)
-            SELECT query_id, rank, doc_id, bm25 FROM (
-              SELECT query_id, doc_id, bm25,
-                     row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
-              FROM scored) WHERE rank <= {TOPK}
+        "bm25_topk": _sql_bm25_topk(n, qterms),
+        "eval_ndcg": f"""
+            WITH ranked AS ({_sql_bm25_topk(n, qterms)}),
+            labels AS (
+              SELECT q.query_id, d.doc_id, (d.doc_id * 7 + q.query_id * 13) % 4 AS label
+              FROM documents d CROSS JOIN (VALUES {_QUERIES_SQL_VALUES}) AS q(query_id, query)),
+            dcg AS (
+              SELECT r.query_id,
+                     sum((power(2.0, CAST(coalesce(l.label, 0) AS DOUBLE)) - 1.0) / log2(r.rank + 1.0)) AS dcg
+              FROM ranked r LEFT JOIN labels l ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+              WHERE r.rank <= 3 GROUP BY r.query_id),
+            ideal AS (
+              SELECT query_id, sum((power(2.0, CAST(label AS DOUBLE)) - 1.0) / log2(ir + 1.0)) AS idcg
+              FROM (SELECT query_id, label, doc_id,
+                           row_number() OVER (PARTITION BY query_id ORDER BY label DESC, doc_id ASC) AS ir
+                    FROM labels) WHERE ir <= 3 GROUP BY query_id)
+            SELECT d.query_id,
+                   round(CASE WHEN coalesce(i.idcg, 0.0) > 0.0 THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
+            FROM dcg d LEFT JOIN ideal i USING (query_id)
         """,
         "wand_store_topk": f"""
             WITH docs AS (

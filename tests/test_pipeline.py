@@ -181,6 +181,37 @@ def test_knn_ivf_full_probe_equals_exact(spark):
     assert simsearch.ann_recall(exact, part) > 0.3
 
 
+def test_ivf_kmeans_codebook_beats_lowest_id(spark):
+    """The real codebook: spherical k-means centroids give strictly better
+    recall than the lowest-id stand-in when the low ids are NOT spread
+    across clusters (here ids 0-29 all live in cluster 0, so the stand-in
+    wastes its 6 lists on one cluster). Deterministic: seeded sample,
+    seeded k-means++, fixed data."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((6, 16)) * 4
+    rows = [
+        (i, (centers[i // 30] + rng.standard_normal(16) * 0.5).astype("float32").tolist())
+        for i in range(180)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") % 15 == 0).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    exact = simsearch.knn_cosine(emb, q, k=5)
+    low = simsearch.knn_ivf(emb, q, k=5, n_centroids=6, n_probe=1)
+    km = simsearch.knn_ivf(emb, q, k=5, n_centroids=6, n_probe=1, codebook="kmeans")
+    r_low = simsearch.ann_recall(exact, low)
+    r_km = simsearch.ann_recall(exact, km)
+    assert r_km == 1.0
+    assert r_low < 0.8  # the stand-in genuinely suffers here
+    # determinism: same seed -> identical codebook
+    c1 = simsearch.ivf_centroids_kmeans(emb, 6, seed=7)
+    c2 = simsearch.ivf_centroids_kmeans(emb, 6, seed=7)
+    assert c1 == c2
+
+
 def test_ivf_assign_is_argmax(spark):
     import numpy as np
 

@@ -106,8 +106,15 @@ class QueryConfig:
     k: int = MAX_RESULT_NUM
     max_2nd_sort: int = MAX_2ND_SORT_NUM
     max_syn_recall: int = MAX_SYN_TERM_RECALL
-    ranker: str = "bm25"  # 'bm25' | 'vsm' (reference final score is vsm,
-    # /root/reference/src/table.cpp:709)
+    # final-score scorer for search(): 'vsm' (the reference's shipped
+    # choice, /root/reference/src/table.cpp:709), 'bm25', or 'coverage'
+    # (cqr·ctr — the reference's V0.1 scorer per its README version table)
+    ranker: str = "vsm"
+    # emit the full 38-feature D11 map (3-significant-digit rounded, the
+    # reference's FeatureMgr dump) as a map<string,double> column from
+    # search(); off by default — it forces the full feature kernels for
+    # every funnel survivor instead of the fast vsm/bm25 inline path
+    emit_features: bool = False
     # Adaptive Query Execution posture for the serving session: the query
     # plans do their own partitioning (doc-group routing, broadcast query
     # side), and AQE's per-exchange job barriers + replans add ~constant

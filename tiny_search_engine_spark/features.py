@@ -25,51 +25,85 @@ from .config import BM25Profile
 _FLT_EPS = 1.1920928955078125e-07
 
 
+def _as_np(a) -> np.ndarray:
+    if isinstance(a, (bytes, bytearray)):
+        return np.frombuffer(bytes(a), dtype=np.uint8).astype(np.int64)
+    return np.asarray(a, dtype=np.int64)
+
+
 def _lcs(a, b) -> int:
-    """Reference LCS recurrence (math_util.h:262-282)."""
+    """Reference LCS recurrence (math_util.h:262-282), numpy row DP.
+
+    The left-cell dependency vanishes because when chars match
+    prev[j-1]+1 dominates both neighbors, so cur[j] =
+    max(prev[j], match-diag, cur[j-1]) = a running max — one
+    maximum.accumulate per row instead of a Python inner loop. LCS is
+    symmetric, so the shorter sequence drives the rows (queries are a
+    handful of terms/bytes; docs are thousands)."""
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         return 0
-    prev = [0] * (lb + 1)
-    for i in range(1, la + 1):
-        cur = [0] * (lb + 1)
-        ai = a[i - 1]
-        for j in range(1, lb + 1):
-            cur[j] = prev[j - 1] + 1 if ai == b[j - 1] else max(cur[j - 1], prev[j])
-        prev = cur
-    return prev[lb]
+    A, B = _as_np(a), _as_np(b)
+    if len(A) > len(B):
+        A, B = B, A
+    prev = np.zeros(len(B) + 1, dtype=np.int64)
+    cur = np.empty_like(prev)
+    for ai in A:
+        diag = np.where(B == ai, prev[:-1] + 1, 0)
+        cur[0] = 0
+        np.maximum.accumulate(np.maximum(prev[1:], diag), out=cur[1:])
+        prev, cur = cur, prev
+    return int(prev[-1])
 
 
 def _lcsubstr(a, b) -> int:
-    """Reference LCSubstr (math_util.h:284-307); empty input → -1."""
+    """Reference LCSubstr (math_util.h:284-307); empty input → -1.
+    Row DP depends on the previous row only → one vectorized
+    where/shift per row. (With both sides non-empty the reference's
+    every-cell `> best` scan makes the result max(0, longest run).)"""
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         return -1
-    best = -1
-    prev = [0] * lb
-    for i in range(la):
-        cur = [0] * lb
-        ai = a[i]
-        for j in range(lb):
-            if ai == b[j]:
-                cur[j] = (prev[j - 1] + 1) if (i >= 1 and j >= 1) else 1
-            if cur[j] > best:
-                best = cur[j]
+    A, B = _as_np(a), _as_np(b)
+    if len(A) > len(B):
+        A, B = B, A
+    prev = np.zeros(len(B), dtype=np.int64)
+    best = 0
+    for ai in A:
+        cur = np.where(B == ai, 1, 0)
+        cur[1:] += np.where(B[1:] == ai, prev[:-1], 0)
+        m = int(cur.max())
+        if m > best:
+            best = m
         prev = cur
     return best
 
 
 def _edit_distance(a, b) -> int:
+    """Unit-cost Levenshtein, numpy row DP. The left-cell dependency
+    cur[j] = min(z[j], cur[j-1]+1) unrolls to
+    cur[j] = j + running_min(z[k] - k), so each row is one
+    minimum.accumulate instead of a Python inner loop."""
     la, lb = len(a), len(b)
-    prev = list(range(lb + 1))
-    for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        ai = a[i - 1]
-        for j in range(1, lb + 1):
-            d = prev[j - 1] if ai == b[j - 1] else prev[j - 1] + 1
-            cur[j] = min(d, prev[j] + 1, cur[j - 1] + 1)
-        prev = cur
-    return prev[lb]
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    A, B = _as_np(a), _as_np(b)
+    if len(A) > len(B):  # symmetric; shorter side drives the rows
+        A, B = B, A
+    n = len(B)
+    j_idx = np.arange(1, n + 1, dtype=np.int64)
+    prev = np.arange(n + 1, dtype=np.int64)
+    zbuf = np.empty(n + 1, dtype=np.int64)
+    for i, ai in enumerate(A, 1):
+        z = np.minimum(prev[:-1] + (B != ai), prev[1:] + 1)
+        zbuf[0] = i  # base cur[0]=i enters the scan at offset 0
+        np.subtract(z, j_idx, out=zbuf[1:])
+        np.minimum.accumulate(zbuf, out=zbuf)
+        prev[0] = i
+        np.add(zbuf[1:], j_idx, out=prev[1:])
+    return int(prev[-1])
 
 
 def _stddev(xs) -> float:
@@ -106,24 +140,41 @@ def export_feature_map(features: dict[str, float], digits: int = 3) -> dict[str,
     return {k: round_sig(v, digits) for k, v in features.items()}
 
 
+RANKERS = ("vsm", "bm25", "coverage")
+
+
 def compute_features_pdf(
     qi: dict,
     pdf: pd.DataFrame,
     stop_signs: set[int],
     prof: BM25Profile,
     avg_doc_len: float,
+    ranker: str = "vsm",
+    emit_features: bool = False,
 ) -> pd.DataFrame:
     """One query group: pdf rows = funnel-surviving candidates with
     columns (doc_id, term_hits, matches, toks, doc_len, vec_module,
-    wei_sum, content, ...). Returns scored rows."""
+    wei_sum, content, ...). Returns scored rows.
+
+    ``ranker`` picks the final score: ``vsm`` (the reference's shipped
+    choice, table.cpp:709), ``bm25``, or ``coverage`` = cqr·ctr (the
+    reference's V0.1 scorer, README.md:50-57 version table). ``vsm`` and
+    ``bm25`` use the fast inline kernels; the full 38-feature map (D11)
+    is computed only when ``emit_features`` or ``ranker='coverage'``
+    asks for it, via full_feature_map — one shared code path with the
+    golden model, exported 3-significant-digit rounded."""
+    if ranker not in RANKERS:
+        raise ValueError(f"unknown ranker {ranker!r}; one of {RANKERS}")
     q_signs: list[int] = qi["signs"]
     q_wei: list[float] = qi["wei"]
     q_module: float = qi["vec_module"]
+    need_full = emit_features or ranker == "coverage"
 
     out = {
         "query_id": [], "doc_id": [], "term_hits": [],
         "final_score": [], "vsm": [], "bm25": [],
     }
+    feats: list[dict] = []
     for row in pdf.itertuples():
         toks = row.toks  # sorted array of {pos, term_sign, offset, length, wei}
         d_signs = [int(t["term_sign"]) for t in toks]
@@ -162,23 +213,71 @@ def compute_features_pdf(
                 * (tf_q * (prof.k2 + 1) / (tf_q + prof.k2))
             )
 
+        fmap: dict[str, float] | None = None
+        if need_full:
+            term_map = qi["term_map"]
+            d_off_by_sign: dict[int, list[int]] = {}
+            for t in toks:
+                d_off_by_sign.setdefault(int(t["term_sign"]), []).append(
+                    int(t["offset"])
+                )
+            fm_matches = []
+            for m in matches:
+                s = int(m["term_sign"])
+                fm_matches.append(
+                    {
+                        "term_sign": s,
+                        "tf_q": int(m["tf_q"]),
+                        "tf_d": int(m["tf_d"]),
+                        "idf": float(m["idf"]),
+                        "term_len": int(m["term_len"]),
+                        "q_offsets": tuple(term_map[s][2]) if s in term_map else (),
+                        "d_offsets": tuple(d_off_by_sign.get(s, ())),
+                    }
+                )
+            fmap = full_feature_map(
+                qi,
+                {
+                    "signs": d_signs,
+                    "wei": d_weis,
+                    "doc_len": doc_len,
+                    "vec_module": d_module,
+                    "wei_sum": float(row.wei_sum),
+                    "text": row.content,
+                },
+                fm_matches,
+                stop_signs,
+                prof,
+                avg_doc_len,
+            )
+
+        final = (
+            vsm
+            if ranker == "vsm"
+            else bm25
+            if ranker == "bm25"
+            else fmap["F_QU_TERM_WEI_COVERAGE"]
+        )
         out["query_id"].append(int(row.query_id))
         out["doc_id"].append(int(row.doc_id))
         out["term_hits"].append(int(row.term_hits))
-        out["final_score"].append(vsm)  # table.cpp:709
+        out["final_score"].append(final)  # vsm default: table.cpp:709
         out["vsm"].append(vsm)
         out["bm25"].append(bm25)
+        if emit_features:
+            feats.append(export_feature_map(fmap))
 
-    return pd.DataFrame(
-        {
-            "query_id": pd.Series(out["query_id"], dtype="int64"),
-            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-            "term_hits": pd.Series(out["term_hits"], dtype="int64"),
-            "final_score": pd.Series(out["final_score"], dtype="float64"),
-            "vsm": pd.Series(out["vsm"], dtype="float64"),
-            "bm25": pd.Series(out["bm25"], dtype="float64"),
-        }
-    )
+    cols = {
+        "query_id": pd.Series(out["query_id"], dtype="int64"),
+        "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+        "term_hits": pd.Series(out["term_hits"], dtype="int64"),
+        "final_score": pd.Series(out["final_score"], dtype="float64"),
+        "vsm": pd.Series(out["vsm"], dtype="float64"),
+        "bm25": pd.Series(out["bm25"], dtype="float64"),
+    }
+    if emit_features:
+        cols["features"] = pd.Series(feats, dtype="object")
+    return pd.DataFrame(cols)
 
 
 def full_feature_map(

@@ -581,7 +581,16 @@ class GoldenQueryEngine:
         # D9 proximity (table.cpp:707-708)
         f["F_QU_PROXIMITY"] = math.pow(0.9, r.miss + r.extra + r.disorder)
 
-        r.final_score = r.vsm  # table.cpp:709
+        # table.cpp:709 ships vsm; 'coverage' (cqr·ctr) is the README
+        # V0.1 scorer; 'bm25' for the headline path — mirrors
+        # features.compute_features_pdf's ranker switch
+        ranker = getattr(self.cfg, "ranker", "vsm")
+        if ranker == "coverage":
+            r.final_score = r.features["F_QU_TERM_WEI_COVERAGE"]
+        elif ranker == "bm25":
+            r.final_score = r.bm25
+        else:
+            r.final_score = r.vsm
 
     def search(self, query: str, k: int | None = None) -> list[GResult]:
         """Full reference pipeline: final ranking by vsm (funnel mode)."""

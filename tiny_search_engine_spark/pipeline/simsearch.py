@@ -173,6 +173,77 @@ def ivf_centroids(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means codebook (Lloyd over a deterministic sample):
+    the real IVF codebook the lowest-id stand-in (ivf_centroids) fakes.
+
+    Deterministic end to end: the sample is the ``sample_size`` corpus
+    rows with the smallest xxhash64(id) (order-by + limit plans as a
+    distributed TakeOrdered — no full collect, no partition-layout
+    dependence); init is k-means++ under a fixed-seed RNG; ties and
+    empty-cluster reseeds break by index. Scale shape: only the bounded
+    sample (sample_size × dim doubles) ever reaches the driver — Lloyd
+    runs in numpy there — while the full-corpus assignment stays
+    distributed in ivf_assign, so a 100 TB vector table trains exactly
+    like a 10 MB one. Centroid ids are 0..k-1 (dense), unlike the
+    lowest-id codebook whose ids are vector ids; both fit the same
+    (cid, vec) contract."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(int(sample_size))
+        .collect()
+    )
+    X = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if len(X) < n_centroids:
+        raise ValueError(f"sample ({len(X)}) smaller than n_centroids ({n_centroids})")
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+
+    rng = np.random.default_rng(seed)
+    # k-means++ init over the normalized sample (cosine distance = 1 - dot)
+    idx = [int(rng.integers(len(Xn)))]
+    for _ in range(1, n_centroids):
+        sims = Xn @ Xn[idx].T  # n × chosen
+        d = np.maximum(0.0, 1.0 - sims.max(axis=1))
+        tot = d.sum()
+        if tot <= 0:  # fewer distinct directions than centroids
+            remaining = [i for i in range(len(Xn)) if i not in idx]
+            idx.append(remaining[0])
+            continue
+        idx.append(int(rng.choice(len(Xn), p=d / tot)))
+    C = Xn[idx].copy()
+
+    for _ in range(n_iters):
+        cos = Xn @ C.T
+        assign = np.argmax(np.round(cos, 12), axis=1)
+        newC = np.zeros_like(C)
+        for j in range(n_centroids):
+            members = Xn[assign == j]
+            if len(members) == 0:
+                # reseed to the point farthest from its centroid (determ.)
+                far = int(np.argmin(cos[np.arange(len(Xn)), assign]))
+                newC[j] = Xn[far]
+                continue
+            m = members.sum(axis=0)
+            n = np.linalg.norm(m)
+            newC[j] = m / n if n > 0 else C[j]
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return [(j, C[j].tolist()) for j in range(n_centroids)]
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -200,13 +271,23 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_vec_id",
+    codebook: str = "lowest_id",
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus sharded by nearest centroid,
     each query probes its n_probe nearest centroid lists only (candidate
     volume ~ n_probe/n_centroids of brute force), exact cosine rerank
-    inside the probed lists. Deterministic given the corpus (codebook =
-    lowest-id vectors) → exactly reproducible by a SQL oracle."""
-    centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    inside the probed lists. Deterministic given the corpus either way:
+    ``codebook='lowest_id'`` (the SQL-oracle-reproducible stand-in) or
+    ``codebook='kmeans'`` (the real spherical-k-means codebook,
+    ivf_centroids_kmeans — better-balanced lists → higher recall at the
+    same n_probe, pinned in test_pipeline.py)."""
+    if codebook == "kmeans":
+        centroids = ivf_centroids_kmeans(
+            corpus, n_centroids, id_col, vec_col, seed=seed
+        )
+    else:
+        centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
         id_col, F.col(vec_col).alias("cv"), "centroid_id"
     )

@@ -344,10 +344,13 @@ class QueryEngine:
     # ------------------------------------------------------------------
 
     def search(self, queries: list[tuple[int, str]], k: int | None = None) -> DataFrame:
-        """recall → 1st sort → features(top-200) → vsm rank → top-k.
+        """recall → 1st sort → features(top-200) → final rank → top-k.
 
-        Returns (query_id, rank, doc_id, final_score, vsm, bm25, term_hits,
-        features map)."""
+        Returns (query_id, rank, doc_id, final_score, vsm, bm25,
+        term_hits) — plus a ``features`` map<string,double> column (the
+        D11 FeatureMgr dump, 3-significant-digit rounded) when
+        ``QueryConfig.emit_features`` is set. ``QueryConfig.ranker``
+        selects final_score: vsm (reference default) / bm25 / coverage."""
         k = k or self.cfg.k
         spark = self.spark
         meta = self.store.meta()
@@ -383,10 +386,19 @@ class QueryEngine:
             .withColumn("funnel_rank", F.row_number().over(wfun))
         )
         top = cand.filter(F.col("funnel_rank") <= self.cfg.max_2nd_sort)
-        rest = cand.filter(F.col("funnel_rank") > self.cfg.max_2nd_sort).select(
-            "query_id", "doc_id", "term_hits",
+        rest_cols = [
+            F.col("query_id"), F.col("doc_id"), F.col("term_hits"),
             F.lit(0.0).alias("final_score"), F.lit(0.0).alias("vsm"),
             F.lit(0.0).alias("bm25"),
+        ]
+        if self.cfg.emit_features:
+            # funnel-overflow rows never reach the feature kernels
+            # (table.cpp:404-414: only the top max_2nd_sort are featured)
+            rest_cols.append(
+                F.create_map().cast("map<string,double>").alias("features")
+            )
+        rest = cand.filter(F.col("funnel_rank") > self.cfg.max_2nd_sort).select(
+            *rest_cols
         )
 
         # doc-side arrays for the feature UDF (only for funnel survivors:
@@ -432,19 +444,30 @@ class QueryEngine:
             "query_id long, doc_id long, term_hits long, final_score double, "
             "vsm double, bm25 double"
         )
+        if self.cfg.emit_features:
+            out_schema += ", features map<string,double>"
+        ranker, emit = self.cfg.ranker, self.cfg.emit_features
 
         def feat_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(key[0])
             qi = qinfo_b.value[qid]
-            return compute_features_pdf(qi, pdf, stop_signs, prof, avg_dl)
+            return compute_features_pdf(
+                qi, pdf, stop_signs, prof, avg_dl,
+                ranker=ranker, emit_features=emit,
+            )
 
         featured = feat_in.groupBy("query_id").applyInPandas(feat_fn, out_schema)
         allc = featured.unionByName(rest.select(*featured.columns))
         wfin = Window.partitionBy("query_id").orderBy(F.desc("final_score"), F.asc("doc_id"))
+        final_cols = [
+            "query_id", "rank", "doc_id", "final_score", "vsm", "bm25", "term_hits"
+        ]
+        if self.cfg.emit_features:
+            final_cols.append("features")
         return (
             allc.withColumn("rank", F.row_number().over(wfin))
             .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "doc_id", "final_score", "vsm", "bm25", "term_hits")
+            .select(*final_cols)
         )
 
     # ------------------------------------------------------------------
