@@ -154,6 +154,13 @@ def main() -> None:
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         timed_best2("dedup_minhash_lsh", lambda run: dedup.lsh_candidate_pairs(docs).count())
         timed("dedup_simhash", lambda: dedup.simhash(docs).count())
+        # hot-shingle-capped Jaccard: the bounded-join 100 TB shape
+        timed(
+            "dedup_jaccard_capped",
+            lambda: dedup.ngram_jaccard_pairs(
+                docs, shingle=1, threshold=0.3, max_shingle_df=50
+            ).count(),
+        )
         knn_q = emb.filter(F.col("vec_id") < 20).select(
             F.col("vec_id").alias("query_vec_id"), "embedding"
         )
@@ -162,6 +169,12 @@ def main() -> None:
             "knn_ivf",
             lambda: simsearch.knn_ivf(
                 emb, knn_q, k=10, n_centroids=16, n_probe=4
+            ).count(),
+        )
+        timed(
+            "knn_ivf_kmeans",
+            lambda: simsearch.knn_ivf(
+                emb, knn_q, k=10, n_centroids=16, n_probe=4, codebook="kmeans"
             ).count(),
         )
         timed_best2(

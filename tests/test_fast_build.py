@@ -4,6 +4,8 @@ build over the same corpus."""
 
 import math
 
+import pytest
+
 from tiny_search_engine_spark.build import BuildConfig, build_index
 from tiny_search_engine_spark.compress import decode_posting
 from tiny_search_engine_spark.synth import make_stopwords, source_files
@@ -42,3 +44,35 @@ def test_fast_path_equals_parity_path(spark, tmp_path):
         assert math.isclose(ds_s[k]["wei_sum"], ds_f[k]["wei_sum"], rel_tol=1e-9)
     assert slow.meta()["avg_doc_len"] == fast.meta()["avg_doc_len"]
     assert fast.meta()["write_tokens"] is False
+
+
+@pytest.mark.parametrize("write_tokens", [False, True])
+def test_build_with_pre_term_sign(spark, tmp_path, write_tokens):
+    """BuildConfig.write_pre_term_sign adds the adjacency column to the
+    stored doc_term and changes nothing else (query paths ignore it) —
+    on BOTH the fused fast path and the tokens-table parity path."""
+    from tiny_search_engine_spark.build import BuildConfig, build_index
+    from tiny_search_engine_spark.synth import source_files
+    from tiny_search_engine_spark.tokenizer import tokenize_with_stats
+    from tiny_search_engine_spark.hashing import doc_sign
+    from tiny_search_engine_spark.synth import source_files_local
+
+    src = source_files(spark, 40, seed=3)
+    store = build_index(
+        spark, src, str(tmp_path / f"st{int(write_tokens)}"),
+        BuildConfig(write_tokens=write_tokens, write_pre_term_sign=True),
+    )
+    dt = store.doc_term(spark)
+    assert "pre_term_sign" in dt.columns
+    got = {
+        (r["doc_id"], r["term_sign"]): r["pre_term_sign"]
+        for r in dt.select("doc_id", "term_sign", "pre_term_sign").collect()
+    }
+    checked = 0
+    for d in source_files_local(40, seed=3):
+        did = doc_sign(d["repo"], d["path"], d["commit"])
+        _t, _d, tm = tokenize_with_stats(d["content"], "code")
+        for s, ent in tm.items():
+            assert got[(did, s)] == ent[3], (did, s)
+            checked += 1
+    assert checked > 100

@@ -87,7 +87,7 @@ def test_doc_term_iterator_matches_reference_stats():
         got = by_doc[i]
         assert set(got) == set(tmap)
         dl = text_len(tokenize(text, "code"))
-        for sign, (tf, first_idx, _offs) in tmap.items():
+        for sign, (tf, first_idx, _offs, _pre) in tmap.items():
             g = got[sign]
             assert g.tf == tf, (text, sign)
             assert g.first_idx == first_idx, (text, sign)
@@ -126,5 +126,40 @@ def test_doc_term_iterator_fuzz_against_reference_pass():
             assert i not in by_doc, repr(text)
             continue
         dl = text_len(tokenize(text, "code"))
-        want = {s: (tf, fi, dl, len(toks)) for s, (tf, fi, _o) in tmap.items()}
+        want = {s: (tf, fi, dl, len(toks)) for s, (tf, fi, _o, _p) in tmap.items()}
         assert by_doc[i] == want, repr(text)
+
+
+def test_pre_term_sign_adjacency():
+    """The optional B2 adjacency slot: pre_term_sign = sign of the token
+    before the term's FIRST occurrence, 0 if doc-initial (the reference's
+    GlobalTermInfo, segment.cpp:84-99) — in both the reference pass and
+    the vectorized doc_term fast path."""
+    import pandas as pd
+
+    from tiny_search_engine_spark.hashing import term_sign
+    from tiny_search_engine_spark.tokenizer import (
+        make_doc_term_iterator,
+        tokenize_with_stats,
+    )
+
+    docs = ["a b a c", "x", "b B a b"]
+    _toks, _dups, tmap = tokenize_with_stats(docs[0], "code")
+    a, b, c = term_sign("a"), term_sign("b"), term_sign("c")
+    assert tmap[a][3] == 0        # doc-initial
+    assert tmap[b][3] == a        # 'b' first occurs after 'a'
+    assert tmap[c][3] == a        # 'c' first occurs after the 2nd 'a'
+
+    fn = make_doc_term_iterator("code", with_pre_sign=True)
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "content": docs})
+    out = pd.concat(list(fn(iter([pdf]))), ignore_index=True)
+    assert "pre_term_sign" in out.columns
+    got = {
+        (r.doc_id, r.term_sign): r.pre_term_sign for r in out.itertuples()
+    }
+    for i, text in enumerate(docs):
+        _t, _d, tm = tokenize_with_stats(text, "code")
+        for s, ent in tm.items():
+            assert got[(i, s)] == ent[3], (i, s)
+    # case-folding: doc 2 'b B' -> B is a dup of b, not a new first occ
+    assert got[(2, a)] == b

@@ -51,7 +51,12 @@ from pyspark.sql import functions as F
 from .compress import encode_posting
 from .config import BuildConfig
 from .hashing import DOC_KEY_SEP
-from .tokenizer import DOC_TERM_SCHEMA, make_doc_term_iterator, make_tokenize_iterator
+from .tokenizer import (
+    DOC_TERM_SCHEMA,
+    DOC_TERM_SCHEMA_PRE,
+    make_doc_term_iterator,
+    make_tokenize_iterator,
+)
 
 POSTING_BUCKETS = 64  # term-hash write partitions (query-side pruning)
 
@@ -387,14 +392,33 @@ def build_index(
                     F.max_by(F.col("offset") + F.col("length"), F.col("pos")).alias("doc_len"),
                     F.count("*").alias("n_terms"),
                 )
+                aggs = [
+                    F.count("*").alias("tf"),
+                    F.min("pos").alias("first_idx"),
+                    F.first("term").alias("term"),
+                    F.first("length").alias("term_len"),
+                ]
+                if cfg.write_pre_term_sign:
+                    # sign of the token preceding the FIRST occurrence
+                    # (segment.cpp:84-99), 0 when doc-initial — same value
+                    # the fused path computes from adjacent token codes
+                    from pyspark.sql import Window
+
+                    tokens = tokens.withColumn(
+                        "prev_sign",
+                        F.coalesce(
+                            F.lag("term_sign").over(
+                                Window.partitionBy("doc_id").orderBy("pos")
+                            ),
+                            F.lit(0).cast("long"),
+                        ),
+                    )
+                    aggs.append(
+                        F.min_by("prev_sign", "pos").alias("pre_term_sign")
+                    )
                 doc_term = (
                     tokens.groupBy("doc_id", "term_sign")
-                    .agg(
-                        F.count("*").alias("tf"),
-                        F.min("pos").alias("first_idx"),
-                        F.first("term").alias("term"),
-                        F.first("length").alias("term_len"),
-                    )
+                    .agg(*aggs)
                     .join(per_doc, "doc_id")
                 )
             else:
@@ -408,9 +432,13 @@ def build_index(
                 # to F.xxhash64(F.lower(term)) — tests/test_hashing.py; the
                 # display string is non-null on one row per batch-unique
                 # term, so no JVM hash/lower pass over millions of rows)
-                dt_fn = make_doc_term_iterator(cfg.tokenizer, "doc_id", "content")
+                dt_fn = make_doc_term_iterator(
+                    cfg.tokenizer, "doc_id", "content",
+                    with_pre_sign=cfg.write_pre_term_sign,
+                )
                 doc_term = tokenize_src.select("doc_id", "content").mapInPandas(
-                    dt_fn, DOC_TERM_SCHEMA
+                    dt_fn,
+                    DOC_TERM_SCHEMA_PRE if cfg.write_pre_term_sign else DOC_TERM_SCHEMA,
                 )
             # N (forward-table size = docs with >=1 token, table.cpp:270)
             # rides the write via observe(): exactly one doc_term row per

@@ -88,6 +88,11 @@ class BuildConfig:
     copy_content: bool = True
     # per-bucket posting metrics in lineage (1 extra metadata-column scan)
     per_bucket_metrics: bool = True
+    # doc_term carries pre_term_sign (sign of the token preceding each
+    # term's first occurrence, 0 if doc-initial) — the reference's
+    # computed-but-unused GlobalTermInfo adjacency slot
+    # (/root/reference/src/segment.cpp:84-99); opt-in, nothing reads it
+    write_pre_term_sign: bool = False
     # persist doc_term (MEMORY_AND_DISK) across its three consumer stages
     # instead of re-reading the parquet it just wrote; spills gracefully
     # when it outgrows executor memory

@@ -445,6 +445,14 @@ class QueryEngine:
             "vsm double, bm25 double"
         )
         if self.cfg.emit_features:
+            if self.syn.clusters:
+                raise ValueError(
+                    "emit_features with synonyms is not supported yet: the "
+                    "D8 q_offsets of a synonym match belong to the ORIGINAL "
+                    "query term (golden model.py _make_match), and the "
+                    "exported map does not carry that mapping — rank output "
+                    "is unaffected; drop emit_features or the synonym dict"
+                )
             out_schema += ", features map<string,double>"
         ranker, emit = self.cfg.ranker, self.cfg.emit_features
 

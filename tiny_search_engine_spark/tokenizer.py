@@ -155,22 +155,28 @@ def tokenize_with_stats(text: str, mode: str = "code"):
     """Tokens + the reference's per-string pass (segment.cpp:78-101):
 
     returns (tokens, dup list (1-based occurrence counts, aligned with
-    tokens), term_map {sign: (term_freq, first_idx, offsets)}).
-    Signs are signed-int64 xxhash64(lower(term)).
+    tokens), term_map {sign: [term_freq, first_idx, offsets,
+    pre_term_sign]}). ``pre_term_sign`` is the sign of the token
+    preceding the term's FIRST occurrence, 0 for a document-initial term
+    — the adjacency slot the reference fills in GlobalTermInfo
+    (segment.cpp:84-99) and never consumes (SURVEY §2 B2 "keep
+    optional"). Signs are signed-int64 xxhash64(lower(term)).
     """
     toks = tokenize(text, mode)
     dup: list[int] = []
-    term_map: dict[int, list] = {}  # sign -> [tf, first_idx, offsets]
+    term_map: dict[int, list] = {}  # sign -> [tf, first_idx, offsets, pre_sign]
+    pre_sign = 0
     for i, t in enumerate(toks):
         s = term_sign(t.term)
         ent = term_map.get(s)
         if ent is None:
-            term_map[s] = [1, i, [t.offset]]
+            term_map[s] = [1, i, [t.offset], pre_sign]
             dup.append(1)
         else:
             ent[0] += 1
             ent[2].append(t.offset)
             dup.append(ent[0])
+        pre_sign = s
     return toks, dup, term_map
 
 
@@ -247,6 +253,12 @@ DOC_TERM_SCHEMA = (
     "tf int, first_idx int, doc_len int, n_terms int"
 )
 
+# the optional adjacency column (SURVEY §2 B2): sign of the token
+# preceding the term's first occurrence, 0 if document-initial — the
+# reference's GlobalTermInfo.pre_term_sign (segment.cpp:84-99),
+# computed-but-unused there; opt in with BuildConfig.write_pre_term_sign
+DOC_TERM_SCHEMA_PRE = DOC_TERM_SCHEMA + ", pre_term_sign long"
+
 # single-char class tests used by the trailing-scan doc_len below; regexes
 # (not str methods) so the classes are EXACTLY Python re's \s/\w/\d
 _S_CH = re.compile(r"\s")
@@ -284,7 +296,12 @@ _REGISTRY["code"] = RegexTokenizer(_CODE_RE, _last_token_end_code)
 _REGISTRY["ws"] = RegexTokenizer(_WS_RE, _last_token_end_ws)
 
 
-def make_doc_term_iterator(mode: str, id_col: str = "doc_id", text_col: str = "content"):
+def make_doc_term_iterator(
+    mode: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    with_pre_sign: bool = False,
+):
     """Map-side per-doc aggregation (the reference's ``update_global_info``
     pass, segment.cpp:78-101, fused into tokenization): emits one row per
     (doc, DISTINCT case-folded term) with tf/first_idx plus the doc-level
@@ -319,6 +336,8 @@ def make_doc_term_iterator(mode: str, id_col: str = "doc_id", text_col: str = "c
         "doc_len": pd.Series([], dtype="int32"),
         "n_terms": pd.Series([], dtype="int32"),
     }
+    if with_pre_sign:
+        empty["pre_term_sign"] = pd.Series([], dtype="int64")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from itertools import chain
@@ -377,23 +396,34 @@ def make_doc_term_iterator(mode: str, id_col: str = "doc_id", text_col: str = "c
             )
             tl_mask = np.ones(n_pairs, dtype=bool)
             tl_mask[rep] = False
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(
-                        np.asarray(keep_ids, dtype=np.int64)[d_idx], dtype="int64"
+            cols = {
+                id_col: pd.Series(
+                    np.asarray(keep_ids, dtype=np.int64)[d_idx], dtype="int64"
+                ),
+                "term_sign": pd.Series(signs[l_idx], dtype="int64"),
+                "term": pd.Series(terms_out, dtype="object"),
+                "term_len": pd.arrays.IntegerArray(tl_vals, mask=tl_mask),
+                "tf": pd.Series(tf.astype(np.int32), dtype="int32"),
+                "first_idx": pd.Series(
+                    (first_g - doc_start[d_idx]).astype(np.int32), dtype="int32"
+                ),
+                "doc_len": pd.Series(
+                    np.asarray(dlens, dtype=np.int32)[d_idx], dtype="int32"
+                ),
+                "n_terms": pd.Series(counts[d_idx].astype(np.int32), dtype="int32"),
+            }
+            if with_pre_sign:
+                # sign of the token before the FIRST occurrence, 0 when the
+                # first occurrence opens the doc (segment.cpp:84 init)
+                prev_tok = np.maximum(first_g - 1, 0)
+                cols["pre_term_sign"] = pd.Series(
+                    np.where(
+                        first_g > doc_start[d_idx],
+                        signs[lcodes[prev_tok]],
+                        np.int64(0),
                     ),
-                    "term_sign": pd.Series(signs[l_idx], dtype="int64"),
-                    "term": pd.Series(terms_out, dtype="object"),
-                    "term_len": pd.arrays.IntegerArray(tl_vals, mask=tl_mask),
-                    "tf": pd.Series(tf.astype(np.int32), dtype="int32"),
-                    "first_idx": pd.Series(
-                        (first_g - doc_start[d_idx]).astype(np.int32), dtype="int32"
-                    ),
-                    "doc_len": pd.Series(
-                        np.asarray(dlens, dtype=np.int32)[d_idx], dtype="int32"
-                    ),
-                    "n_terms": pd.Series(counts[d_idx].astype(np.int32), dtype="int32"),
-                }
-            )
+                    dtype="int64",
+                )
+            yield pd.DataFrame(cols)
 
     return fn
