@@ -206,22 +206,28 @@ def ngram_jaccard_pairs(
     )
     if max_shingle_df is not None:
         # df census -> hot set -> broadcast anti-join, mirroring the
-        # posting skew census in build.py (pow2 doc-range sharding).
-        census = sh.groupBy("sh").agg(F.count("*").alias("sdf"))
-        hot = census.filter(F.col("sdf") > max_shingle_df)
-        dropped = hot.agg(
-            F.count("*").alias("n_hot"),
-            F.coalesce(F.sum("sdf"), F.lit(0)).alias("occ_dropped"),
-        ).collect()[0]
+        # posting skew census in build.py (pow2 doc-range sharding). The
+        # census pass MATERIALIZES the hot set to the driver: it is tiny
+        # by construction (≤ total_occurrences / cap entries, and the
+        # anti-join must broadcast it anyway), so the final plan rebuilds
+        # it from a local relation instead of re-running the exploded
+        # pipeline + census a second time for the join build side.
+        hot_rows = (
+            sh.groupBy("sh").agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .collect()
+        )
         _LOG.info(
             "ngram_jaccard_pairs hot-shingle cap df>%d: dropped %d shingles, "
             "%d occurrence rows",
-            max_shingle_df, dropped["n_hot"], dropped["occ_dropped"],
+            max_shingle_df, len(hot_rows), sum(r["sdf"] for r in hot_rows),
         )
-        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-        # sizes must count only surviving shingles so the Jaccard
-        # denominator matches the capped universe.
-        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        if hot_rows:
+            hot = df.sparkSession.createDataFrame(
+                [(r["sh"],) for r in hot_rows], "sh string"
+            )
+            sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        sizes = None  # from the shared shuffle below
     else:
         # per-doc distinct-shingle counts as row-local column algebra — no
         # third evaluation of the exploded pipeline, no extra shuffle
@@ -230,6 +236,13 @@ def ngram_jaccard_pairs(
             F.size(F.array_distinct(_shingles_of(F.col("_toks"), shingle))).alias("n_sh"),
         )
     sh = sh.repartition(F.col("sh"))
+    if sizes is None:
+        # capped path: per-doc surviving-shingle counts aggregate OVER the
+        # repartition exchange, so sizes, join-left, and join-right all
+        # read ONE shuffle write of the exploded+capped pipeline
+        # (ReusedExchange) — the Jaccard denominator matches the capped
+        # universe at no extra evaluation.
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b").hint("shuffle_merge")
     common = (
