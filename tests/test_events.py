@@ -125,6 +125,71 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     }
 
 
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionization (applyInPandasWithState +
+    event-time timeout) over in-order epochs equals the batch window-
+    algebra operator on the same events: sessions closed by an
+    intra-batch gap AND sessions flushed by the watermark timeout."""
+    import os
+    from datetime import datetime
+
+    from tiny_search_engine_spark.streaming import sessionize_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # user 1: sessions (0:00-0:10), (1:00-1:05), (3:00); user 2: (0:20), (2:00)
+    real = [
+        (0, datetime(2024, 1, 1, 0, 0), 1, "view", 1.0, "{}"),
+        (1, datetime(2024, 1, 1, 0, 10), 1, "click", 2.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 20), 2, "view", 4.0, "{}"),
+        (3, datetime(2024, 1, 1, 1, 0), 1, "view", 8.0, "{}"),
+        (4, datetime(2024, 1, 1, 1, 5), 1, "view", 16.0, "{}"),
+        (5, datetime(2024, 1, 1, 2, 0), 2, "click", 32.0, "{}"),
+        (6, datetime(2024, 1, 1, 3, 0), 1, "view", 64.0, "{}"),
+    ]
+    epochs = [
+        [r for r in real if r[1] < datetime(2024, 1, 1, 1)],
+        [r for r in real if r[1] >= datetime(2024, 1, 1, 1)],
+        # sentinels: advance the watermark far past every deadline; the
+        # second drain run fires the timeouts even if the engine skips
+        # the no-data flush batch after the first
+        [(7, datetime(2024, 1, 1, 10, 0), 9, "view", 0.0, "{}")],
+        [(8, datetime(2024, 1, 1, 11, 0), 9, "view", 0.0, "{}")],
+    ]
+    src, out, ckpt = (str(tmp_path / d) for d in ("ssrc", "sout", "sckpt"))
+    for i, rows in enumerate(epochs):
+        # one file per epoch: with maxFilesPerTrigger=1 each parquet PART
+        # file becomes its own micro-batch, and multi-part epochs would
+        # arrive in arbitrary event-time order (the kernel requires
+        # epoch-order per user, as log shippers provide)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"e{i}")
+        )
+        sessionize_stream(
+            spark, src, out, ckpt, gap_minutes=30, watermark="1 hour"
+        )
+
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != 9
+    }
+    want = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in ev.sessionize(
+            spark.createDataFrame(real, schema), gap_minutes=30
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 5  # 3 sessions for user 1, 2 for user 2
+
+
 def test_type_hour_rollup_levels(elog):
     rows = ev.type_hour_rollup(elog).collect()
     # grand total: level 3, all keys null

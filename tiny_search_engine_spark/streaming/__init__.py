@@ -1,2 +1,3 @@
 from .event_stream import windowed_stats_stream  # noqa: F401
 from .ingest import compact, compact_incremental, delete_docs, ingest_available_now  # noqa: F401
+from .session_stream import sessionize_stream  # noqa: F401
