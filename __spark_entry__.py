@@ -556,6 +556,22 @@ def _q_event_sessions(spark, sf_dir):
     )
 
 
+def _q_event_sessions_native(spark, sf_dir):
+    """Sessionization via the BUILT-IN F.session_window (pipeline.events
+    .sessionize_native) — same output shape AND same gap rule as
+    event_sessions (exact-boundary merge pinned in test_events)."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    return ev.sessionize_native(_events(spark, sf_dir), gap_minutes=30).select(
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        "total_value",
+    )
+
+
 def _q_event_windowed(spark, sf_dir):
     """Tumbling 1-hour window stats per event_type, incl. exact distinct
     users and a JSON-extracted property mean (pipeline.events)."""
@@ -674,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "corpus_curate": _q_corpus_curate,
         "event_sessions": _q_event_sessions,
+        "event_sessions_native": _q_event_sessions_native,
         "event_windowed": _q_event_windowed,
         "event_rollup": _q_event_rollup,
         "knn_lsh": _q_knn_lsh,
@@ -1216,6 +1233,24 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE doc_id < 30), (VALUES {_QUERIES_SQL_VALUES}) AS q(query_id, query)"
         ),
         "event_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            s AS (
+              SELECT *, CAST(sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM o)
+            SELECT user_id, session_id,
+                   epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+                   count(*) AS n_events, round(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "event_sessions_native": """
             WITH o AS (
               SELECT user_id, event_id, ts, value,
                      CASE WHEN lag(ts) OVER w IS NULL

@@ -125,6 +125,27 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
     }
 
 
+def test_sessionize_native_matches_and_boundary(elog):
+    """F.session_window twin: sessions identical to the lag-based
+    operator INCLUDING the exact-gap boundary (Spark merges session
+    windows whose ranges touch, so only gap > threshold splits)."""
+    native = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in ev.sessionize_native(elog, gap_minutes=30).collect()
+    }
+    lag = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in ev.sessionize(elog, gap_minutes=30).collect()
+    }
+    assert native == lag
+    # the exact-30-min gap merged (boundary pin: only gap > threshold splits)
+    assert native[(2, 1)][2] == 2 and (2, 2) not in native
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     """Stateful streaming sessionization (applyInPandasWithState +
     event-time timeout) over in-order epochs equals the batch window-

@@ -64,6 +64,42 @@ def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_native(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """``sessionize`` re-expressed on the BUILT-IN ``F.session_window``
+    (Spark's native merging session window): one groupBy, no window
+    functions — and the identical expression runs under Structured
+    Streaming with ``withWatermark`` (state merged by the engine, no
+    Python state kernel). ``session_id`` (1..k per user, time order) is
+    recovered by ranking session starts — a per-user window over the
+    already-aggregated session rows, thousands of times smaller than the
+    event table, so the second shuffle is on session cardinality.
+
+    Semantics match ``sessionize`` exactly, including the boundary: an
+    event landing EXACTLY ``gap_minutes`` after its predecessor merges
+    into the session (empirically pinned in test_events — Spark merges
+    windows whose ranges touch), i.e. only ``gap > threshold`` splits,
+    same as the lag-based rule, so both share one oracle shape."""
+    sw = F.session_window(F.col("ts").cast("timestamp"), f"{gap_minutes} minutes")
+    g = (
+        df.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start").asc())
+    return g.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "total_value",
+    )
+
+
 def windowed_stats(df: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window aggregation per event_type: event count, value sum,
     exact distinct users, and the mean of the JSON property ``$.k``
