@@ -17,6 +17,8 @@ from tiny_search_engine_spark.hashing import doc_sign
 from tiny_search_engine_spark.query import QueryEngine
 from tiny_search_engine_spark.synth import make_queries, source_files, source_files_local
 from tiny_search_engine_spark.tokenizer import (
+    DictAllTokenizer,
+    DictSearchTokenizer,
     DictTokenizer,
     register_tokenizer,
     tokenize,
@@ -39,9 +41,15 @@ def _dict_wordlist() -> list[str]:
     return sorted(w for w in vocab if w.isalnum())
 
 
-register_tokenizer("dict", DictTokenizer(_dict_wordlist()))
+_WORDS = _dict_wordlist()
+register_tokenizer("dict", DictTokenizer(_WORDS))
+register_tokenizer("dict_all", DictAllTokenizer(_WORDS))
+register_tokenizer("dict_search", DictSearchTokenizer(_WORDS))
 
-MODES = ["code", "ws", "dict"]
+# every reference SegmentMode except HMM-backed ones (MP≈dict,
+# ALL≈dict_all, SEARCH/MIX≈dict_search; HMM needs the model blobs absent
+# from the reference checkout, /root/reference/.MISSING_LARGE_BLOBS)
+MODES = ["code", "ws", "dict", "dict_all", "dict_search"]
 
 
 @pytest.fixture(scope="module", params=MODES)
@@ -92,6 +100,27 @@ def test_mode_results_actually_differ(spark, stopwords, tmp_path_factory):
     toks_dict = [t.term for t in tokenize("foo.bar(x)", "dict2")]
     assert toks_code != toks_dict
     assert "foo.bar" in toks_dict  # longest-match crossed the '.' boundary
+
+
+def test_cut_all_emits_overlapping_matches():
+    """ALL mode: every dictionary word at every start, plus single-char
+    OOV for uncovered positions; offsets overlap."""
+    tok = DictAllTokenizer(["foo", "foobar", "bar", "z"])
+    got = [(t.term, t.offset, t.length) for t in tok.tokens("foobarz!")]
+    assert got == [
+        ("foo", 0, 3), ("foobar", 0, 6), ("bar", 3, 3), ("z", 6, 1), ("!", 7, 1),
+    ]
+
+
+def test_cut_for_search_emits_subwords():
+    """SEARCH mode: longest-match segments enriched with their
+    in-dictionary 2/3-char sub-words (strictly shorter than the segment)."""
+    tok = DictSearchTokenizer(["abcd", "ab", "cd", "bcd", "x"])
+    got = [t.term for t in tok.tokens("abcd x")]
+    # sub-2grams (ab, cd), sub-3gram (bcd), then the segment itself
+    assert got == ["ab", "cd", "bcd", "abcd", "x"]
+    # a 2-char segment emits nothing extra (strictly-longer gate)
+    assert [t.term for t in tok.tokens("ab")] == ["ab"]
 
 
 def test_unknown_mode_fails_loudly():

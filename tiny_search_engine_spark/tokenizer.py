@@ -127,6 +127,65 @@ class DictTokenizer(Tokenizer):
         return out
 
 
+class DictAllTokenizer(DictTokenizer):
+    """Dictionary cut-ALL mode (jieba CutAll, the reference's
+    ``SegmentMode::ALL``, /root/reference/src/segment.h:27-33): at every
+    position emit EVERY dictionary word starting there — overlapping
+    tokens allowed, offsets/lengths preserved — and a single-char OOV
+    token for positions no dictionary word covers. Recall-oriented
+    indexing mode: a doc containing "foobar" is findable under "foo",
+    "bar", and "foobar" if all three are dictionary words."""
+
+    def tokens(self, text: str) -> list[Token]:
+        out: list[Token] = []
+        low = text.lower()
+        n = len(text)
+        covered_until = 0
+        for i in range(n):
+            if text[i].isspace():
+                continue
+            limit = min(n, i + self.maxlen)
+            found = False
+            j = i + 1
+            while j <= limit:
+                seg = low[i:j]
+                if seg in self.wordset:
+                    out.append(Token(text[i:j], i, j - i))
+                    found = True
+                    if j > covered_until:
+                        covered_until = j
+                if seg not in self.prefixes:
+                    break
+                j += 1
+            if not found and i >= covered_until:
+                out.append(Token(text[i], i, 1))
+                covered_until = i + 1
+        return out
+
+
+class DictSearchTokenizer(DictTokenizer):
+    """Dictionary search/MIX mode (jieba cut_for_search, the reference's
+    ``SegmentMode::SEARCH``): longest-match segmentation first, then for
+    every multi-char segment additionally emit its in-dictionary 2- and
+    3-char sub-words (jieba's exact enrichment rule) before the segment
+    itself — the query-side twin of cut-ALL indexing."""
+
+    def tokens(self, text: str) -> list[Token]:
+        low = text.lower()
+        out: list[Token] = []
+        for t in super().tokens(text):
+            for k in (2, 3):
+                if t.length > k:  # strictly longer: jieba's gate, and it
+                    # keeps the whole word from re-emitting as its own k-gram
+                    for s in range(t.length - k + 1):
+                        if low[t.offset + s : t.offset + s + k] in self.wordset:
+                            out.append(
+                                Token(text[t.offset + s : t.offset + s + k], t.offset + s, k)
+                            )
+            out.append(t)
+        return out
+
+
 def register_tokenizer(name: str, tok: Tokenizer) -> None:
     """Register a tokenizer under ``name`` for this Python session. Build
     stores record the NAME in their meta/lineage; a session that queries a
