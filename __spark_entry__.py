@@ -616,6 +616,33 @@ def _q_eval_ndcg(spark, sf_dir):
     )
 
 
+PHRASES = [
+    (0, "table table"),
+    (1, "fast merge"),
+    (2, "scan query"),
+    (3, "value table part"),
+]
+
+MLT_SEEDS = [0, 1, 2]
+
+
+def _q_phrase_match(spark, sf_dir):
+    """Exact positional phrase search via the anchor trick — one
+    broadcast join + one aggregation, no k-way self-join
+    (pipeline.retrieval.phrase_match)."""
+    from tiny_search_engine_spark.pipeline import retrieval
+
+    return retrieval.phrase_match(_docs(spark, sf_dir), PHRASES, k=20)
+
+
+def _q_more_like_this(spark, sf_dir):
+    """Top-k similar docs per seed by tf-idf cosine, seed side capped to
+    its 25 strongest terms and broadcast (pipeline.retrieval)."""
+    from tiny_search_engine_spark.pipeline import retrieval
+
+    return retrieval.more_like_this(_docs(spark, sf_dir), MLT_SEEDS, k=10)
+
+
 def _q_dup_set_ops(spark, sf_dir):
     """Native set operators (SURVEY.md §F: the reference has posting-union
     only; Spark's intersect/exceptAll come free): doc ids flagged by the
@@ -697,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_set_ops": _q_dup_set_ops,
         "eval_ndcg": _q_eval_ndcg,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
+        "phrase_match": _q_phrase_match,
+        "more_like_this": _q_more_like_this,
     }
 
 
@@ -1027,6 +1056,63 @@ def _sql_vsm_topk() -> str:
     """
 
 
+_POS_TOKENS_SQL = (
+    "SELECT doc_id, toks[i] AS term, i - 1 AS pos FROM ("
+    "SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks "
+    "FROM documents), unnest(generate_series(1, len(toks))) AS t(i)"
+)
+
+
+def _sql_phrase_match() -> str:
+    vals = ", ".join(
+        f"({qid}, {s}, '{t}', {len(p.split())})"
+        for qid, p in PHRASES
+        for s, t in enumerate(p.split())
+    )
+    return f"""
+            WITH toks AS ({_POS_TOKENS_SQL}),
+            slots(query_id, slot, term, n_slots) AS (VALUES {vals}),
+            anchored AS (
+              SELECT s.query_id, t.doc_id, t.pos - s.slot AS anchor, s.slot, s.n_slots
+              FROM toks t JOIN slots s USING (term) WHERE t.pos - s.slot >= 0),
+            occ AS (
+              SELECT query_id, doc_id, count(*) AS n_occurrences FROM (
+                SELECT query_id, doc_id, anchor, n_slots, count(DISTINCT slot) AS ns
+                FROM anchored GROUP BY 1, 2, 3, 4) WHERE ns = n_slots GROUP BY 1, 2)
+            SELECT query_id, rank, doc_id, n_occurrences FROM (
+              SELECT query_id, doc_id, n_occurrences,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY n_occurrences DESC, doc_id ASC) AS rank
+              FROM occ) WHERE rank <= 20
+        """
+
+
+def _sql_more_like_this() -> str:
+    seeds = ", ".join(str(s) for s in MLT_SEEDS)
+    n = "(SELECT count(*) FROM documents)"
+    return f"""
+            WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({_TOKENS_SQL}) GROUP BY 1, 2),
+            stats AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            wei AS (SELECT doc_id, term, tf * ln(1 + CAST({n} AS DOUBLE) / df) AS wei
+                    FROM tf JOIN stats USING (term)),
+            norms AS (SELECT doc_id, sqrt(sum(wei * wei)) AS norm FROM wei GROUP BY doc_id),
+            seed AS (
+              SELECT doc_id AS seed_id, term, wei AS swei, norm AS snorm FROM (
+                SELECT wei.*, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY wei DESC, term ASC) AS r
+                FROM wei WHERE doc_id IN ({seeds})) s
+              JOIN norms USING (doc_id) WHERE r <= 25),
+            sims AS (
+              SELECT seed_id, w.doc_id,
+                     round(sum(w.wei * swei) / (any_value(n.norm) * any_value(snorm)), 4) AS sim
+              FROM wei w JOIN seed USING (term) JOIN norms n ON n.doc_id = w.doc_id
+              WHERE w.doc_id <> seed_id GROUP BY seed_id, w.doc_id)
+            SELECT seed_id, rank, doc_id, sim FROM (
+              SELECT seed_id, doc_id, sim, row_number() OVER (PARTITION BY seed_id
+                ORDER BY sim DESC, doc_id ASC) AS rank FROM sims) WHERE rank <= 10
+        """
+
+
 def _emb_dim(default: int = 64) -> int:
     """Embedding width for the LSH oracles, read from the same parquet the
     engine queries derive it from (oracle and engine cannot drift). The
@@ -1250,6 +1336,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 6) AS total_value
             FROM s GROUP BY user_id, session_id
         """,
+        "phrase_match": _sql_phrase_match(),
+        "more_like_this": _sql_more_like_this(),
         "event_sessions_native": """
             WITH o AS (
               SELECT user_id, event_id, ts, value,
