@@ -755,8 +755,11 @@ _SHINGLES_SQL = (
 
 
 def _sql_minhash(num_hashes: int = 4) -> str:
+    # lane i = min 32-bit chunk of md5(i//4 || ':' || shingle) — mirrors
+    # minhash_signatures' one-md5-feeds-four-lanes scheme exactly
     mins = ", ".join(
-        f"min(md5(concat('{i}:', sh))) AS mh_{i}" for i in range(num_hashes)
+        f"min(substr(md5(concat('{i // 4}:', sh)), {1 + 8 * (i % 4)}, 8)) AS mh_{i}"
+        for i in range(num_hashes)
     )
     return f"SELECT doc_id, {mins} FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
 

@@ -73,34 +73,61 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle: int = 3,
 ) -> DataFrame:
-    """MinHash signature per doc: sig_i = min over shingles of
-    md5(i || ':' || shingle). Pure column algebra; deterministic;
-    cross-engine (md5 hex compares identically as strings).
+    """MinHash signature per doc: lane i = min over shingles of the i-th
+    32-bit (8-hex-char) chunk of md5(⌊i/4⌋ || ':' || shingle). Pure
+    column algebra; deterministic; cross-engine (fixed-width lowercase
+    hex compares identically as strings, order-isomorphic to the 32-bit
+    value).
 
-    Staged as tokens → shingles → signatures in SEPARATE projections:
-    inlining everything into one projection makes Catalyst re-evaluate
-    split(lower(text)) inside every per-shingle slice() lambda — O(L²)
-    string-splitting per doc, ×num_hashes — which measured ~10× slower
-    at 5k docs. CollapseProject keeps the stages apart because each
-    intermediate alias is non-cheap and referenced more than once."""
+    ONE md5 evaluation feeds FOUR lanes: chunking the 128-bit digest
+    computes num_hashes/4 md5s per shingle instead of num_hashes — a
+    pure CPU reduction that grows with corpus size (at sf0.1 the stage
+    is overhead-dominated and the wall-clock change is within noise;
+    the hash-evaluation count is the 100 TB argument). 32-bit lanes are
+    the standard minhash width (Spark ML's MinHashLSH likewise);
+    min-collisions inside a doc need ~2^16 distinct shingles to matter.
+
+    Staged as tokens → shingles → md5 arrays → signatures in SEPARATE
+    projections: inlining everything into one projection makes Catalyst
+    re-evaluate split(lower(text)) inside every per-shingle slice()
+    lambda — O(L²) string-splitting per doc, ×num_hashes — which
+    measured ~10× slower at 5k docs; likewise the staged _h{j} arrays
+    are each referenced by four array_min lanes, so CollapseProject
+    keeps them apart and md5 runs once per (shingle, j)."""
     tok_df = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
     sh_df = tok_df.select(
         F.col(id_col), _shingles_of(F.col("_toks"), shingle).alias("_sh")
     )
-    cols = [F.col(id_col)]
+    n_md5 = (num_hashes + 3) // 4
 
-    def hasher(i: int):
-        prefix = f"{i}:"
+    def hasher(j: int):
+        prefix = f"{j}:"
         # NB: the lambda must be unary — F.transform treats a second
         # parameter as the element-index argument
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
+    h_df = sh_df.select(
+        F.col(id_col),
+        *[
+            F.transform(F.col("_sh"), hasher(j)).alias(f"_h{j}")
+            for j in range(n_md5)
+        ],
+    )
+    cols = [F.col(id_col)]
     for i in range(num_hashes):
-        cols.append(F.array_min(F.transform(F.col("_sh"), hasher(i))).alias(f"mh_{i}"))
+        j, r = divmod(i, 4)
+        off = 1 + 8 * r
+
+        def lane(o: int):
+            return lambda h: F.substring(h, o, 8)
+
+        cols.append(
+            F.array_min(F.transform(F.col(f"_h{j}"), lane(off))).alias(f"mh_{i}")
+        )
     # docs shorter than one shingle have no signature: omit them (matches
     # the SQL oracle; also prevents an all-NULL LSH band that would bucket
     # every degenerate doc together — a skew bomb at corpus scale)
-    return sh_df.select(*cols).filter(F.col("mh_0").isNotNull())
+    return h_df.select(*cols).filter(F.col("mh_0").isNotNull())
 
 
 def lsh_candidate_pairs(
