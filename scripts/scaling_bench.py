@@ -295,6 +295,20 @@ Secondary (beyond the clean-scaling core count; hardware ceiling {hw[32]/hw[8]:.
 | index build (s) | {r8["build_s"]} | {r32["build_s"]} | {r32["docs_per_sec"]/r8["docs_per_sec"]:.2f}x |
 | {n_queries}-query WAND batch (s) | {r8["query_s"]} | {r32["query_s"]} | {r32["qps"]/r8["qps"]:.2f}x |
 
+The 8→32 build row varies wildly across sessions (0.79x-2.14x; 30.1s vs
+273s for identical 300k/32 runs hours apart). A per-stage probe
+(`scripts/probe_width_build.py`, store-lineage stage timers) pins the
+entire variance to the ONE Python-worker stage: in a degraded window
+(pure-CPU canary showing 32 procs = 2.0x of 8, vs 3.2x clean), doc_term
+(fused Arrow tokenize, 32 JVM task threads + 32 Python workers = 64
+runnable procs) took 113s at local[32] vs 16.5s at local[8], while the
+JVM-only postings stage scaled normally (41.7s → 14.9s) in the same run.
+The hypervisor's steal windows punish high runqueue depth specifically;
+JVM-internal stages are immune. On a real cluster each executor's Python
+workers are sized to its cores, so this oversubscription-vs-steal
+interaction is a shared-VM artifact, not a plan property — which is why
+the headline pair stays within the 8 cleanly-scaling cores.
+
 Efficiency = throughput(4N) / (4 x throughput(N)). Hardware
 parallel-scaling ceiling measured alongside with a pure-CPU
 multiprocessing microbenchmark (Miter/s): 2 procs {hw[2]:.1f}, 8 procs
