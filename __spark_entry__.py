@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tiny_search_engine_spark.pipeline import dedup, simsearch, textstats
+from tiny_search_engine_spark.pipeline import sampling as _sampling
 
 # ---------------------------------------------------------------------------
 # shared constants (must match the SQL below literally)
@@ -686,6 +687,60 @@ def _q_event_rollup(spark, sf_dir):
     return ev.type_hour_rollup(_events(spark, sf_dir))
 
 
+SAMPLE_RATE = 0.2
+SPLIT_TEST_RATE = 0.25
+STRATIFIED_RATES = {"en": 0.1, "zh": 1.0, "es": 0.5}
+STRATIFIED_DEFAULT = 0.3
+
+
+def _q_doc_sample(spark, sf_dir):
+    """Deterministic Bernoulli 20% sample of documents via the
+    md5-hex-threshold trick (pipeline.sampling.hash_sample) — map-side
+    filter only, no shuffle; same rows on any engine/partitioning."""
+    from tiny_search_engine_spark.pipeline import sampling
+
+    return sampling.hash_sample(
+        _docs(spark, sf_dir), SAMPLE_RATE, key_col="doc_id", salt="r2"
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _q_doc_train_split(spark, sf_dir):
+    """Deterministic train/test split column (pipeline.sampling
+    .split_train_test): membership is stable under corpus growth —
+    a row never migrates between splits when new rows arrive."""
+    from tiny_search_engine_spark.pipeline import sampling
+
+    return sampling.split_train_test(
+        _docs(spark, sf_dir), SPLIT_TEST_RATE, key_col="doc_id"
+    ).select("doc_id", "split")
+
+
+def _q_doc_stratified(spark, sf_dir):
+    """Per-language Bernoulli rates in one map-side pass
+    (pipeline.sampling.stratified_sample): downsample the dominant
+    language, keep all of a rare one, default rate for the rest."""
+    from tiny_search_engine_spark.pipeline import sampling
+
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir),
+        STRATIFIED_RATES,
+        stratum_col="lang",
+        key_col="doc_id",
+        default_rate=STRATIFIED_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _q_event_percentiles(spark, sf_dir):
+    """Exact per-type value percentiles by integer rank-position
+    selection (pipeline.events.value_percentiles) — the emitted value is
+    an untouched input double, so the value-hash is bit-stable. The
+    100 TB path is the approx=True percentile_approx sketch (error
+    pinned vs this exact baseline in test_events)."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    return ev.value_percentiles(_events(spark, sf_dir), (50, 90, 99))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": _q_token_counts,
@@ -726,6 +781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "phrase_match": _q_phrase_match,
         "more_like_this": _q_more_like_this,
+        "doc_sample": _q_doc_sample,
+        "doc_train_split": _q_doc_train_split,
+        "doc_stratified": _q_doc_stratified,
+        "event_percentiles": _q_event_percentiles,
     }
 
 
@@ -1372,6 +1431,35 @@ def oracle_sql() -> dict[str, str]:
                    grouping(event_type) * 2 + grouping(hod) AS level
             FROM (SELECT event_type, extract(hour FROM ts) AS hod, value FROM events)
             GROUP BY ROLLUP(event_type, hod)
+        """,
+        "doc_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE "
+            + _sampling.bucket_sql("doc_id", "r2")
+            + f" < '{_sampling.rate_to_hex(SAMPLE_RATE)}'"
+        ),
+        "doc_train_split": (
+            "SELECT doc_id, CASE WHEN "
+            + _sampling.bucket_sql("doc_id", "split")
+            + f" < '{_sampling.rate_to_hex(SPLIT_TEST_RATE)}' THEN 'test' "
+            "ELSE 'train' END AS split FROM documents"
+        ),
+        "doc_stratified": _sampling.stratified_sample_sql(
+            "documents",
+            STRATIFIED_RATES,
+            stratum_col="lang",
+            key_col="doc_id",
+            default_rate=STRATIFIED_DEFAULT,
+            select="doc_id, lang",
+        ),
+        "event_percentiles": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, p, value AS value_at_p
+            FROM ranked, (VALUES (50), (90), (99)) AS ps(p)
+            WHERE rn = (p * n + 99) // 100
         """,
         "lang_id": _sql_lang_id(),
         "quality_score": _QUALITY_SQL,

@@ -222,3 +222,45 @@ def test_type_hour_rollup_levels(elog):
     # leaf cells: level 0
     leaf = {(r["event_type"], r["hod"]): r["n_events"] for r in rows if r["level"] == 0}
     assert leaf[("view", 10)] == 2 and leaf[("view", 11)] == 1
+
+
+def test_value_percentiles_exact(spark):
+    """Exact rank-position percentiles match the pure-python definition
+    value[ceil(p*n/100)] on a crafted multiset (incl. duplicate values)."""
+    import math
+
+    vals = [5.0, 1.0, 3.0, 3.0, 2.0, 9.0, 7.0]  # n=7, with ties
+    rows = [(i, datetime(2024, 1, 1, 0, 0, i), 1, "t", v, "{}") for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["p"]: r["value_at_p"] for r in ev.value_percentiles(df, (50, 90, 99)).collect()}
+    s = sorted(vals)
+    want = {p: s[math.ceil(p * len(s) / 100) - 1] for p in (50, 90, 99)}
+    assert got == want
+
+
+def test_value_percentiles_approx_close_to_exact(spark):
+    """The percentile_approx sketch (the mergeable 100 TB path) lands
+    within one value-step of the exact rank-position baseline."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, 0), 1, ["a", "b"][i % 2], rng.uniform(0, 100), "{}")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    exact = {(r["event_type"], r["p"]): r["value_at_p"]
+             for r in ev.value_percentiles(df, (50, 90, 99)).collect()}
+    approx = {(r["event_type"], r["p"]): r["value_at_p"]
+              for r in ev.value_percentiles(df, (50, 90, 99), approx=True).collect()}
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) < 0.5  # 1000 uniform(0,100) samples/type

@@ -129,6 +129,57 @@ def windowed_stats(df: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
+def value_percentiles(
+    df: DataFrame,
+    percentiles: tuple[int, ...] = (50, 90, 99),
+    value_col: str = "value",
+    group_col: str = "event_type",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group value percentiles, long form (group, p, value_at_p).
+
+    Exact mode (default; the oracle-checked baseline) selects the value
+    at rank ``ceil(p·n/100)`` — pure INTEGER position arithmetic over a
+    per-group sort, and the emitted value is an untouched input double,
+    so there is no float computation to drift between engines. Ties in
+    the sort order are irrelevant: any ordering of equal values puts the
+    same VALUE at a given rank. The per-group sort is one reducer per
+    group (inherent to exact percentiles), so exact mode is for
+    oracle/debug scale.
+
+    ``approx=True`` is the 100 TB path: ``percentile_approx`` is a
+    mergeable sketch — map-side partials, shuffle bounded by group
+    cardinality, bounded memory regardless of group size. Its error
+    bound vs exact is pinned in tests/test_events.py."""
+    ps = F.array(*[F.lit(int(p)) for p in percentiles])
+    if approx:
+        return (
+            df.groupBy(group_col)
+            .agg(
+                F.percentile_approx(
+                    value_col, [p / 100.0 for p in percentiles], 10_000
+                ).alias("vals")
+            )
+            .select(
+                group_col,
+                F.explode(F.arrays_zip(ps.alias("p"), F.col("vals").alias("value_at_p"))).alias("z"),
+            )
+            .select(group_col, F.col("z.p").alias("p"), F.col("z.value_at_p").alias("value_at_p"))
+        )
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(group_col, value_col).select(
+        group_col,
+        F.col(value_col),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    return (
+        ranked.withColumn("p", F.explode(ps))
+        .filter(F.col("rn") == F.expr("(p * n + 99) div 100"))
+        .select(group_col, "p", F.col(value_col).alias("value_at_p"))
+    )
+
+
 def type_hour_rollup(df: DataFrame) -> DataFrame:
     """Multi-level aggregate via ROLLUP(event_type, hour-of-day): per
     (type, hour) cells, per-type subtotals, and a grand total in ONE
