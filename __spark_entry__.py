@@ -741,6 +741,43 @@ def _q_event_percentiles(spark, sf_dir):
     return ev.value_percentiles(_events(spark, sf_dir), (50, 90, 99))
 
 
+# trigram code search: needles/patterns chosen to exercise every path —
+# pruned multi-gram AND, hot-gram rarest-m selection, absent-gram empty
+# result, sub-trigram scan fallback, regex required-literal prune, and the
+# alternation full-scan fallback
+TRIGRAM_LITERALS: list[tuple[int, str]] = [
+    (1, "table part"),
+    (2, "merge batch"),
+    (3, "spark"),
+    (4, "zzqx"),  # absent gram: zero candidates without touching the corpus
+    (5, "ta"),  # sub-trigram: exact-scan fallback path
+]
+TRIGRAM_PATTERNS: list[tuple[int, str]] = [
+    (1, "merge .atch"),  # dot: prunes on required literal "merge "
+    (2, "windo?w"),  # runs "wind","w" → prunes on "wind"
+    (3, "batch|window"),  # alternation: exact full-scan fallback
+]
+
+
+def _q_trigram_search(spark, sf_dir):
+    """Literal substring search over the corpus via the trigram posting
+    index (pipeline.codesearch): rarest-gram AND-prune + exact contains()
+    verify. The oracle is a plain DuckDB contains() scan, so the whole
+    prune-then-verify pipeline is value-checked, not just the verify."""
+    from tiny_search_engine_spark.pipeline import codesearch as cs
+
+    return cs.search_literal(_docs(spark, sf_dir), TRIGRAM_LITERALS)
+
+
+def _q_trigram_regex(spark, sf_dir):
+    """Regex search via required-literal extraction + trigram prune
+    (pipeline.codesearch.search_regex); alternation patterns take the
+    labeled exact-scan fallback. Oracle: DuckDB regexp_matches scan."""
+    from tiny_search_engine_spark.pipeline import codesearch as cs
+
+    return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": _q_token_counts,
@@ -785,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": _q_doc_train_split,
         "doc_stratified": _q_doc_stratified,
         "event_percentiles": _q_event_percentiles,
+        "trigram_search": _q_trigram_search,
+        "trigram_regex": _q_trigram_regex,
     }
 
 
@@ -1473,5 +1512,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_norm, "
             "md5(array_to_string(list_sort(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), ' ')) AS fp_bag "
             "FROM documents"
+        ),
+        "trigram_search": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"CAST((length(text) - length(replace(text, '{ndl}', ''))) / {len(ndl)} AS BIGINT) AS n_occurrences "
+            f"FROM documents WHERE contains(text, '{ndl}')"
+            for qid, ndl in TRIGRAM_LITERALS
+        ),
+        "trigram_regex": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, doc_id FROM documents "
+            f"WHERE regexp_matches(text, '{pat}')"
+            for qid, pat in TRIGRAM_PATTERNS
         ),
     }

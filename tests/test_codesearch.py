@@ -1,0 +1,133 @@
+"""Trigram code search (pipeline/codesearch.py): prune-then-verify must
+equal the exact brute scan — for literals and regexes, across the pruned
+and full-scan paths, with hot grams and overlapping occurrences."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_search_engine_spark.pipeline import codesearch as cs
+
+
+DOCS = [
+    (1, "def make_table(key, value): return dict(key=value)"),
+    (2, "table = make_table('k', 'v')  # table table table"),
+    (3, "for row in rows: scan(row)"),
+    (4, "aaaa"),  # overlapping occurrences of "aa"
+    (5, "x"),  # shorter than a trigram: no postings
+    (6, "the the the the common boilerplate line"),
+    (7, "merge batch sort window"),
+    (8, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def brute_literal(needle):
+    out = []
+    for did, text in DOCS:
+        n = text.count(needle)  # count() is non-overlapping, like replace()
+        if needle and needle in text:
+            out.append((did, n))
+    return sorted(out)
+
+
+def test_postings_shape(spark, docs):
+    post = cs.trigram_postings(docs).collect()
+    assert all(len(r.gram) == 3 for r in post)
+    by_doc = {}
+    for r in post:
+        by_doc.setdefault(r.doc_id, []).append(r.gram)
+    assert 5 not in by_doc and 8 not in by_doc  # sub-trigram docs: empty
+    assert sorted(by_doc[4]) == ["aaa"]  # deduped within the doc
+    assert len(by_doc[1]) == len(set(by_doc[1]))
+
+
+@pytest.mark.parametrize(
+    "needle",
+    ["table", "make_table('k'", "aa", "zzq", "row", "the ", "dict(key=value)"],
+)
+def test_literal_matches_brute(spark, docs, needle):
+    got = sorted(
+        (r.doc_id, r.n_occurrences)
+        for r in cs.search_literal(docs, [(0, needle)]).collect()
+    )
+    assert got == brute_literal(needle)
+
+
+def test_literal_many_queries_and_max_grams(spark, docs):
+    queries = [(i, n) for i, n in enumerate(["table", "aa", "scan(row)", "zz"])]
+    for max_grams in (1, 2, 8):
+        got = {
+            (r.query_id, r.doc_id, r.n_occurrences)
+            for r in cs.search_literal(docs, queries, max_grams=max_grams).collect()
+        }
+        want = {
+            (qid, did, n)
+            for qid, needle in queries
+            for did, n in brute_literal(needle)
+        }
+        assert got == want, f"max_grams={max_grams}"
+
+
+def test_literal_scan_gate(spark, docs):
+    with pytest.raises(ValueError, match="full scan"):
+        cs.search_literal(docs, [(0, "aa")], allow_scan=False)
+    # pruned-path needles still fine with the gate closed
+    assert cs.search_literal(docs, [(0, "table")], allow_scan=False).count() == 2
+
+
+def test_required_literal_extractor():
+    assert cs.required_literal("make_table") == "make_table"
+    assert cs.required_literal("merge .atch") == "merge "
+    assert cs.required_literal("table{2,3}") == "tabl"  # last char may repeat
+    assert cs.required_literal("tables*") == "table"
+    assert cs.required_literal("tab?le") == ""  # runs "ta","le" both < 3
+    assert cs.required_literal("scan\\(row\\)") == "scan"  # escape breaks run
+    assert cs.required_literal("key|value") == ""  # alternation: unsound
+    assert cs.required_literal("ro[wx]s") == ""  # class: unsound
+    assert cs.required_literal("row+s") == "row"  # + keeps the char
+    assert cs.required_literal("^def make") == "def make"
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "make_table",  # pure literal
+        "merge .atch",  # dot: prune on "merge "
+        "table table",  # repeated literal
+        "row+s?",  # + keeps "row"
+        "key|value",  # alternation: full-scan path
+        "ro[wx]",  # class: full-scan path
+        "zzq.*never",  # absent literal: empty via gdf=0 gram
+    ],
+)
+def test_regex_matches_brute(spark, docs, pattern):
+    import re
+
+    got = sorted(r.doc_id for r in cs.search_regex(docs, [(0, pattern)]).collect())
+    want = sorted(did for did, text in DOCS if re.search(pattern, text))
+    assert got == want
+
+
+def test_regex_scan_gate(spark, docs):
+    with pytest.raises(ValueError, match="required literal"):
+        cs.search_regex(docs, [(0, "key|value")], allow_scan=False)
+
+
+def test_precomputed_postings_reused(spark, docs):
+    post = cs.trigram_postings(docs)
+    a = sorted(map(tuple, cs.search_literal(docs, [(0, "table")], postings=post).collect()))
+    b = sorted(map(tuple, cs.search_literal(docs, [(0, "table")]).collect()))
+    assert a == b
+
+
+def test_prune_path_actually_prunes(spark, docs):
+    """The verify join's doc side must be the candidate slice, not the
+    corpus: with a needle whose rarest gram hits one doc, the pruned plan
+    reads postings + 1 candidate, which we can at least pin behaviorally —
+    an absent-gram needle yields zero candidates and zero verify rows."""
+    got = cs.search_literal(docs, [(0, "qqqzzz")]).collect()
+    assert got == []
