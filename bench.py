@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
 from tiny_search_engine_spark.build import BuildConfig, build_index
 from tiny_search_engine_spark.config import QueryConfig
-from tiny_search_engine_spark.pipeline import dedup, simsearch
+from tiny_search_engine_spark.pipeline import codesearch, dedup, simsearch
 from tiny_search_engine_spark.query import QueryEngine
 from tiny_search_engine_spark.session import get_spark
 from tiny_search_engine_spark.synth import make_queries, make_stopwords, source_files
@@ -177,6 +177,25 @@ def main() -> None:
                 emb, knn_q, k=10, n_centroids=16, n_probe=4, codebook="kmeans"
             ).count(),
         )
+        # trigram code search: postings build, then a 100-needle literal
+        # batch through the rarest-gram AND-prune + exact verify
+        timed(
+            "trigram_postings_build",
+            lambda: codesearch.trigram_postings(docs).count(),
+        )
+        post = codesearch.trigram_postings(docs).cache()
+        post.count()
+        _voc = ["table", "merge", "batch", "window", "spark",
+                "value", "part", "hash", "scan", "fast"]
+        needles = [
+            (i, f"{_voc[i % 10]} {_voc[(i // 10) % 10]}"[: 5 + i % 8])
+            for i in range(100)
+        ]
+        timed_best2(
+            "trigram_search_100q",
+            lambda run: codesearch.search_literal(docs, needles, postings=post).count(),
+        )
+        post.unpersist()
         timed_best2(
             "bm25_topk_docs_oracle",
             lambda run: entrymod._q_bm25_topk(spark, sf_dir).count(),

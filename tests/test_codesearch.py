@@ -124,6 +124,39 @@ def test_precomputed_postings_reused(spark, docs):
     assert a == b
 
 
+def test_trigram_store_roundtrip_and_pruning(spark, docs, tmp_path):
+    store = str(tmp_path / "tgstore")
+    cs.write_trigram_store(docs, store, n_buckets=8)
+    # store-backed search == direct search
+    queries = [(1, "table"), (2, "scan(row)"), (3, "zzq"), (4, "aa")]
+    a = sorted(
+        map(tuple, cs.search_literal_store(spark, store, docs, queries).collect())
+    )
+    b = sorted(map(tuple, cs.search_literal(docs, queries).collect()))
+    assert a == b
+    # partition pruning: a single-gram load actually READS fewer files
+    # (inputFiles() ignores pushdown, so probe with input_file_name())
+    def files_read(df):
+        return {r.f for r in df.select(F.input_file_name().alias("f")).distinct().collect()}
+
+    all_files = files_read(cs.load_trigram_postings(spark, store))
+    pruned = files_read(cs.load_trigram_postings(spark, store, {"tab"}))
+    assert pruned and pruned < all_files
+    # driver-side bucket hash == writer's F.xxhash64 routing: the pruned
+    # load still contains every posting of the gram
+    full = {
+        (r.doc_id, r.gram)
+        for r in cs.load_trigram_postings(spark, store).filter(F.col("gram") == "tab").collect()
+    }
+    got = {
+        (r.doc_id, r.gram)
+        for r in cs.load_trigram_postings(spark, store, {"tab"})
+        .filter(F.col("gram") == "tab")
+        .collect()
+    }
+    assert got == full and full
+
+
 def test_prune_path_actually_prunes(spark, docs):
     """The verify join's doc side must be the candidate slice, not the
     corpus: with a needle whose rarest gram hits one doc, the pruned plan

@@ -41,8 +41,13 @@ verify step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..hashing import xxhash64_signed
 
 
 def trigram_postings(
@@ -68,6 +73,71 @@ def trigram_postings(
             )
         ).alias("gram"),
     )
+
+
+def write_trigram_store(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    files_per_bucket: int = 1,
+) -> None:
+    """Persist the posting index partitioned by
+    ``pmod(xxhash64(gram), n_buckets)``.  At query time the needed buckets
+    are computed DRIVER-side with the bit-exact pure-Python xxhash64
+    (hashing.py, pinned against ``F.xxhash64`` in tests/test_hashing.py),
+    so the parquet scan is partition-pruned to the query batch's grams —
+    a lookup reads O(grams/n_buckets) of the index, never all of it.
+
+    ``files_per_bucket`` > 1 spreads each bucket over several files
+    (repartition also keys on the doc id) so a hot bucket still reads in
+    parallel — at 100 TB you'd size n_buckets × files_per_bucket to the
+    cluster's scan parallelism."""
+    post = trigram_postings(docs, id_col=id_col, text_col=text_col)
+    (
+        post.withColumn(
+            "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition(n_buckets * files_per_bucket, F.col("bucket"), F.col("doc_id"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_trigram_meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "format": 1}, f)
+
+
+def load_trigram_postings(
+    spark: SparkSession, path: str, grams: set[str] | None = None
+) -> DataFrame:
+    """Read a persisted posting index; with *grams*, prune the scan to the
+    buckets those grams hash into (partition pruning — extra same-bucket
+    grams are dropped by the downstream equi-join, so pruning is purely a
+    read-volume optimization, never a correctness input)."""
+    with open(os.path.join(path, "_trigram_meta.json")) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(path)
+    if grams is not None:
+        buckets = sorted(
+            {xxhash64_signed(g.encode("utf-8")) % meta["n_buckets"] for g in grams}
+        )
+        df = df.filter(F.col("bucket").isin(buckets))
+    return df.select("doc_id", "gram")
+
+
+def search_literal_store(
+    spark: SparkSession,
+    store_path: str,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    **kwargs,
+) -> DataFrame:
+    """``search_literal`` against a persisted trigram store: loads only the
+    buckets of the query batch's grams, then runs the same prune+verify."""
+    grams = {g for _, ndl in queries for g in query_grams(ndl)}
+    post = load_trigram_postings(spark, store_path, grams)
+    return search_literal(docs, queries, postings=post, **kwargs)
 
 
 def query_grams(needle: str) -> list[str]:
