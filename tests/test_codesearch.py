@@ -157,6 +157,51 @@ def test_trigram_store_roundtrip_and_pruning(spark, docs, tmp_path):
     assert got == full and full
 
 
+def test_grep_cli_in_process(spark, tmp_path, capsys):
+    """jobs.py `grep` subcommand: store build + literal and regex search
+    over an input_hint-shaped parquet source, doc ids = build.with_doc_id
+    natural-key signs."""
+    from tiny_search_engine_spark.build import with_doc_id
+    from tiny_search_engine_spark.jobs import main
+    from tiny_search_engine_spark.synth import source_files
+
+    src = source_files(spark, 60, seed=3)
+    pq = str(tmp_path / "src.parquet")
+    src.write.parquet(pq)
+    qf = tmp_path / "q.tsv"
+    qf.write_text("1\tdef \n2\tzzqx\n", encoding="utf-8")
+    out = str(tmp_path / "hits.parquet")
+    store = str(tmp_path / "tg")
+
+    rc = main(["grep", "--source", pq, "--queries", str(qf),
+               "--trigram-store", store, "--build-store", "--buckets", "8",
+               "--out", out])
+    assert rc == 0
+    got = sorted(
+        (r.query_id, r.doc_id, r.n_occurrences)
+        for r in spark.read.parquet(out).collect()
+    )
+    docs_df = with_doc_id(src).select("doc_id", F.col("content").alias("text"))
+    want = sorted(
+        map(tuple, cs.search_literal(docs_df, [(1, "def "), (2, "zzqx")]).collect())
+    )
+    assert got == want and got
+
+    # regex path against the persisted store, stdout sink
+    rf = tmp_path / "r.tsv"
+    rf.write_text("1\tdef [a-z_]+\n", encoding="utf-8")
+    rc = main(["grep", "--source", pq, "--queries", str(rf), "--regex",
+               "--trigram-store", store])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    want_re = {
+        (r.query_id, r.doc_id)
+        for r in cs.search_regex(docs_df, [(1, "def [a-z_]+")]).collect()
+    }
+    assert {(int(a), int(b)) for a, b in (l.split("\t") for l in lines)} == want_re
+    assert want_re
+
+
 def test_prune_path_actually_prunes(spark, docs):
     """The verify join's doc side must be the candidate slice, not the
     corpus: with a needle whose rarest gram hits one doc, the pruned plan

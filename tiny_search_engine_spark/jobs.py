@@ -11,6 +11,10 @@ The package ships as a zip (``python scripts/make_pyfiles.py`` →
     spark-submit --py-files dist/tiny_search_engine_spark.zip \
         scripts/tse_job.py query --store /store --queries q.tsv --k 20 --out hits.parquet
 
+    spark-submit --py-files dist/tiny_search_engine_spark.zip \
+        scripts/tse_job.py grep --source iceberg:warehouse.db.repos \
+        --trigram-store /tgstore --build-store --queries needles.tsv --out hits.parquet
+
 Under spark-submit the session comes from ``getOrCreate()`` so the
 submitted ``--master`` / ``--conf`` / ``--num-executors`` are respected
 verbatim (that is how the N-vs-4N-executor scaling runs are launched);
@@ -177,6 +181,58 @@ def main_query(argv: list[str]) -> int:
     return 0
 
 
+def main_grep(argv: list[str]) -> int:
+    """Trigram code search over the source corpus: literal substring (or
+    --regex) queries through the rarest-gram prune + exact verify
+    (pipeline/codesearch.py). Doc ids are the same natural-key signature
+    the index builder uses (build.with_doc_id), so grep hits join against
+    a segment store built from the same source."""
+    from pyspark.sql import functions as F
+
+    from .build import with_doc_id
+    from .pipeline import codesearch as cs
+
+    p = argparse.ArgumentParser(prog="tse_job grep")
+    p.add_argument("--source", required=True, help="iceberg:<tbl> | table:<tbl> | tsv:<path> | parquet path")
+    p.add_argument("--queries", required=True, help="qid\\tneedle per line ('-' = stdin)")
+    p.add_argument("--regex", action="store_true", help="treat queries as regexes (required-literal prune)")
+    p.add_argument("--trigram-store", default=None, help="persisted posting index dir (write_trigram_store)")
+    p.add_argument("--build-store", action="store_true", help="(re)write --trigram-store from --source first")
+    p.add_argument("--buckets", type=int, default=64, help="store bucket count (with --build-store)")
+    p.add_argument("--max-grams", type=int, default=8)
+    p.add_argument("--no-scan", action="store_true", help="refuse queries that would need a full corpus scan")
+    p.add_argument("--out", default=None, help="parquet dir; default prints to stdout")
+    a = p.parse_args(argv)
+
+    spark = job_session("tse_grep")
+    docs = with_doc_id(table_io(spark, a.source)).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    queries = _read_queries(a.queries)
+    post = None
+    if a.trigram_store:
+        if a.build_store:
+            cs.write_trigram_store(docs, a.trigram_store, n_buckets=a.buckets)
+        if a.regex:
+            grams = {
+                g
+                for _, pat in queries
+                for g in cs.query_grams(cs.required_literal(pat))
+            }
+        else:
+            grams = {g for _, ndl in queries for g in cs.query_grams(ndl)}
+        post = cs.load_trigram_postings(spark, a.trigram_store, grams)
+    fn = cs.search_regex if a.regex else cs.search_literal
+    res = fn(docs, queries, postings=post, max_grams=a.max_grams,
+             allow_scan=not a.no_scan)
+    if a.out is None:
+        for row in res.collect():
+            print("\t".join(str(v) for v in row))
+    else:
+        res.write.mode("overwrite").parquet(a.out)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
@@ -187,7 +243,9 @@ def main(argv: list[str] | None = None) -> int:
         return main_build(rest)
     if cmd == "query":
         return main_query(rest)
-    print(f"unknown command {cmd!r} (expected: build | query)", file=sys.stderr)
+    if cmd == "grep":
+        return main_grep(rest)
+    print(f"unknown command {cmd!r} (expected: build | query | grep)", file=sys.stderr)
     return 2
 
 
