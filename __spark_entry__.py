@@ -741,6 +741,28 @@ def _q_event_percentiles(spark, sf_dir):
     return ev.value_percentiles(_events(spark, sf_dir), (50, 90, 99))
 
 
+SUGGEST_PREFIXES: list[tuple[int, str]] = [(1, "ta"), (2, "s"), (3, "zz")]
+RELATED_SEEDS: list[str] = ["table", "merge"]
+
+
+def _q_suggest(spark, sf_dir):
+    """Prefix completion from the term dictionary (pipeline.retrieval
+    .suggest): broadcast theta-join of the prefix batch against the
+    dictionary, top-k by doc frequency."""
+    from tiny_search_engine_spark.pipeline import retrieval
+
+    return retrieval.suggest(_docs(spark, sf_dir), SUGGEST_PREFIXES, k=10)
+
+
+def _q_related_terms(spark, sf_dir):
+    """Doc-level PMI related terms (pipeline.retrieval.related_terms):
+    co-occurrence bounded by the seeds' posting slice; rank over the
+    6-dp-rounded PMI + term tie-break so order is engine-reproducible."""
+    from tiny_search_engine_spark.pipeline import retrieval
+
+    return retrieval.related_terms(_docs(spark, sf_dir), RELATED_SEEDS, k=10)
+
+
 # trigram code search: needles/patterns chosen to exercise every path —
 # pruned multi-gram AND, hot-gram rarest-m selection, absent-gram empty
 # result, sub-trigram scan fallback, regex required-literal prune, and the
@@ -824,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_percentiles": _q_event_percentiles,
         "trigram_search": _q_trigram_search,
         "trigram_regex": _q_trigram_regex,
+        "suggest": _q_suggest,
+        "related_terms": _q_related_terms,
     }
 
 
@@ -1524,4 +1548,27 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE regexp_matches(text, '{pat}')"
             for qid, pat in TRIGRAM_PATTERNS
         ),
+        "suggest": f"""
+            WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL})),
+            dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+            p(prefix_id, prefix) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in SUGGEST_PREFIXES)}),
+            j AS (SELECT prefix_id, term, df,
+                         row_number() OVER (PARTITION BY prefix_id ORDER BY df DESC, term) AS rank
+                  FROM dfs, p WHERE starts_with(term, prefix))
+            SELECT prefix_id, rank, term, df FROM j WHERE rank <= 10
+        """,
+        "related_terms": f"""
+            WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL})),
+            ct AS (SELECT term, count(*) AS c FROM dt GROUP BY term),
+            seeds(seed) AS (VALUES {", ".join(f"('{s}')" for s in RELATED_SEEDS)}),
+            cooc AS (SELECT s.term AS seed, t.term AS term, count(*) AS c_xy
+                     FROM dt s JOIN dt t USING (doc_id) JOIN seeds ON s.term = seeds.seed
+                     WHERE t.term <> s.term GROUP BY 1, 2 HAVING count(*) >= 2),
+            scored AS (SELECT seed, cooc.term AS term, c_xy,
+                              round(ln((SELECT count(*) FROM documents) * c_xy / (cx.c * cy.c)), 6) AS pmi
+                       FROM cooc JOIN ct cx ON cx.term = cooc.seed JOIN ct cy ON cy.term = cooc.term),
+            r AS (SELECT *, row_number() OVER (PARTITION BY seed ORDER BY pmi DESC, term) AS rank
+                  FROM scored)
+            SELECT seed, rank, term, c_xy, pmi FROM r WHERE rank <= 10
+        """,
     }

@@ -66,3 +66,48 @@ def test_more_like_this_excludes_seed_and_caps_terms(corpus):
         by_seed.setdefault(r["seed_id"], []).append(r["rank"])
     assert set(by_seed) == {0, 1}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_seed.values())
+
+
+def test_suggest_prefix_completion(corpus):
+    out = [
+        (r.prefix_id, r.rank, r.term, r.df)
+        for r in retrieval.suggest(
+            corpus, [(1, "ta"), (2, "big"), (3, "zz")], k=2
+        ).collect()
+    ]
+    # "table" appears (distinct per doc) in docs 0,1,2,3,5 → df 5
+    assert (1, 1, "table", 5) in out
+    # "big" df 5 ranks above "bigger"-style others; exact term included
+    assert (2, 1, "big", 5) in out
+    assert not [t for t in out if t[0] == 3]  # no completions for zz
+    assert all(r <= 2 for _, r, _, _ in out)  # k respected
+
+
+def test_related_terms_pmi_brute(spark):
+    import math
+
+    rows = [
+        (0, "cat dog"),
+        (1, "cat dog"),
+        (2, "cat dog fish"),
+        (3, "cat bird"),
+        (4, "fish plankton"),
+        (5, "bird worm"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.seed, r.term): (r.rank, r.c_xy, r.pmi)
+        for r in retrieval.related_terms(df, ["cat"], k=10, min_cooc=2).collect()
+    }
+    n = len(rows)
+    # brute PMI: cat df=4, dog df=3, cooc(cat,dog)=3
+    want_dog = round(math.log(n * 3 / (4 * 3)), 6)
+    assert out[("cat", "dog")] == (1, 3, want_dog)
+    # fish cooc=1 < min_cooc, bird cooc=1 < min_cooc → only dog survives
+    assert set(out) == {("cat", "dog")}
+
+
+def test_related_terms_rank_is_deterministic(corpus):
+    a = [tuple(r) for r in retrieval.related_terms(corpus.repartition(2), ["big"], k=5).collect()]
+    b = [tuple(r) for r in retrieval.related_terms(corpus.repartition(7), ["big"], k=5).collect()]
+    assert sorted(a) == sorted(b) and a

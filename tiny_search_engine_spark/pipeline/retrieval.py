@@ -85,6 +85,101 @@ def phrase_match(
     )
 
 
+def suggest(
+    docs: DataFrame,
+    prefixes: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Prefix completion from the corpus term dictionary: top-k terms per
+    prefix by document frequency (ties → lexicographic).  *prefixes* is
+    [(prefix_id, prefix)].  Returns (prefix_id, rank, term, df).
+
+    Scale shape: the match is a broadcast theta-join of the (tiny) prefix
+    batch against the term DICTIONARY — one distinct-project of (doc,
+    term) then a term-level groupBy, both orders of magnitude smaller
+    than the corpus.  A production suggester would range-scan a sorted
+    term dictionary; the broadcast startswith join is the declarative
+    equivalent at dictionary cardinality."""
+    spark = docs.sparkSession
+    pf = spark.createDataFrame(
+        [(int(i), p) for i, p in prefixes], "prefix_id long, prefix string"
+    )
+    df_tbl = (
+        tokens_view(docs, id_col=id_col, text_col=text_col)
+        .select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    w = Window.partitionBy("prefix_id").orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        df_tbl.join(F.broadcast(pf), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("prefix_id", "rank", "term", "df")
+    )
+
+
+def related_terms(
+    docs: DataFrame,
+    seeds: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """Top-k related terms per seed term by document-level PMI:
+    ``pmi = ln(n_docs · c_xy / (c_x · c_y))`` over distinct-per-doc term
+    occurrences.  Returns (seed, rank, term, c_xy, pmi) with pmi rounded
+    to 6 dp and the rank computed OVER the rounded value + term tie-break
+    (engine-reproducible order).
+
+    Scale shape: the expansion join keys on doc_id and its output is
+    bounded by the total length of the docs the SEEDS occur in (a
+    semi-join slice), never all corpus pairs; ``min_cooc`` prunes the
+    long tail before the PMI math."""
+    n = docs.count()
+    dt = (
+        tokens_view(docs, id_col=id_col, text_col=text_col)
+        .select(id_col, "term")
+        .distinct()
+    )
+    c_t = dt.groupBy("term").agg(F.count("*").alias("c"))
+    seed_lit = [str(s) for s in seeds]
+    seed_dt = dt.filter(F.col("term").isin(seed_lit)).select(
+        F.col(id_col), F.col("term").alias("seed")
+    )
+    cooc = (
+        seed_dt.join(dt, id_col)
+        .filter(F.col("term") != F.col("seed"))
+        .groupBy("seed", "term")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_cooc)
+    )
+    scored = (
+        cooc.join(F.broadcast(c_t.filter(F.col("term").isin(seed_lit))
+                              .select(F.col("term").alias("seed"), F.col("c").alias("c_x"))),
+                  "seed")
+        .join(c_t.select("term", F.col("c").alias("c_y")), "term")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(F.lit(float(n)) * F.col("c_xy") / (F.col("c_x") * F.col("c_y"))), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.col("pmi").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("seed", "rank", "term", "c_xy", "pmi")
+    )
+
+
 def more_like_this(
     docs: DataFrame,
     seed_ids: list[int],
