@@ -134,6 +134,11 @@ def test_trigram_store_roundtrip_and_pruning(spark, docs, tmp_path):
     )
     b = sorted(map(tuple, cs.search_literal(docs, queries).collect()))
     assert a == b
+    # regex twin: pruned pattern + full-scan alternation, via the store
+    rq = [(1, "make_.able"), (2, "row|scan")]
+    ra = sorted(map(tuple, cs.search_regex_store(spark, store, docs, rq).collect()))
+    rb = sorted(map(tuple, cs.search_regex(docs, rq).collect()))
+    assert ra == rb and ra
     # partition pruning: a single-gram load actually READS fewer files
     # (inputFiles() ignores pushdown, so probe with input_file_name())
     def files_read(df):

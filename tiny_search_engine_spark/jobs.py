@@ -209,22 +209,15 @@ def main_grep(argv: list[str]) -> int:
         "doc_id", F.col("content").alias("text")
     )
     queries = _read_queries(a.queries)
-    post = None
+    opts = {"max_grams": a.max_grams, "allow_scan": not a.no_scan}
     if a.trigram_store:
         if a.build_store:
             cs.write_trigram_store(docs, a.trigram_store, n_buckets=a.buckets)
-        if a.regex:
-            grams = {
-                g
-                for _, pat in queries
-                for g in cs.query_grams(cs.required_literal(pat))
-            }
-        else:
-            grams = {g for _, ndl in queries for g in cs.query_grams(ndl)}
-        post = cs.load_trigram_postings(spark, a.trigram_store, grams)
-    fn = cs.search_regex if a.regex else cs.search_literal
-    res = fn(docs, queries, postings=post, max_grams=a.max_grams,
-             allow_scan=not a.no_scan)
+        fn = cs.search_regex_store if a.regex else cs.search_literal_store
+        res = fn(spark, a.trigram_store, docs, queries, **opts)
+    else:
+        fn = cs.search_regex if a.regex else cs.search_literal
+        res = fn(docs, queries, **opts)
     if a.out is None:
         for row in res.collect():
             print("\t".join(str(v) for v in row))

@@ -140,6 +140,24 @@ def search_literal_store(
     return search_literal(docs, queries, postings=post, **kwargs)
 
 
+def search_regex_store(
+    spark: SparkSession,
+    store_path: str,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    **kwargs,
+) -> DataFrame:
+    """``search_regex`` against a persisted trigram store: loads only the
+    buckets of the patterns' required-literal grams (patterns with no
+    required literal contribute none — they take the full-scan path and
+    never touch the store)."""
+    grams = {
+        g for _, pat in queries for g in query_grams(required_literal(pat))
+    }
+    post = load_trigram_postings(spark, store_path, grams)
+    return search_regex(docs, queries, postings=post, **kwargs)
+
+
 def query_grams(needle: str) -> list[str]:
     """The distinct trigrams of a literal needle (sorted, deterministic)."""
     return sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
