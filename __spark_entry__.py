@@ -741,6 +741,51 @@ def _q_event_percentiles(spark, sf_dir):
     return ev.value_percentiles(_events(spark, sf_dir), (50, 90, 99))
 
 
+BOOLEAN_QUERIES: list[tuple[int, str]] = [
+    (1, "+table merge batch"),  # MUST + two SHOULDs
+    (2, "table -merge"),  # SHOULD with an exclusion
+    (3, "+table +merge -batch"),  # two MUSTs, one NOT
+    (4, "scan window"),  # pure OR
+]
+
+
+def _q_boolean_search(spark, sf_dir):
+    """Boolean MUST/SHOULD/MUST-NOT retrieval (pipeline.retrieval
+    .boolean_search): one broadcast join against the distinct (doc, term)
+    projection + one agg; NOT terms only subtract from positive-hit
+    groups so hot exclusions can't blow up the join."""
+    from tiny_search_engine_spark.pipeline import retrieval
+
+    return retrieval.boolean_search(_docs(spark, sf_dir), BOOLEAN_QUERIES, k=20)
+
+
+def _sql_boolean_search() -> str:
+    from tiny_search_engine_spark.pipeline.retrieval import parse_boolean_queries
+
+    rows, need_rows = parse_boolean_queries(BOOLEAN_QUERIES)
+    qt_vals = ", ".join(f"({q}, '{t}', '{r}')" for q, t, r in rows)
+    need_vals = ", ".join(f"({q}, {m}, {s})" for q, m, s in need_rows)
+    return f"""
+        WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL})),
+        qt(query_id, term, role) AS (VALUES {qt_vals}),
+        need(query_id, n_must, n_should) AS (VALUES {need_vals}),
+        g AS (SELECT query_id, doc_id,
+                     sum(CASE WHEN role = 'must' THEN 1 ELSE 0 END) AS must_hit,
+                     sum(CASE WHEN role = 'not' THEN 1 ELSE 0 END) AS not_hit,
+                     sum(CASE WHEN role = 'should' THEN 1 ELSE 0 END) AS should_hit
+              FROM dt JOIN qt USING (term) GROUP BY 1, 2),
+        f AS (SELECT g.* FROM g JOIN need USING (query_id)
+              WHERE must_hit = n_must AND not_hit = 0
+                AND (n_should = 0 OR should_hit > 0)),
+        r AS (SELECT query_id, doc_id,
+                     CAST(must_hit + should_hit AS BIGINT) AS n_matched,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY (must_hit + should_hit) DESC, doc_id) AS rank
+              FROM f)
+        SELECT query_id, rank, doc_id, n_matched FROM r WHERE rank <= 20
+    """
+
+
 SUGGEST_PREFIXES: list[tuple[int, str]] = [(1, "ta"), (2, "s"), (3, "zz")]
 RELATED_SEEDS: list[str] = ["table", "merge"]
 
@@ -848,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_regex": _q_trigram_regex,
         "suggest": _q_suggest,
         "related_terms": _q_related_terms,
+        "boolean_search": _q_boolean_search,
     }
 
 
@@ -1571,4 +1617,5 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT seed, rank, term, c_xy, pmi FROM r WHERE rank <= 10
         """,
+        "boolean_search": _sql_boolean_search(),
     }

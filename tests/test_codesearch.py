@@ -72,6 +72,13 @@ def test_literal_many_queries_and_max_grams(spark, docs):
         assert got == want, f"max_grams={max_grams}"
 
 
+def test_duplicate_query_ids_refused(spark, docs):
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        cs.search_literal(docs, [(1, "table"), (1, "scan")])
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        cs.search_regex(docs, [(2, "tab."), (2, "sca.")])
+
+
 def test_literal_scan_gate(spark, docs):
     with pytest.raises(ValueError, match="full scan"):
         cs.search_literal(docs, [(0, "aa")], allow_scan=False)

@@ -111,3 +111,45 @@ def test_related_terms_rank_is_deterministic(corpus):
     a = [tuple(r) for r in retrieval.related_terms(corpus.repartition(2), ["big"], k=5).collect()]
     b = [tuple(r) for r in retrieval.related_terms(corpus.repartition(7), ["big"], k=5).collect()]
     assert sorted(a) == sorted(b) and a
+
+
+def test_boolean_search_brute(spark):
+    rows = [
+        (0, "table merge batch"),
+        (1, "table batch"),
+        (2, "table"),
+        (3, "merge"),
+        (4, "other words"),
+        (5, "table merge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(1, "+table merge"), (2, "table -batch"), (3, "+merge +table"), (4, "merge other")]
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.n_matched)
+        for r in retrieval.boolean_search(df, queries, k=10).collect()
+    }
+    # brute: same grammar evaluated in python over token sets
+    toks = {d: set(t.split()) for d, t in rows}
+    from tiny_search_engine_spark.pipeline.retrieval import parse_boolean_queries
+    qrows, need = parse_boolean_queries(queries)
+    want = {}
+    for qid, n_must, n_should in need:
+        terms = [(t, role) for q, t, role in qrows if q == qid]
+        scored = []
+        for d, ts in toks.items():
+            must = sum(1 for t, r in terms if r == "must" and t in ts)
+            noth = sum(1 for t, r in terms if r == "not" and t in ts)
+            should = sum(1 for t, r in terms if r == "should" and t in ts)
+            if must == n_must and noth == 0 and (n_should == 0 or should > 0):
+                scored.append((-(must + should), d))
+        for rank, (neg, d) in enumerate(sorted(scored), 1):
+            want[(qid, d)] = (rank, -neg)
+    assert got == want and got
+
+
+def test_boolean_search_gates(spark):
+    df = spark.createDataFrame([(0, "x y")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no positive term"):
+        retrieval.boolean_search(df, [(1, "-x")])
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        retrieval.boolean_search(df, [(1, "x"), (1, "y")])

@@ -215,6 +215,16 @@ def required_literal(pattern: str) -> str:
     return best if len(best) >= 3 else ""
 
 
+def _check_unique_ids(queries: list[tuple[int, str]]) -> None:
+    """Duplicate query ids would merge two needles' gram sets under one id
+    (an over-strict AND) — refuse loudly instead of under-matching."""
+    seen: set[int] = set()
+    for qid, _ in queries:
+        if int(qid) in seen:
+            raise ValueError(f"duplicate query_id {qid}")
+        seen.add(int(qid))
+
+
 def _candidates(
     post: DataFrame,
     gram_rows: list[tuple[int, str]],
@@ -277,6 +287,7 @@ def search_literal(
     (1-2 chars) require a full scan — allowed only with *allow_scan*
     (at 100 TB you'd refuse them or serve from a bigram sidecar)."""
     spark = docs.sparkSession
+    _check_unique_ids(queries)
     pruned: list[tuple[int, str]] = []
     gram_rows: list[tuple[int, str]] = []
     scan: list[tuple[int, str]] = []
@@ -345,6 +356,7 @@ def search_regex(
     ≥3-char required literal are pruned through the trigram index; the
     rest take an exact full scan (gated by *allow_scan*)."""
     spark = docs.sparkSession
+    _check_unique_ids(queries)
     pruned: list[tuple[int, str]] = []
     gram_rows: list[tuple[int, str]] = []
     scan: list[tuple[int, str]] = []

@@ -180,6 +180,99 @@ def related_terms(
     )
 
 
+def parse_boolean_queries(
+    queries: list[tuple[int, str]],
+) -> tuple[list[tuple[int, str, str]], list[tuple[int, int, int]]]:
+    """Parse ``+must -not should`` query strings into (query_id, term,
+    role) rows plus per-query (query_id, n_must, n_should) counts; shared
+    by the engine and its SQL-oracle generator so grammar can't drift."""
+    rows: list[tuple[int, str, str]] = []
+    musts: dict[int, int] = {}
+    shoulds: dict[int, int] = {}
+    for qid, q in queries:
+        qid = int(qid)
+        if qid in musts:
+            raise ValueError(f"duplicate query_id {qid}")
+        musts[qid] = 0
+        shoulds[qid] = 0
+        for tok in q.split():
+            if tok.startswith("+") and len(tok) > 1:
+                rows.append((qid, tok[1:], "must"))
+                musts[qid] += 1
+            elif tok.startswith("-") and len(tok) > 1:
+                rows.append((qid, tok[1:], "not"))
+            elif tok:
+                rows.append((qid, tok, "should"))
+                shoulds[qid] += 1
+        if musts[qid] + shoulds[qid] == 0:
+            raise ValueError(
+                f"query {qid} has no positive term (pure-NOT queries are "
+                f"a corpus-complement scan): {q!r}"
+            )
+    return rows, [(q, musts[q], shoulds[q]) for q in musts]
+
+
+def boolean_search(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Boolean term retrieval — the AND/NOT surface the reference's
+    OR-only recall (/root/reference/src/table.cpp:430-470) lacks.
+
+    Query grammar (whitespace-separated): ``+term`` MUST, ``-term`` MUST
+    NOT, bare ``term`` SHOULD.  A doc matches when every MUST term is
+    present, no MUST-NOT term is present, and — if any SHOULD terms were
+    given — at least one SHOULD term is present.  Queries with no
+    positive (MUST/SHOULD) term are refused: "everything except X" is a
+    corpus-complement scan, not an index lookup.  Returns (query_id,
+    rank, doc_id, n_matched) ranked by distinct positive terms matched
+    (desc), doc id tie-break.
+
+    Scale shape: ONE broadcast join of the query-term table against the
+    distinct (doc, term) projection and one aggregation keyed
+    (query, doc) — candidate volume is the positive terms' posting mass
+    (MUST-NOT terms only ever *subtract* from groups already formed by a
+    positive hit, so a hot NOT term cannot blow up the join)."""
+    spark = docs.sparkSession
+    rows, need_rows = parse_boolean_queries(queries)
+    qt = spark.createDataFrame(rows, "query_id long, term string, role string")
+    need = spark.createDataFrame(
+        need_rows, "query_id long, n_must long, n_should long"
+    )
+    dt = (
+        tokens_view(docs, id_col=id_col, text_col=text_col)
+        .select(id_col, "term")
+        .distinct()
+    )
+    hits = (
+        dt.join(F.broadcast(qt), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.when(F.col("role") == "must", 1).otherwise(0)).alias("must_hit"),
+            F.sum(F.when(F.col("role") == "not", 1).otherwise(0)).alias("not_hit"),
+            F.sum(F.when(F.col("role") == "should", 1).otherwise(0)).alias("should_hit"),
+        )
+        .join(F.broadcast(need), "query_id")
+        .filter(
+            (F.col("must_hit") == F.col("n_must"))
+            & (F.col("not_hit") == 0)
+            & ((F.col("n_should") == 0) | (F.col("should_hit") > 0))
+        )
+        .withColumn("n_matched", F.col("must_hit") + F.col("should_hit"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_matched").desc(), F.col(id_col).asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "n_matched")
+    )
+
+
 def more_like_this(
     docs: DataFrame,
     seed_ids: list[int],
