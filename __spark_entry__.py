@@ -617,6 +617,23 @@ def _q_eval_ndcg(spark, sf_dir):
     )
 
 
+def _q_eval_mrr_recall(spark, sf_dir):
+    """MRR@10 + recall@10 (relevant = label ≥ 2) of the bm25_topk ranking
+    against the synthetic labels (eval.mrr_at_k / recall_at_k) — the rest
+    of the ranking-eval family next to NDCG@3."""
+    from tiny_search_engine_spark import eval as ev
+
+    ranked = _q_bm25_topk(spark, sf_dir)
+    labels = _labels_df(spark, sf_dir)
+    mrr = ev.mrr_at_k(ranked, labels, k=10, min_label=2)
+    rec = ev.recall_at_k(ranked, labels, k=10, min_label=2)
+    return mrr.join(rec, "query_id").select(
+        "query_id",
+        F.round("mrr", 6).alias("mrr"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 PHRASES = [
     (0, "table table"),
     (1, "fast merge"),
@@ -882,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _q_knn_lsh,
         "dup_set_ops": _q_dup_set_ops,
         "eval_ndcg": _q_eval_ndcg,
+        "eval_mrr_recall": _q_eval_mrr_recall,
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
         "phrase_match": _q_phrase_match,
         "more_like_this": _q_more_like_this,
@@ -1346,6 +1364,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.query_id,
                    round(CASE WHEN coalesce(i.idcg, 0.0) > 0.0 THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg
             FROM dcg d LEFT JOIN ideal i USING (query_id)
+        """,
+        "eval_mrr_recall": f"""
+            WITH ranked AS ({_sql_bm25_topk(n, qterms)}),
+            labels AS (
+              SELECT q.query_id, d.doc_id, (d.doc_id * 7 + q.query_id * 13) % 4 AS label
+              FROM documents d CROSS JOIN (VALUES {_QUERIES_SQL_VALUES}) AS q(query_id, query)),
+            rel AS (SELECT query_id, doc_id FROM labels WHERE label >= 2),
+            nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+            hits AS (
+              SELECT r.query_id, min(r.rank) AS fr, count(*) AS n_hit
+              FROM ranked r JOIN rel USING (query_id, doc_id)
+              WHERE r.rank <= 10 GROUP BY 1),
+            base AS (SELECT DISTINCT query_id FROM ranked WHERE rank <= 10)
+            SELECT b.query_id,
+                   round(CASE WHEN h.fr IS NOT NULL THEN 1.0 / h.fr ELSE 0.0 END, 6) AS mrr,
+                   round(CASE WHEN coalesce(n.n_rel, 0) > 0
+                              THEN coalesce(h.n_hit, 0) / n.n_rel ELSE 0.0 END, 6) AS recall
+            FROM base b LEFT JOIN hits h USING (query_id) LEFT JOIN nrel n USING (query_id)
         """,
         "wand_store_topk": f"""
             WITH docs AS (

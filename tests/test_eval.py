@@ -179,3 +179,27 @@ def test_search_emit_features_matches_golden(spark, tiny_store, tiny_golden):
             assert fm[name] == pytest.approx(want[name], rel=1e-9), (key, name)
         checked += 1
     assert checked >= 10
+
+
+def test_mrr_recall_hand_crafted(spark):
+    # ranking for two queries; labels: relevant = label >= 1
+    ranked = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12),   # q1: relevant at rank 2 and 3
+         (2, 1, 20), (2, 2, 21)],              # q2: nothing relevant retrieved
+        "query_id long, rank long, doc_id long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (1, 99, 3),   # 3 relevant total, 2 retrieved
+         (2, 77, 1)],                          # 1 relevant, not retrieved
+        "query_id long, doc_id long, label long",
+    )
+    mrr = {r.query_id: r.mrr for r in ev.mrr_at_k(ranked, labels, k=3).collect()}
+    assert mrr == {1: 0.5, 2: 0.0}
+    rec = {r.query_id: r.recall for r in ev.recall_at_k(ranked, labels, k=3).collect()}
+    assert rec[1] == pytest.approx(2 / 3) and rec[2] == 0.0
+    # min_label raises the relevance bar: only doc 12 and 99 count for q1
+    mrr2 = {r.query_id: r.mrr for r in ev.mrr_at_k(ranked, labels, k=3, min_label=2).collect()}
+    assert mrr2 == {1: 1 / 3, 2: 0.0}
+    # k cuts the window: at k=1 nothing relevant is inside it
+    mrr1 = {r.query_id: r.mrr for r in ev.mrr_at_k(ranked, labels, k=1).collect()}
+    assert mrr1 == {1: 0.0, 2: 0.0}

@@ -95,6 +95,77 @@ def ndcg_at_k(
     )
 
 
+def mrr_at_k(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    min_label: int = 1,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-query reciprocal rank of the first relevant doc (label ≥
+    *min_label*) within the top-k; queries that retrieved no relevant doc
+    get 0.0.  Returns (query_col, mrr) — one row per query in *ranked*."""
+    r = ranked.select(query_col, doc_col, rank_col).filter(F.col(rank_col) <= k)
+    rel = labels.filter(F.col(label_col) >= min_label).select(query_col, doc_col)
+    first = (
+        r.join(rel, [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(F.min(rank_col).alias("_fr"))
+    )
+    return (
+        r.select(query_col)
+        .distinct()
+        .join(first, query_col, "left")
+        .select(
+            query_col,
+            F.when(F.col("_fr").isNotNull(), F.lit(1.0) / F.col("_fr"))
+            .otherwise(F.lit(0.0))
+            .alias("mrr"),
+        )
+    )
+
+
+def recall_at_k(
+    ranked: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    min_label: int = 1,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-query |relevant ∩ top-k| / |relevant|; queries with no relevant
+    docs at all get 0.0 (same no-positive rule as ndcg_at_k — dropping
+    them would inflate the mean)."""
+    r = ranked.select(query_col, doc_col, rank_col).filter(F.col(rank_col) <= k)
+    rel = labels.filter(F.col(label_col) >= min_label).select(query_col, doc_col)
+    n_rel = rel.groupBy(query_col).agg(F.count("*").alias("_n_rel"))
+    n_hit = (
+        r.join(rel, [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    return (
+        r.select(query_col)
+        .distinct()
+        .join(n_rel, query_col, "left")
+        .join(n_hit, query_col, "left")
+        .select(
+            query_col,
+            F.when(
+                F.coalesce("_n_rel", F.lit(0)) > 0,
+                F.coalesce("_n_hit", F.lit(0)) / F.col("_n_rel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+        )
+    )
+
+
 def mean_ndcg_at_k(ranked: DataFrame, labels: DataFrame, k: int = 3, **kw) -> float:
     """The reference's headline number: mean NDCG@k over the query set."""
     row = (
