@@ -853,6 +853,17 @@ def _q_trigram_search(spark, sf_dir):
     return cs.search_literal(_docs(spark, sf_dir), TRIGRAM_LITERALS)
 
 
+def _q_trigram_snippets(spark, sf_dir):
+    """Context snippets (±12 chars around the first occurrence) for the
+    literal trigram-search hits (pipeline.codesearch.with_snippets) —
+    locate/substring column algebra over the candidate slice only."""
+    from tiny_search_engine_spark.pipeline import codesearch as cs
+
+    docs = _docs(spark, sf_dir)
+    hits = cs.search_literal(docs, TRIGRAM_LITERALS)
+    return cs.with_snippets(docs, hits, TRIGRAM_LITERALS, window=12)
+
+
 def _q_trigram_regex(spark, sf_dir):
     """Regex search via required-literal extraction + trigram prune
     (pipeline.codesearch.search_regex); alternation patterns take the
@@ -908,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified": _q_doc_stratified,
         "event_percentiles": _q_event_percentiles,
         "trigram_search": _q_trigram_search,
+        "trigram_snippets": _q_trigram_snippets,
         "trigram_regex": _q_trigram_regex,
         "suggest": _q_suggest,
         "related_terms": _q_related_terms,
@@ -1622,6 +1634,13 @@ def oracle_sql() -> dict[str, str]:
         "trigram_search": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, doc_id, "
             f"CAST((length(text) - length(replace(text, '{ndl}', ''))) / {len(ndl)} AS BIGINT) AS n_occurrences "
+            f"FROM documents WHERE contains(text, '{ndl}')"
+            for qid, ndl in TRIGRAM_LITERALS
+        ),
+        "trigram_snippets": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"strpos(text, '{ndl}') AS pos, "
+            f"substring(text, greatest(1, strpos(text, '{ndl}') - 12), {len(ndl) + 24}) AS snippet "
             f"FROM documents WHERE contains(text, '{ndl}')"
             for qid, ndl in TRIGRAM_LITERALS
         ),

@@ -214,6 +214,26 @@ def test_grep_cli_in_process(spark, tmp_path, capsys):
     assert want_re
 
 
+def test_with_snippets(spark, docs):
+    qs = [(1, "make_table"), (2, "aa")]
+    hits = cs.search_literal(docs, qs)
+    out = {
+        (r.query_id, r.doc_id): (r.pos, r.snippet)
+        for r in cs.with_snippets(docs, hits, qs, window=5).collect()
+    }
+    for (qid, did), (pos, snip) in out.items():
+        text = dict(DOCS)[did]
+        needle = dict(qs)[qid]
+        assert pos == text.find(needle) + 1  # 1-based first occurrence
+        start = max(0, pos - 1 - 5)
+        assert snip == text[start : start + len(needle) + 10]
+        assert needle in snip
+    # doc 1 "def make_table(..." → match at pos 5, start clips to 1
+    assert out[(1, 1)][0] == 5
+    # doc 4 "aaaa" → snippet is the whole short doc
+    assert out[(2, 4)] == (1, "aaaa")
+
+
 def test_prune_path_actually_prunes(spark, docs):
     """The verify join's doc side must be the candidate slice, not the
     corpus: with a needle whose rarest gram hits one doc, the pruned plan

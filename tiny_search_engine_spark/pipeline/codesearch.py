@@ -342,6 +342,44 @@ def search_literal(
     return out
 
 
+def with_snippets(
+    docs: DataFrame,
+    hits: DataFrame,
+    queries: list[tuple[int, str]],
+    window: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Attach a context snippet to literal-search hits: the ±*window*
+    chars around the FIRST occurrence of each query's needle.  *hits* is
+    any (query_id, doc_id) frame (e.g. ``search_literal`` output);
+    returns (query_id, doc_id, pos, snippet) with 1-based *pos*.
+
+    Pure column algebra (locate/substring inside codegen); the doc side
+    is the candidate semi-join slice, so snippet cost scales with result
+    size, not corpus size."""
+    spark = docs.sparkSession
+    nd = spark.createDataFrame(
+        [(int(q), s) for q, s in queries], "query_id long, needle string"
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    w = int(window)
+    return (
+        hits.select("query_id", "doc_id")
+        .join(F.broadcast(nd), "query_id")
+        .join(d, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("locate(needle, text)").alias("pos"),
+            F.expr(
+                f"substring(text, greatest(1, locate(needle, text) - {w}), "
+                f"length(needle) + {2 * w})"
+            ).alias("snippet"),
+        )
+    )
+
+
 def search_regex(
     docs: DataFrame,
     queries: list[tuple[int, str]],
