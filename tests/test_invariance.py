@@ -117,6 +117,20 @@ def test_pipeline_ops_partitioning_invariance(spark):
     )
     assert c(d2) == c(d13)
 
+    # round-2 retrieval/codesearch ops over the same word-salad docs
+    from tiny_search_engine_spark.pipeline import codesearch as cs, retrieval
+
+    qs = [(1, "alpha bet"), (2, "xqz"), (3, "de")]
+    g = lambda df: sorted(map(tuple, cs.search_literal(df, qs).collect()))
+    assert g(d2) == g(d13)
+    bq = [(1, "+alpha beta -gamma"), (2, "code index")]
+    b = lambda df: sorted(map(tuple, retrieval.boolean_search(df, bq, k=50).collect()))
+    assert b(d2) == b(d13)
+    s = lambda df: sorted(map(tuple, retrieval.suggest(df, [(1, "al"), (2, "x")], k=3).collect()))
+    assert s(d2) == s(d13)
+    rt = lambda df: sorted(map(tuple, retrieval.related_terms(df, ["alpha"], k=5).collect()))
+    assert rt(d2) == rt(d13)
+
 
 def test_sessionize_matches_pure_python():
     """Property-style: Spark sessionization == a straightforward pure-Python
