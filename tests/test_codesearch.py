@@ -169,6 +169,69 @@ def test_trigram_store_roundtrip_and_pruning(spark, docs, tmp_path):
     assert got == full and full
 
 
+def test_trigram_store_incremental_matches_rebuild(spark, tmp_path):
+    """update_trigram_store (add + replace + delete) == a fresh rebuild of
+    the final corpus, before AND after compaction; a replaced doc's new
+    postings survive its own tombstone."""
+    store = str(tmp_path / "tg_inc")
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cs.write_trigram_store(base, store, n_buckets=8)
+
+    # delta: new doc 10, replace doc 1, delete doc 3
+    delta = spark.createDataFrame(
+        [(10, "brand new document body"), (1, "replacement text for one")],
+        "doc_id long, text string",
+    )
+    cs.update_trigram_store(delta, store, deleted_ids=[3])
+
+    final_rows = [(d, t) for d, t in DOCS if d not in (1, 3)] + [
+        (10, "brand new document body"),
+        (1, "replacement text for one"),
+    ]
+    final = spark.createDataFrame(final_rows, "doc_id long, text string")
+    want_store = str(tmp_path / "tg_rebuild")
+    cs.write_trigram_store(final, want_store, n_buckets=8)
+
+    def postings(path):
+        return {
+            (r.doc_id, r.gram)
+            for r in cs.load_trigram_postings(spark, path).collect()
+        }
+
+    assert postings(store) == postings(want_store)
+    # pruned loads see the delta too
+    got = {
+        (r.doc_id, r.gram)
+        for r in cs.load_trigram_postings(spark, store, {"bra"}).collect()
+        if r.gram == "bra"
+    }
+    assert got == {(10, "bra")}
+    # search through the incremental store == direct search on final corpus
+    qs = [(1, "replacement"), (2, "table"), (3, "row")]
+    a = sorted(map(tuple, cs.search_literal_store(spark, store, final, qs).collect()))
+    b = sorted(map(tuple, cs.search_literal(final, qs).collect()))
+    assert a == b
+
+    # a second delta deletes the replacement doc again (tombstone at a
+    # later seq must mask the seq-1 delta segment)
+    cs.update_trigram_store(
+        spark.createDataFrame([], "doc_id long, text string"), store, deleted_ids=[1]
+    )
+    assert postings(store) == postings(want_store) - {
+        (d, g) for d, g in postings(want_store) if d == 1
+    }
+
+    cs.compact_trigram_store(spark, store)
+    import json as _json, os as _os
+
+    meta = _json.load(open(_os.path.join(store, "_trigram_meta.json")))
+    assert meta["delta_seq"] == 0 and meta["tombstones"] == {}
+    assert not _os.path.isdir(_os.path.join(store, "_deltas"))
+    assert postings(store) == postings(want_store) - {
+        (d, g) for d, g in postings(want_store) if d == 1
+    }
+
+
 def test_grep_cli_in_process(spark, tmp_path, capsys):
     """jobs.py `grep` subcommand: store build + literal and regex search
     over an input_hint-shaped parquet source, doc ids = build.with_doc_id

@@ -114,16 +114,115 @@ def load_trigram_postings(
     """Read a persisted posting index; with *grams*, prune the scan to the
     buckets those grams hash into (partition pruning — extra same-bucket
     grams are dropped by the downstream equi-join, so pruning is purely a
-    read-volume optimization, never a correctness input)."""
+    read-volume optimization, never a correctness input).
+
+    Delta segments (update_trigram_store) are unioned in; each segment is
+    masked by the tombstones of strictly later seqs via a broadcast
+    anti-join (at 100 TB the tombstone lists would live in a parquet side
+    table; the masking join is identical)."""
     with open(os.path.join(path, "_trigram_meta.json")) as f:
         meta = json.load(f)
-    df = spark.read.parquet(path)
+    segs: list[tuple[int, DataFrame]] = [(0, spark.read.parquet(path))]
+    delta_root = os.path.join(path, "_deltas")
+    if os.path.isdir(delta_root):
+        for name in sorted(os.listdir(delta_root)):
+            segs.append(
+                (int(name), spark.read.parquet(os.path.join(delta_root, name)))
+            )
+    tombs = {int(k): v for k, v in meta.get("tombstones", {}).items()}
+    parts: list[DataFrame] = []
+    for seq, df in segs:
+        later = sorted(
+            {int(i) for s, ids in tombs.items() if s > seq for i in ids}
+        )
+        if later:
+            t = spark.createDataFrame([(i,) for i in later], "doc_id long")
+            df = df.join(F.broadcast(t), "doc_id", "left_anti")
+        parts.append(df.select("doc_id", "gram", "bucket"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     if grams is not None:
         buckets = sorted(
             {xxhash64_signed(g.encode("utf-8")) % meta["n_buckets"] for g in grams}
         )
-        df = df.filter(F.col("bucket").isin(buckets))
-    return df.select("doc_id", "gram")
+        out = out.filter(F.col("bucket").isin(buckets))
+    return out.select("doc_id", "gram")
+
+
+def update_trigram_store(
+    docs_delta: DataFrame,
+    path: str,
+    deleted_ids: list[int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance: append a delta posting segment for new or
+    REPLACED docs and record tombstones for deleted (or replaced) doc ids.
+    Readers union base + deltas and anti-join the tombstones; ``
+    compact_trigram_store`` folds everything back into one base.
+
+    Same delta-segment design as the segment store's streaming ingest
+    (streaming/ingest.py): appends are partition-dir writes (no rewrite of
+    the base), deletes are metadata until compaction — the only shapes
+    that stay O(delta), not O(index), at 100 TB."""
+    with open(os.path.join(path, "_trigram_meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    delta_root = os.path.join(path, "_deltas")
+    seq = meta.get("delta_seq", 0) + 1
+    new_ids = [r[0] for r in docs_delta.select(id_col).distinct().collect()]
+    tomb = sorted(set(int(i) for i in (deleted_ids or [])) | set(int(i) for i in new_ids))
+    if docs_delta.take(1):
+        post = trigram_postings(docs_delta, id_col=id_col, text_col=text_col)
+        (
+            post.withColumn(
+                "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).cast("int")
+            )
+            .repartition(n_buckets, F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(delta_root, f"{seq:06d}"))
+        )
+    meta["delta_seq"] = seq
+    # tombstones are keyed by the seq at which they happened: a segment is
+    # only masked by tombstones from STRICTLY LATER seqs, so a replaced
+    # doc's fresh postings (written at this seq) survive their own
+    # tombstone while every older copy dies
+    meta.setdefault("tombstones", {})
+    meta["tombstones"][str(seq)] = tomb
+    with open(os.path.join(path, "_trigram_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def compact_trigram_store(
+    spark: SparkSession, path: str, files_per_bucket: int = 1
+) -> None:
+    """Fold base + deltas − tombstones into a fresh base and clear the
+    delta state (one index-sized rewrite, the amortized cost ceiling of
+    the delta design)."""
+    import shutil
+
+    with open(os.path.join(path, "_trigram_meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    merged = load_trigram_postings(spark, path)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    (
+        merged.withColumn(
+            "bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition(n_buckets * files_per_bucket, F.col("bucket"), F.col("doc_id"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    meta["delta_seq"] = 0
+    meta["tombstones"] = {}
+    with open(os.path.join(path, "_trigram_meta.json"), "w") as f:
+        json.dump(meta, f)
 
 
 def search_literal_store(
