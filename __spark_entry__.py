@@ -853,6 +853,23 @@ def _q_trigram_search(spark, sf_dir):
     return cs.search_literal(_docs(spark, sf_dir), TRIGRAM_LITERALS)
 
 
+XREF_PATTERN = "fast ([a-z]+)"  # capture group 1 = the "defined" symbol
+
+
+def _q_symbol_xref(spark, sf_dir):
+    """Symbol cross-reference (pipeline.codesearch.symbol_xref): regexp
+    definition extraction ⋈ token references, symbol-keyed equi-join with
+    a hot-symbol cap (boilerplate names are the d·r join bomb, same class
+    as hot shingles)."""
+    from tiny_search_engine_spark.pipeline import codesearch as cs
+
+    from pyspark.sql import functions as _F
+
+    return cs.symbol_xref(_docs(spark, sf_dir), XREF_PATTERN, max_def_docs=20).filter(
+        _F.col("n_refs") >= 3
+    )
+
+
 def _q_trigram_snippets(spark, sf_dir):
     """Context snippets (±12 chars around the first occurrence) for the
     literal trigram-search hits (pipeline.codesearch.with_snippets) —
@@ -920,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_percentiles": _q_event_percentiles,
         "trigram_search": _q_trigram_search,
         "trigram_snippets": _q_trigram_snippets,
+        "symbol_xref": _q_symbol_xref,
         "trigram_regex": _q_trigram_regex,
         "suggest": _q_suggest,
         "related_terms": _q_related_terms,
@@ -1637,6 +1655,23 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents WHERE contains(text, '{ndl}')"
             for qid, ndl in TRIGRAM_LITERALS
         ),
+        "symbol_xref": f"""
+            WITH defs AS (
+              SELECT DISTINCT doc_id AS def_doc_id,
+                     unnest(regexp_extract_all(text, '{XREF_PATTERN}', 1)) AS symbol
+              FROM documents),
+            capped AS (
+              SELECT * FROM (
+                SELECT def_doc_id, symbol,
+                       count(*) OVER (PARTITION BY symbol) AS dd
+                FROM defs WHERE symbol <> '')
+              WHERE dd <= 20),
+            tf AS (SELECT doc_id AS ref_doc_id, term AS symbol, count(*) AS n_refs
+                   FROM ({_TOKENS_SQL}) GROUP BY 1, 2)
+            SELECT symbol, def_doc_id, ref_doc_id, n_refs
+            FROM capped JOIN tf USING (symbol)
+            WHERE ref_doc_id <> def_doc_id AND n_refs >= 3
+        """,
         "trigram_snippets": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, doc_id, "
             f"strpos(text, '{ndl}') AS pos, "

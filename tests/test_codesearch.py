@@ -297,6 +297,44 @@ def test_with_snippets(spark, docs):
     assert out[(2, 4)] == (1, "aaaa")
 
 
+def test_symbol_xref_brute(spark):
+    import re
+
+    rows = [
+        (1, "def alpha(): pass"),
+        (2, "alpha alpha beta"),        # refs alpha twice
+        (3, "def beta(): alpha"),       # defines beta, refs alpha once
+        (4, "def hot(): x"),            # "hot" defined everywhere below
+        (5, "def hot(): y"),
+        (6, "def hot(): z"),
+        (7, "hot hot hot"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pat = r"def ([a-z]+)"
+    got = sorted(
+        (r.symbol, r.def_doc_id, r.ref_doc_id, r.n_refs)
+        for r in cs.symbol_xref(df, pat, max_def_docs=2).collect()
+    )
+    # brute with the same cap
+    defs = {}
+    for d, t in rows:
+        for s in set(re.findall(pat, t)):
+            defs.setdefault(s, set()).add(d)
+    want = []
+    for s, dds in defs.items():
+        if len(dds) > 2:
+            continue  # hot-symbol cap: "hot" (3 def docs) must vanish
+        for dd in dds:
+            for rd, t in rows:
+                if rd == dd:
+                    continue
+                n = t.split().count(s)
+                if n:
+                    want.append((s, dd, rd, n))
+    assert got == sorted(want) and got
+    assert not [g for g in got if g[0] == "hot"]
+
+
 def test_prune_path_actually_prunes(spark, docs):
     """The verify join's doc side must be the candidate slice, not the
     corpus: with a needle whose rarest gram hits one doc, the pruned plan

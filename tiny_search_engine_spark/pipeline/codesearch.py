@@ -44,7 +44,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..hashing import xxhash64_signed
@@ -255,6 +255,62 @@ def search_regex_store(
     }
     post = load_trigram_postings(spark, store_path, grams)
     return search_regex(docs, queries, postings=post, **kwargs)
+
+
+def symbol_xref(
+    docs: DataFrame,
+    define_pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_def_docs: int = 100,
+) -> DataFrame:
+    """Symbol cross-reference: join definition sites to reference sites.
+
+    *define_pattern* is a regex whose capture group 1 is the defined
+    symbol (e.g. ``def ([a-zA-Z_][a-zA-Z0-9_]*)`` for Python defs); a
+    reference is any whitespace token equal to the symbol in a DIFFERENT
+    doc.  Returns (symbol, def_doc_id, ref_doc_id, n_refs) where n_refs
+    is the symbol's token frequency in the referencing doc.
+
+    Scale shape: definitions are a narrow regexp projection; the
+    def→ref join is symbol-keyed (equi-join, shuffle bounded by token
+    mass of defined symbols).  Symbols defined in more than
+    *max_def_docs* docs are dropped before the join — a boilerplate name
+    (``main``, ``test``) defined in d docs and referenced in r docs emits
+    d·r rows, the same quadratic bomb as hot shingles in ngram Jaccard
+    (dedup.py), and carries no cross-reference signal."""
+    from .textstats import tokens_view
+
+    defs = (
+        docs.select(
+            F.col(id_col).alias("def_doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit(define_pattern), F.lit(1)
+                    )
+                )
+            ).alias("symbol"),
+        )
+        .filter(F.col("symbol") != "")
+        .distinct()
+    )
+    hot = Window.partitionBy("symbol")
+    defs = (
+        defs.withColumn("_dd", F.count("*").over(hot))
+        .filter(F.col("_dd") <= max_def_docs)
+        .drop("_dd")
+    )
+    tf = (
+        tokens_view(docs, id_col=id_col, text_col=text_col)
+        .groupBy(F.col(id_col).alias("ref_doc_id"), F.col("term").alias("symbol"))
+        .agg(F.count("*").alias("n_refs"))
+    )
+    return (
+        defs.join(tf, "symbol")
+        .filter(F.col("ref_doc_id") != F.col("def_doc_id"))
+        .select("symbol", "def_doc_id", "ref_doc_id", "n_refs")
+    )
 
 
 def query_grams(needle: str) -> list[str]:
