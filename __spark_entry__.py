@@ -870,6 +870,15 @@ def _q_symbol_xref(spark, sf_dir):
     )
 
 
+def _q_corpus_profile(spark, sf_dir):
+    """Per-language corpus census (pipeline.textstats.corpus_profile),
+    exact count-distinct flavor (the oracle baseline; approx=True is the
+    HLL sketch path, error-pinned in tests/test_pipeline.py)."""
+    from tiny_search_engine_spark.pipeline import textstats as ts
+
+    return ts.corpus_profile(_docs(spark, sf_dir), group_col="lang")
+
+
 def _q_trigram_snippets(spark, sf_dir):
     """Context snippets (±12 chars around the first occurrence) for the
     literal trigram-search hits (pipeline.codesearch.with_snippets) —
@@ -938,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_search": _q_trigram_search,
         "trigram_snippets": _q_trigram_snippets,
         "symbol_xref": _q_symbol_xref,
+        "corpus_profile": _q_corpus_profile,
         "trigram_regex": _q_trigram_regex,
         "suggest": _q_suggest,
         "related_terms": _q_related_terms,
@@ -1655,6 +1665,16 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents WHERE contains(text, '{ndl}')"
             for qid, ndl in TRIGRAM_LITERALS
         ),
+        "corpus_profile": f"""
+            SELECT lang,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_tokens,
+                   count(DISTINCT term) AS n_terms,
+                   round(count(*) * 1.0 / count(DISTINCT doc_id), 6) AS avg_doc_len
+            FROM (SELECT t.doc_id, t.term, d.lang
+                  FROM ({_TOKENS_SQL}) t JOIN documents d USING (doc_id))
+            GROUP BY lang
+        """,
         "symbol_xref": f"""
             WITH defs AS (
               SELECT DISTINCT doc_id AS def_doc_id,

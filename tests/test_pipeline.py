@@ -397,3 +397,31 @@ def test_resolve_clusters_long_chain(spark):
     labels = {r["cluster_id"] for r in out.collect()}
     assert labels == {0}
     assert out.count() == 2000
+
+
+def test_corpus_profile_exact_and_sketch(spark):
+    rows = [
+        (1, "a b c a", "en"),
+        (2, "a b", "en"),
+        (3, "x y z", "de"),
+        (4, "x x", "de"),
+        (5, "q", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from tiny_search_engine_spark.pipeline import textstats as ts
+
+    exact = {r.lang: r for r in ts.corpus_profile(df).collect()}
+    assert (exact["en"].n_docs, exact["en"].n_tokens, exact["en"].n_terms) == (2, 6, 3)
+    assert exact["en"].avg_doc_len == 3.0
+    assert (exact["de"].n_docs, exact["de"].n_tokens, exact["de"].n_terms) == (2, 5, 3)
+    assert (exact["fr"].n_docs, exact["fr"].n_tokens, exact["fr"].n_terms) == (1, 1, 1)
+
+    # HLL sketch twin: same shape, bounded relative error (rsd 2%,
+    # generous 10% gate for tiny groups)
+    approx = {r.lang: r for r in ts.corpus_profile(df, approx=True).collect()}
+    assert set(approx) == set(exact)
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert abs(a.n_docs - e.n_docs) <= max(1, 0.1 * e.n_docs)
+        assert abs(a.n_terms - e.n_terms) <= max(1, 0.1 * e.n_terms)
+        assert a.n_tokens == e.n_tokens  # plain count is exact in both
