@@ -232,6 +232,58 @@ def test_trigram_store_incremental_matches_rebuild(spark, tmp_path):
     }
 
 
+def test_trigram_stream_ingest(spark, tmp_path):
+    """availableNow streaming maintenance == fresh rebuild after every
+    drain; the checkpoint makes the second drain consume only new files."""
+    from tiny_search_engine_spark.streaming.trigram_stream import (
+        trigram_ingest_available_now,
+    )
+
+    store = str(tmp_path / "tg")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cs.write_trigram_store(base, store, n_buckets=8)
+
+    b1 = spark.createDataFrame(
+        [(20, "streamed new doc", False),
+         (1, "replaced via stream", False),
+         (2, None, True)],  # delete doc 2
+        "doc_id long, text string, deleted boolean",
+    )
+    b1.write.parquet(src)  # first file set
+    assert trigram_ingest_available_now(spark, src, store, ckpt) >= 1
+
+    def rebuild(rows):
+        want = str(tmp_path / f"want{len(rows)}")
+        cs.write_trigram_store(
+            spark.createDataFrame(rows, "doc_id long, text string"), want, n_buckets=8
+        )
+        return {
+            (r.doc_id, r.gram)
+            for r in cs.load_trigram_postings(spark, want).collect()
+        }
+
+    def got():
+        return {
+            (r.doc_id, r.gram)
+            for r in cs.load_trigram_postings(spark, store).collect()
+        }
+
+    state1 = [(d, t) for d, t in DOCS if d not in (1, 2)] + [
+        (20, "streamed new doc"),
+        (1, "replaced via stream"),
+    ]
+    assert got() == rebuild(state1)
+
+    # second drain: only the new file is consumed
+    spark.createDataFrame(
+        [(21, "second wave", False)], "doc_id long, text string, deleted boolean"
+    ).write.mode("append").parquet(src)
+    assert trigram_ingest_available_now(spark, src, store, ckpt) >= 1
+    assert got() == rebuild(state1 + [(21, "second wave")])
+
+
 def test_grep_cli_in_process(spark, tmp_path, capsys):
     """jobs.py `grep` subcommand: store build + literal and regex search
     over an input_hint-shaped parquet source, doc ids = build.with_doc_id

@@ -156,6 +156,7 @@ def update_trigram_store(
     deleted_ids: list[int] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seq: int | None = None,
 ) -> None:
     """Incremental maintenance: append a delta posting segment for new or
     REPLACED docs and record tombstones for deleted (or replaced) doc ids.
@@ -165,12 +166,16 @@ def update_trigram_store(
     Same delta-segment design as the segment store's streaming ingest
     (streaming/ingest.py): appends are partition-dir writes (no rewrite of
     the base), deletes are metadata until compaction — the only shapes
-    that stay O(delta), not O(index), at 100 TB."""
+    that stay O(delta), not O(index), at 100 TB.
+
+    *seq* defaults to the next sequence number; a streaming caller passes
+    its epoch id instead, making retries idempotent (the delta dir is
+    overwritten and the tombstone slot rewritten, both keyed by seq)."""
     with open(os.path.join(path, "_trigram_meta.json")) as f:
         meta = json.load(f)
     n_buckets = int(meta["n_buckets"])
     delta_root = os.path.join(path, "_deltas")
-    seq = meta.get("delta_seq", 0) + 1
+    seq = int(seq) if seq is not None else meta.get("delta_seq", 0) + 1
     new_ids = [r[0] for r in docs_delta.select(id_col).distinct().collect()]
     tomb = sorted(set(int(i) for i in (deleted_ids or [])) | set(int(i) for i in new_ids))
     if docs_delta.take(1):
@@ -184,7 +189,7 @@ def update_trigram_store(
             .partitionBy("bucket")
             .parquet(os.path.join(delta_root, f"{seq:06d}"))
         )
-    meta["delta_seq"] = seq
+    meta["delta_seq"] = max(int(meta.get("delta_seq", 0)), seq)
     # tombstones are keyed by the seq at which they happened: a segment is
     # only masked by tombstones from STRICTLY LATER seqs, so a replaced
     # doc's fresh postings (written at this seq) survive their own
