@@ -314,6 +314,16 @@ def test_grep_cli_in_process(spark, tmp_path, capsys):
     )
     assert got == want and got
 
+    # --snippets attaches context windows through the CLI
+    out2 = str(tmp_path / "snips.parquet")
+    rc = main(["grep", "--source", pq, "--queries", str(qf),
+               "--trigram-store", store, "--snippets", "6", "--out", out2])
+    assert rc == 0
+    snips = spark.read.parquet(out2)
+    assert set(snips.columns) == {"query_id", "doc_id", "pos", "snippet"}
+    assert snips.count() == len(got)
+    assert all("def " in r.snippet for r in snips.filter("query_id = 1").collect())
+
     # regex path against the persisted store, stdout sink
     rf = tmp_path / "r.tsv"
     rf.write_text("1\tdef [a-z_]+\n", encoding="utf-8")

@@ -201,6 +201,8 @@ def main_grep(argv: list[str]) -> int:
     p.add_argument("--buckets", type=int, default=64, help="store bucket count (with --build-store)")
     p.add_argument("--max-grams", type=int, default=8)
     p.add_argument("--no-scan", action="store_true", help="refuse queries that would need a full corpus scan")
+    p.add_argument("--snippets", type=int, default=None, metavar="WINDOW",
+                   help="literal mode: attach a ±WINDOW-char context snippet to each hit")
     p.add_argument("--out", default=None, help="parquet dir; default prints to stdout")
     a = p.parse_args(argv)
 
@@ -218,6 +220,10 @@ def main_grep(argv: list[str]) -> int:
     else:
         fn = cs.search_regex if a.regex else cs.search_literal
         res = fn(docs, queries, **opts)
+    if a.snippets is not None:
+        if a.regex:
+            raise SystemExit("--snippets needs literal needles (no --regex)")
+        res = cs.with_snippets(docs, res, queries, window=a.snippets)
     if a.out is None:
         for row in res.collect():
             print("\t".join(str(v) for v in row))
