@@ -464,7 +464,23 @@ class QueryEngine:
                 ranker=ranker, emit_features=emit,
             )
 
-        featured = feat_in.groupBy("query_id").applyInPandas(feat_fn, out_schema)
+        # cap the feature-stage shuffle at the distinct-query count: the
+        # groupBy would otherwise hash into ALL shuffle partitions and spin
+        # a Python worker per task even when most partitions are empty —
+        # pure spin-up overhead for interactive batches (and the stage most
+        # exposed to this VM's steal windows). The explicit hash
+        # repartition on the grouping key satisfies the groupBy's
+        # clustering requirement, so no second exchange is added (same
+        # pattern as the per-gshard WAND apply below).
+        n_feat_parts = max(
+            1,
+            min(len(qmap), int(spark.conf.get("spark.sql.shuffle.partitions"))),
+        )
+        featured = (
+            feat_in.repartition(n_feat_parts, "query_id")
+            .groupBy("query_id")
+            .applyInPandas(feat_fn, out_schema)
+        )
         allc = featured.unionByName(rest.select(*featured.columns))
         wfin = Window.partitionBy("query_id").orderBy(F.desc("final_score"), F.asc("doc_id"))
         final_cols = [
