@@ -870,6 +870,55 @@ def _q_symbol_xref(spark, sf_dir):
     )
 
 
+def _q_doc_pagerank(spark, sf_dir):
+    """PageRank centrality over the symmetrized near-dup candidate graph
+    (pipeline.graph.pagerank over dedup.lsh_candidate_pairs edges) — a
+    document-quality prior; fixed 10 power iterations, one dst-keyed
+    shuffle per iteration, localCheckpoint lineage truncation."""
+    from tiny_search_engine_spark.pipeline import dedup, graph
+
+    pairs = dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir), num_hashes=4, bands=2, shingle=3
+    )
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    return graph.pagerank(edges, n_iter=10).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def _sql_doc_pagerank(n_iter: int = 10, d: float = 0.85) -> str:
+    lsh = _sql_lsh_pairs()
+    n = "(SELECT n FROM nn)"
+    # MATERIALIZED is load-bearing: pr{k} is referenced twice per step
+    # (dangling + contributions), so default CTE inlining would expand the
+    # chain 2^n_iter times and re-scan the parquet thousands of times
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ({lsh}) "
+        f"UNION SELECT id_b AS src, id_a AS dst FROM ({lsh}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        f"pr0 AS MATERIALIZED (SELECT node, 1.0 / {n} AS rank FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS m FROM pr{k - 1} "
+            f"WHERE node NOT IN (SELECT src FROM outdeg))"
+        )
+        parts.append(
+            f"pr{k} AS MATERIALIZED (SELECT nd.node, (1 - {d}) / {n} + {d} * "
+            f"(coalesce(c.contrib, 0) + (SELECT m FROM dang{k}) / {n}) AS rank "
+            f"FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(p.rank / o.deg) AS contrib "
+            f"FROM edges e JOIN pr{k - 1} p ON p.node = e.src "
+            f"JOIN outdeg o ON o.src = e.src GROUP BY e.dst) c "
+            f"ON c.node = nd.node)"
+        )
+    return ", ".join(parts) + f" SELECT node, round(rank, 6) AS rank FROM pr{n_iter}"
+
+
 def _q_corpus_profile(spark, sf_dir):
     """Per-language corpus census (pipeline.textstats.corpus_profile),
     exact count-distinct flavor (the oracle baseline; approx=True is the
@@ -952,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": _q_suggest,
         "related_terms": _q_related_terms,
         "boolean_search": _q_boolean_search,
+        "doc_pagerank": _q_doc_pagerank,
     }
 
 
@@ -1665,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents WHERE contains(text, '{ndl}')"
             for qid, ndl in TRIGRAM_LITERALS
         ),
+        "doc_pagerank": _sql_doc_pagerank(),
         "corpus_profile": f"""
             SELECT lang,
                    count(DISTINCT doc_id) AS n_docs,
