@@ -1,3 +1,5 @@
 from .event_stream import windowed_stats_stream  # noqa: F401
 from .ingest import compact, compact_incremental, delete_docs, ingest_available_now  # noqa: F401
+from .query_stream import read_results, serve_query_stream  # noqa: F401
 from .session_stream import sessionize_stream  # noqa: F401
+from .trigram_stream import trigram_ingest_available_now  # noqa: F401
