@@ -768,9 +768,9 @@ BOOLEAN_QUERIES: list[tuple[int, str]] = [
 
 def _q_boolean_search(spark, sf_dir):
     """Boolean MUST/SHOULD/MUST-NOT retrieval (pipeline.retrieval
-    .boolean_search): one broadcast join against the distinct (doc, term)
-    projection + one agg; NOT terms only subtract from positive-hit
-    groups so hot exclusions can't blow up the join."""
+    .boolean_search): candidate groups form only from positive hits; NOT
+    terms apply as a left-anti exclusion join, linear in their posting
+    mass, never creating aggregation state of their own."""
     from tiny_search_engine_spark.pipeline import retrieval
 
     return retrieval.boolean_search(_docs(spark, sf_dir), BOOLEAN_QUERIES, k=20)
@@ -1717,14 +1717,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_pagerank": _sql_doc_pagerank(),
         "corpus_profile": f"""
-            SELECT lang,
-                   count(DISTINCT doc_id) AS n_docs,
-                   count(*) AS n_tokens,
-                   count(DISTINCT term) AS n_terms,
-                   round(count(*) * 1.0 / count(DISTINCT doc_id), 6) AS avg_doc_len
-            FROM (SELECT t.doc_id, t.term, d.lang
-                  FROM ({_TOKENS_SQL}) t JOIN documents d USING (doc_id))
-            GROUP BY lang
+            WITH base AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+            tok AS (
+              SELECT d.lang, count(*) AS n_tokens, count(DISTINCT t.term) AS n_terms
+              FROM ({_TOKENS_SQL}) t JOIN documents d USING (doc_id) GROUP BY 1)
+            SELECT b.lang, b.n_docs,
+                   coalesce(t.n_tokens, 0) AS n_tokens,
+                   coalesce(t.n_terms, 0) AS n_terms,
+                   round(coalesce(t.n_tokens, 0) * 1.0 / b.n_docs, 6) AS avg_doc_len
+            FROM base b LEFT JOIN tok t USING (lang)
         """,
         "symbol_xref": f"""
             WITH defs AS (

@@ -176,9 +176,18 @@ def update_trigram_store(
     n_buckets = int(meta["n_buckets"])
     delta_root = os.path.join(path, "_deltas")
     seq = int(seq) if seq is not None else meta.get("delta_seq", 0) + 1
+    if seq < int(meta.get("delta_seq", 0)):
+        # only the LATEST epoch is ever legitimately retried; a lower seq
+        # means a reset/second checkpoint is replaying history — its docs
+        # would be silently masked by the existing later tombstones
+        raise ValueError(
+            f"seq {seq} rewinds behind delta_seq {meta['delta_seq']} "
+            f"(stale or reset checkpoint?) — refuse instead of silently "
+            f"masking the new postings"
+        )
     new_ids = [r[0] for r in docs_delta.select(id_col).distinct().collect()]
     tomb = sorted(set(int(i) for i in (deleted_ids or [])) | set(int(i) for i in new_ids))
-    if docs_delta.take(1):
+    if new_ids:
         post = trigram_postings(docs_delta, id_col=id_col, text_col=text_col)
         (
             post.withColumn(
@@ -222,12 +231,15 @@ def compact_trigram_store(
         .partitionBy("bucket")
         .parquet(tmp)
     )
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    # the replacement must be COMPLETE (data + meta) before the live store
+    # is touched: a crash between rmtree and rename then loses at most the
+    # old dir, never the meta (n_buckets would be unrecoverable)
     meta["delta_seq"] = 0
     meta["tombstones"] = {}
-    with open(os.path.join(path, "_trigram_meta.json"), "w") as f:
+    with open(os.path.join(tmp, "_trigram_meta.json"), "w") as f:
         json.dump(meta, f)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def search_literal_store(
@@ -423,8 +435,13 @@ def _candidates(
     n_chosen = spark.createDataFrame(need_rows, "query_id long, _need long")
     return (
         post.join(F.broadcast(chosen), "gram")
+        # countDistinct, NOT count(*): duplicate (gram, doc) posting rows
+        # (duplicate source rows, or one streaming epoch carrying two
+        # versions of a doc) would push a plain count past _need and
+        # silently DROP a real match — a false negative, the one failure
+        # a pruning index must never have
         .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("_hit"))  # (query, gram) is unique in chosen
+        .agg(F.countDistinct("gram").alias("_hit"))
         .join(F.broadcast(n_chosen), "query_id")
         .filter(F.col("_hit") == F.col("_need"))
         .select("query_id", "doc_id")
@@ -453,7 +470,10 @@ def search_literal(
     scan: list[tuple[int, str]] = []
     for qid, needle in queries:
         if not needle:
-            continue
+            # contains(text, '') is vacuously true for every doc — a batch
+            # query that returns the whole corpus is never what a caller
+            # meant; refuse loudly (module convention)
+            raise ValueError(f"empty needle for query_id {qid}")
         gs = query_grams(needle)
         if gs:
             pruned.append((int(qid), needle))
@@ -559,6 +579,8 @@ def search_regex(
     gram_rows: list[tuple[int, str]] = []
     scan: list[tuple[int, str]] = []
     for qid, pat in queries:
+        if not pat:
+            raise ValueError(f"empty pattern for query_id {qid}")
         lit = required_literal(pat)
         if lit:
             pruned.append((int(qid), pat))

@@ -7,9 +7,11 @@ corpus already yields two natural graphs — near-dup candidate pairs
 (codesearch.symbol_xref def→ref edges).
 
 Scale shape: one shuffle per iteration (contributions keyed by dst),
-ranks and out-degrees are doc-keyed DataFrames; lineage is truncated with
-localCheckpoint every few iterations — the same iterative-join discipline
-as dedup.resolve_clusters, which raises rather than silently diverging.
+ranks and out-degrees are doc-keyed DataFrames; ranks are materialized
+with localCheckpoint once per iteration so the two consumers (dangling
+aggregate + contribution join) and the next step all reuse one
+constant-size plan — the same iterative-join discipline as
+dedup.resolve_clusters.
 A FIXED iteration count (no convergence sampling) keeps the result
 deterministic and SQL-oracle-reproducible.
 """
@@ -26,7 +28,6 @@ def pagerank(
     n_iter: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Standard power-iteration PageRank over a directed edge list.
 
@@ -44,14 +45,23 @@ def pagerank(
         .distinct()
         .cache()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).cache()
+    try:
+        n = nodes.count()
+        if n == 0:
+            return nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).cache()
+    except Exception:
+        nodes.unpersist()
+        raise
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     d = float(damping)
     try:
-        for i in range(int(n_iter)):
+        for _ in range(int(n_iter)):
+            # materialize ranks ONCE per iteration: the dangling aggregate
+            # and the contribution join both consume it, and the next
+            # iteration's plan builds on it — without this the join
+            # lineage re-executes for every consumer and grows each step
+            ranks = ranks.localCheckpoint(eager=True)
             # mass sitting on nodes with no out-edges, redistributed evenly
             dangling = (
                 ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
@@ -76,9 +86,7 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            if (i + 1) % checkpoint_every == 0:
-                ranks = ranks.localCheckpoint(eager=True)
-        return ranks
+        return ranks.localCheckpoint(eager=True)
     finally:
         nodes.unpersist()
         outdeg.unpersist()

@@ -231,11 +231,14 @@ def boolean_search(
     rank, doc_id, n_matched) ranked by distinct positive terms matched
     (desc), doc id tie-break.
 
-    Scale shape: ONE broadcast join of the query-term table against the
-    distinct (doc, term) projection and one aggregation keyed
-    (query, doc) — candidate volume is the positive terms' posting mass
-    (MUST-NOT terms only ever *subtract* from groups already formed by a
-    positive hit, so a hot NOT term cannot blow up the join)."""
+    Scale shape: candidate GROUPS are formed only by positive (MUST /
+    SHOULD) hits — one broadcast join against the distinct (doc, term)
+    projection + one (query, doc)-keyed aggregation over the positive
+    posting mass.  MUST-NOT terms are applied as a left-anti join of
+    (query, doc) exclusion pairs: their cost is linear in the NOT terms'
+    posting mass (unavoidable — the docs containing them must be
+    enumerated) but they never create aggregation state or candidate
+    groups of their own."""
     spark = docs.sparkSession
     rows, need_rows = parse_boolean_queries(queries)
     qt = spark.createDataFrame(rows, "query_id long, term string, role string")
@@ -247,22 +250,24 @@ def boolean_search(
         .select(id_col, "term")
         .distinct()
     )
+    pos = qt.filter(F.col("role") != "not")
+    nots = qt.filter(F.col("role") == "not").select("query_id", "term")
     hits = (
-        dt.join(F.broadcast(qt), "term")
+        dt.join(F.broadcast(pos), "term")
         .groupBy("query_id", id_col)
         .agg(
             F.sum(F.when(F.col("role") == "must", 1).otherwise(0)).alias("must_hit"),
-            F.sum(F.when(F.col("role") == "not", 1).otherwise(0)).alias("not_hit"),
             F.sum(F.when(F.col("role") == "should", 1).otherwise(0)).alias("should_hit"),
         )
         .join(F.broadcast(need), "query_id")
         .filter(
             (F.col("must_hit") == F.col("n_must"))
-            & (F.col("not_hit") == 0)
             & ((F.col("n_should") == 0) | (F.col("should_hit") > 0))
         )
         .withColumn("n_matched", F.col("must_hit") + F.col("should_hit"))
     )
+    excl = dt.join(F.broadcast(nots), "term").select("query_id", id_col)
+    hits = hits.join(excl, ["query_id", id_col], "left_anti")
     w = Window.partitionBy("query_id").orderBy(
         F.col("n_matched").desc(), F.col(id_col).asc()
     )

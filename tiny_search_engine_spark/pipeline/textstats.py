@@ -190,30 +190,33 @@ def corpus_profile(
     avg_doc_len) — the census a pipeline runs before deciding dedup /
     curation budgets.
 
-    ``approx=False`` computes exact count-distincts (the SQL-oracle
-    baseline; Spark plans the multi-distinct agg with one Expand, still a
-    single shuffle). ``approx=True`` swaps both distincts for HLL++
-    sketches (`approx_count_distinct`, rsd 2%) — the 100 TB path: fixed
-    sketch memory per group instead of distinct-set state, no Expand
-    blow-up; relative error is pinned against the exact twin in
-    tests/test_pipeline.py."""
+    ``approx=False`` computes the exact distinct-term count (the
+    SQL-oracle baseline). ``approx=True`` swaps it for the HLL++ sketch
+    (`approx_count_distinct`, rsd 2%) — the 100 TB path: fixed sketch
+    memory per group instead of distinct-set state; relative error is
+    pinned against the exact twin in tests/test_pipeline.py. n_docs needs
+    no distinct in either mode: the docs frame is one row per doc."""
+    # n_docs comes from the DOCS frame, not the token explode: empty or
+    # whitespace-only docs emit zero tokens and would silently vanish from
+    # the census (and inflate avg_doc_len) — a census that loses exactly
+    # the junk docs it is supposed to budget for
+    base = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
     toks = tokens_view(df, id_col=id_col, text_col=text_col).join(
         df.select(id_col, group_col), id_col
     )
-    if approx:
-        nd = F.approx_count_distinct(id_col, 0.02).alias("n_docs")
-        nt = F.approx_count_distinct("term", 0.02).alias("n_terms")
-    else:
-        nd = F.countDistinct(id_col).alias("n_docs")
-        nt = F.countDistinct("term").alias("n_terms")
+    nt = (
+        F.approx_count_distinct("term", 0.02) if approx else F.countDistinct("term")
+    ).alias("n_terms")
+    tok_agg = toks.groupBy(group_col).agg(F.count("*").alias("n_tokens"), nt)
     return (
-        toks.groupBy(group_col)
-        .agg(nd, F.count("*").alias("n_tokens"), nt)
+        base.join(tok_agg, group_col, "left")
         .select(
             group_col,
             "n_docs",
-            "n_tokens",
-            "n_terms",
-            F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("avg_doc_len"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.round(
+                F.coalesce("n_tokens", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("avg_doc_len"),
         )
     )
