@@ -515,6 +515,22 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-doc repetition census (dup/top n-gram fractions,
+    n=2,3): one shuffle-free map pass of column algebra."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train split = doc_id % 97 != 0, eval
+    split = % 97 == 0 (deterministic, oracle-reproducible); distinct
+    3-gram overlap vs the broadcast eval gram set."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return textstats.decontaminate(train, ev, n=3, threshold=0.1)
+
+
 def _q_dup_clusters(spark, sf_dir):
     """Connected components over MinHash-LSH candidate pairs: the
     transitive-closure stage that turns pairwise near-dup evidence into
@@ -976,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "fingerprint": _q_fingerprint,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
         "dup_clusters": _q_dup_clusters,
         "corpus_curate": _q_corpus_curate,
         "event_sessions": _q_event_sessions,
@@ -1709,6 +1727,48 @@ def oracle_sql() -> dict[str, str]:
             "md5(array_to_string(list_sort(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')), ' ')) AS fp_bag "
             "FROM documents"
         ),
+        "repetition_stats": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, len(toks) AS n_tokens,
+                         CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+                              i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                              ELSE [] END AS g2,
+                         CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                              ELSE [] END AS g3
+                  FROM t),
+            u2 AS (SELECT doc_id, gram, count(*) AS c FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2),
+            a2 AS (SELECT doc_id, sum(c) AS t, count(*) AS d, max(c) AS m FROM u2 GROUP BY 1),
+            u3 AS (SELECT doc_id, gram, count(*) AS c FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2),
+            a3 AS (SELECT doc_id, sum(c) AS t, count(*) AS d, max(c) AS m FROM u3 GROUP BY 1)
+            SELECT g.doc_id, g.n_tokens,
+                   round(coalesce((a2.t - a2.d) * 1.0 / a2.t, 0), 6) AS dup_2gram_frac,
+                   round(coalesce(a2.m * 1.0 / a2.t, 0), 6) AS top_2gram_frac,
+                   round(coalesce((a3.t - a3.d) * 1.0 / a3.t, 0), 6) AS dup_3gram_frac,
+                   round(coalesce(a3.m * 1.0 / a3.t, 0), 6) AS top_3gram_frac
+            FROM g LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                              ELSE [] END AS grams
+                  FROM t),
+            eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+            dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+            hits AS (SELECT doc_id, count(*) AS n_overlap FROM dg JOIN eg USING (gram) GROUP BY 1)
+            SELECT g.doc_id, len(grams) AS n_grams,
+                   CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   round(coalesce(h.n_overlap, 0) * 1.0 / greatest(len(grams), 1), 6) AS overlap_frac,
+                   coalesce(h.n_overlap, 0) * 1.0 / greatest(len(grams), 1) >= 0.1 AS contaminated
+            FROM g LEFT JOIN hits h USING (doc_id)
+            WHERE g.doc_id % 97 <> 0
+        """,
         "trigram_search": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, doc_id, "
             f"CAST((length(text) - length(replace(text, '{ndl}', ''))) / {len(ndl)} AS BIGINT) AS n_occurrences "

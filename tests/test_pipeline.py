@@ -425,3 +425,61 @@ def test_corpus_profile_exact_and_sketch(spark):
         assert abs(a.n_docs - e.n_docs) <= max(1, 0.1 * e.n_docs)
         assert abs(a.n_terms - e.n_terms) <= max(1, 0.1 * e.n_terms)
         assert a.n_tokens == e.n_tokens  # plain count is exact in both
+
+
+def _brute_rep(text, n):
+    toks = [t for t in text.lower().split() if t]
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)] if len(toks) >= n else []
+    t = len(grams)
+    if t == 0:
+        return 0.0, 0.0
+    from collections import Counter
+
+    c = Counter(grams)
+    return round((t - len(c)) / t, 6), round(max(c.values()) / t, 6)
+
+
+def test_repetition_stats_brute(spark):
+    rows = [
+        (1, "a b a b a b a b"),          # heavy 2-gram repetition
+        (2, "x y z w v u"),              # all distinct
+        (3, "one"),                      # shorter than every n
+        (4, "loop loop loop loop loop"), # one dominant gram
+        (5, "The the THE the mix Mix"),  # case folding
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    for doc_id, text in rows:
+        for n in (2, 3):
+            dup, top = _brute_rep(text, n)
+            assert got[doc_id][f"dup_{n}gram_frac"] == pytest.approx(dup), (doc_id, n)
+            assert got[doc_id][f"top_{n}gram_frac"] == pytest.approx(top), (doc_id, n)
+    assert got[3]["dup_2gram_frac"] == 0.0 and got[3]["top_2gram_frac"] == 0.0
+    assert got[1]["dup_2gram_frac"] > 0.7  # "a b" x4 + "b a" x3
+
+
+def test_decontaminate_brute(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # shares "alpha beta gamma"
+            (2, "zeta eta theta iota kappa"),        # no overlap
+            (3, "alpha beta gamma alpha beta gamma"),  # dup grams count once
+            (4, "aa bb"),                             # too short for n=3
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma prime"), (101, "unrelated eval text here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.decontaminate(train, ev, n=3, threshold=0.3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # doc 1: grams {abc, bcd, cde}; eval has {abg? ...} -> "alpha beta gamma" + "beta gamma prime"
+    assert got[1]["n_grams"] == 3 and got[1]["n_overlap"] == 1
+    assert got[1]["overlap_frac"] == pytest.approx(round(1 / 3, 6))
+    assert got[1]["contaminated"] is True
+    assert got[2]["n_overlap"] == 0 and got[2]["contaminated"] is False
+    # doc 3 distinct grams: {abg, bga, gab} -> only "alpha beta gamma" overlaps
+    assert got[3]["n_grams"] == 3 and got[3]["n_overlap"] == 1
+    assert got[4]["n_grams"] == 0 and got[4]["overlap_frac"] == 0.0
+    assert got[4]["contaminated"] is False

@@ -179,6 +179,120 @@ def curate(
     return scored.select(id_col, "lang_pred", "n_tokens", "quality")
 
 
+def _lower_tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
+
+
+def _ngrams(toks, n: int):
+    """Array of space-joined word n-grams; empty array when the doc has
+    fewer than n tokens (F.sequence would count DOWN for start > stop)."""
+    if n == 1:
+        return toks
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Intra-document repetition signals in the Gopher / MassiveText
+    style (Rae et al. 2021, table A1): for each n in ``ns`` the fraction
+    of n-gram occurrences that are repeats of an earlier occurrence
+    (``dup_{n}gram_frac`` = (total − distinct) / total) and the share of
+    the single most frequent n-gram (``top_{n}gram_frac``) — the two
+    filters that catch boilerplate- and loop-generated text that
+    per-token quality scores miss.
+
+    Scale shape: pure per-row column algebra, NO shuffle and NO Python —
+    the n-gram arrays, distinct counts, and the most-frequent-gram count
+    (longest equal run of the sorted gram array, one F.aggregate lambda)
+    all evaluate inside whole-stage codegen in the scan stage, so the op
+    costs one map pass regardless of corpus size. Mirrors the reference's
+    per-string term stats pass (/root/reference/src/segment.cpp term
+    loop) but as a repetition census rather than an index input.
+    """
+    toks = _lower_tokens(text_col)
+    cols = [F.col(id_col), F.size(toks).alias("n_tokens")]
+    for n in ns:
+        grams = _ngrams(toks, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        # max occurrence count == longest run in the sorted array
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+            )
+
+        top_c = F.aggregate(F.array_sort(grams), acc0, step, lambda a: a["best"])
+        safe_t = F.greatest(total, F.lit(1))
+        cols.append(F.round((total - distinct) / safe_t, 6).alias(f"dup_{n}gram_frac"))
+        cols.append(F.round(top_c / safe_t, 6).alias(f"top_{n}gram_frac"))
+    return df.select(*cols)
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-grams overlap an evaluation set (the GPT-3 appendix-C / PaLM /
+    Llama pretraining hygiene step). Emits per training doc the distinct
+    n-gram count, how many of those occur anywhere in ``eval_df``, the
+    overlap fraction, and a ``contaminated`` flag at ``threshold``.
+
+    Scale shape: the eval side (a benchmark suite — MBs, not TBs) is
+    reduced to a DISTINCT gram set and broadcast, so the 100 TB corpus
+    is never shuffled for the join; the doc side is ONE pass —
+    explode_outer the distinct-gram array (the outer row keeps
+    zero-gram docs in the output), broadcast-left-join the eval set,
+    then a single doc_id groupBy whose map-side partial agg collapses
+    each doc back to one row BEFORE the exchange (a doc's gram rows are
+    generated from one input row, hence colocated), so the only
+    corpus-scale shuffle carries one row per document. A hot gram
+    cannot blow up the join: both sides are distinct, so each
+    (doc, gram) row matches at most one eval row.
+    """
+    toks = _lower_tokens(text_col)
+    grams = F.array_distinct(_ngrams(toks, n))
+    doc_grams = df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+    eval_grams = (
+        eval_df.select(F.explode(F.array_distinct(_ngrams(_lower_tokens(text_col), n))).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = (
+        doc_grams.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+        )
+    )
+    frac = F.col("n_overlap") / F.greatest(F.col("n_grams"), F.lit(1))
+    return agg.select(
+        F.col(id_col),
+        "n_grams",
+        "n_overlap",
+        F.round(frac, 6).alias("overlap_frac"),
+        (frac >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
 def corpus_profile(
     df: DataFrame,
     group_col: str = "lang",
