@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiny_search_engine_spark.pipeline import dedup, simsearch, textstats
+from tiny_search_engine_spark.pipeline import dedup, packing, simsearch, textstats
 from tiny_search_engine_spark.pipeline import sampling as _sampling
 
 # ---------------------------------------------------------------------------
@@ -531,6 +531,13 @@ def _q_decontaminate(spark, sf_dir):
     return textstats.decontaminate(train, ev, n=3, threshold=0.1)
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (chunk_len=128): per-(chunk, doc)
+    segment map via the distributed two-phase prefix sum — no global
+    single-reducer window anywhere in the plan."""
+    return packing.pack_sequences(_docs(spark, sf_dir), chunk_len=128)
+
+
 def _q_dup_clusters(spark, sf_dir):
     """Connected components over MinHash-LSH candidate pairs: the
     transitive-closure stage that turns pairwise near-dup evidence into
@@ -994,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
         "dup_clusters": _q_dup_clusters,
         "corpus_curate": _q_corpus_curate,
         "event_sessions": _q_event_sessions,
@@ -1768,6 +1776,23 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_overlap, 0) * 1.0 / greatest(len(grams), 1) >= 0.1 AS contaminated
             FROM g LEFT JOIN hits h USING (doc_id)
             WHERE g.doc_id % 97 <> 0
+        """,
+        "pack_sequences": """
+            WITH t AS (SELECT doc_id,
+                              len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n
+                       FROM documents),
+            nz AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM t WHERE n > 0),
+            o AS (SELECT doc_id, n,
+                         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS off
+                  FROM nz),
+            seg AS (SELECT doc_id, n, off,
+                           unnest(range(CAST(off // 128 AS BIGINT), CAST((off + n - 1) // 128 + 1 AS BIGINT))) AS chunk_id
+                    FROM o)
+            SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+                   CAST(greatest(off, chunk_id * 128) - off AS BIGINT) AS doc_offset,
+                   CAST(greatest(off, chunk_id * 128) - chunk_id * 128 AS BIGINT) AS chunk_offset,
+                   CAST(least(off + n, (chunk_id + 1) * 128) - greatest(off, chunk_id * 128) AS BIGINT) AS seg_len
+            FROM seg
         """,
         "trigram_search": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, doc_id, "
