@@ -531,6 +531,20 @@ def _q_decontaminate(spark, sf_dir):
     return textstats.decontaminate(train, ev, n=3, threshold=0.1)
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocab induction (rows-only: the merge loop is
+    iterative argmax, not SQL; golden parity vs the pure-Python Sennrich
+    twin is pinned in tests/test_bpe.py). Returns the rank-ordered merge
+    table learned from the documents corpus."""
+    from tiny_search_engine_spark.pipeline import bpe
+
+    merges = bpe.learn_bpe(_docs(spark, sf_dir), n_merges=30, min_freq=2)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (chunk_len=128): per-(chunk, doc)
     segment map via the distributed two-phase prefix sum — no global
@@ -1002,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "bpe_merges": _q_bpe_merges,
         "dup_clusters": _q_dup_clusters,
         "corpus_curate": _q_corpus_curate,
         "event_sessions": _q_event_sessions,
