@@ -784,6 +784,44 @@ def _q_doc_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+MIX_TEMPERATURE = 2.0
+MIX_TOTAL_TARGET = 300
+
+
+def _q_doc_mixture(spark, sf_dir):
+    """Temperature-based mixture sampling (mT5/XLM-R rule, T=2 flattens
+    toward rare languages): tiny per-language census -> driver rate
+    derivation -> the same map-side inlined-CASE hash filter as
+    doc_stratified. Oracle inlines rates from the identical census +
+    float math, so thresholds cannot drift."""
+    from tiny_search_engine_spark.pipeline import sampling
+
+    return sampling.mixture_sample(
+        _docs(spark, sf_dir),
+        temperature=MIX_TEMPERATURE,
+        total_target=MIX_TOTAL_TARGET,
+        stratum_col="lang",
+        key_col="doc_id",
+    ).select("doc_id", "lang")
+
+
+def _lang_counts() -> dict:
+    """Per-language doc counts for the mixture-sampling oracle, read from
+    the same parquet the engine censuses (same _emb_dim discipline: the
+    driver compares at sf0.01; SPARK_GRAFT_SF_DIR overrides)."""
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    for cand in (base, "/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        p = os.path.join(cand, "documents.parquet")
+        if os.path.exists(p):
+            import duckdb
+
+            rows = duckdb.sql(
+                f"SELECT lang, count(*) AS n FROM read_parquet('{p}') GROUP BY 1"
+            ).fetchall()
+            return {lang: n for lang, n in rows}
+    return {}
+
+
 def _q_event_percentiles(spark, sf_dir):
     """Exact per-type value percentiles by integer rank-position
     selection (pipeline.events.value_percentiles) — the emitted value is
@@ -1033,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": _q_doc_sample,
         "doc_train_split": _q_doc_train_split,
         "doc_stratified": _q_doc_stratified,
+        "doc_mixture": _q_doc_mixture,
         "event_percentiles": _q_event_percentiles,
         "trigram_search": _q_trigram_search,
         "trigram_snippets": _q_trigram_snippets,
@@ -1725,6 +1764,16 @@ def oracle_sql() -> dict[str, str]:
             stratum_col="lang",
             key_col="doc_id",
             default_rate=STRATIFIED_DEFAULT,
+            select="doc_id, lang",
+        ),
+        "doc_mixture": _sampling.stratified_sample_sql(
+            "documents",
+            _sampling.temperature_rates(
+                _lang_counts(), MIX_TEMPERATURE, MIX_TOTAL_TARGET
+            ),
+            stratum_col="lang",
+            key_col="doc_id",
+            salt="mix",
             select="doc_id, lang",
         ),
         "event_percentiles": """

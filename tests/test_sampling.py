@@ -100,3 +100,45 @@ def test_sampling_plan_is_shuffle_free(docs):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side scan + filter
+
+
+def test_temperature_rates_math():
+    from tiny_search_engine_spark.pipeline.sampling import temperature_rates
+
+    counts = {"en": 800, "de": 150, "zh": 50}
+    # T=1: natural proportions -> target_g = total * n_g / N -> rate = total/N for all
+    r1 = temperature_rates(counts, 1.0, 100)
+    assert all(abs(v - 0.1) < 1e-12 for v in r1.values())
+    # T=2 flattens: rare groups keep a larger fraction than dominant ones
+    r2 = temperature_rates(counts, 2.0, 100)
+    assert r2["zh"] > r2["de"] > r2["en"]
+    # rates are capped at 1 even when the target exceeds the group size
+    r3 = temperature_rates(counts, 8.0, 900)
+    assert r3["zh"] == 1.0
+    assert all(0.0 < v <= 1.0 for v in r3.values())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_rates(counts, 0.0, 100)
+    assert temperature_rates({}, 2.0, 100) == {}
+
+
+def test_mixture_sample_deterministic_and_flattening(spark):
+    from tiny_search_engine_spark.pipeline.sampling import mixture_sample, temperature_rates
+
+    rows = [(i, "en" if i < 800 else ("de" if i < 950 else "zh")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = mixture_sample(df, temperature=2.0, total_target=200).collect()
+    kept2 = mixture_sample(df.repartition(7), temperature=2.0, total_target=200).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(r["doc_id"] for r in kept2)
+    # per-group keep fraction tracks the derived rate (hash-exact Bernoulli)
+    from collections import Counter
+
+    got = Counter(r["lang"] for r in kept)
+    rates = temperature_rates({"en": 800, "de": 150, "zh": 50}, 2.0, 200)
+    for g, n in (("en", 800), ("de", 150), ("zh", 50)):
+        # 4-sigma binomial bound on the empirical keep fraction
+        tol = 4.0 * (rates[g] * (1 - rates[g]) / n) ** 0.5 + 1e-9
+        assert abs(got[g] / n - rates[g]) < tol, g
+    # flattening: zh keeps a larger share of itself than en does
+    assert got["zh"] / 50 > got["en"] / 800

@@ -107,6 +107,54 @@ def stratified_sample(
     return df.filter(bucket_col(key_col, salt) < thr)
 
 
+def temperature_rates(
+    counts: dict[str, int], temperature: float, total_target: int
+) -> dict[str, float]:
+    """Per-group keep rates for temperature-based mixture sampling (the
+    multilingual-pretraining rule, e.g. mT5/XLM-R): sampling probability
+    q_g ∝ n_g^(1/T) normalized, so T>1 flattens the mix toward rare
+    groups and T=1 keeps natural proportions; the keep rate is the
+    target group size over the actual size, capped at 1 (this op only
+    downsamples — upsampling is a repeat-factor at shard-writing time).
+    Pure driver-side float math over the (tiny) census, iterated in
+    sorted group order so engine and oracle derive bit-identical
+    thresholds from it."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if not counts:
+        return {}
+    inv = 1.0 / temperature
+    weights = {g: float(n) ** inv for g, n in sorted(counts.items()) if n > 0}
+    z = sum(weights[g] for g in sorted(weights))
+    return {
+        g: min(1.0, (total_target * weights[g] / z) / counts[g])
+        for g in sorted(weights)
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    temperature: float,
+    total_target: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based data mixing in two steps: one tiny census
+    (groupBy count — rows = #groups, never corpus-sized) collected to
+    the driver, then the same map-side inlined-CASE hash filter as
+    :func:`stratified_sample`. The corpus itself is never shuffled and
+    the kept set is deterministic and engine-reproducible."""
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_rates(counts, temperature, total_target)
+    return stratified_sample(
+        df, rates, stratum_col=stratum_col, key_col=key_col, salt=salt
+    )
+
+
 def stratified_sample_sql(
     table: str,
     rates: dict[str, float],
