@@ -202,6 +202,12 @@ def main() -> None:
         )
         timed("event_sessionize", lambda: entrymod._q_event_sessions(spark, sf_dir).count())
         timed("event_windowed", lambda: entrymod._q_event_windowed(spark, sf_dir).count())
+        # curation additions: shuffle-free repetition census, broadcast-join
+        # decontamination, two-phase-prefix-sum packing, mixture sampling
+        timed("repetition_stats", lambda: entrymod._q_repetition_stats(spark, sf_dir).count())
+        timed("decontaminate", lambda: entrymod._q_decontaminate(spark, sf_dir).count())
+        timed("pack_sequences", lambda: entrymod._q_pack_sequences(spark, sf_dir).count())
+        timed("doc_mixture", lambda: entrymod._q_doc_mixture(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)
