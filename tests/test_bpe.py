@@ -90,3 +90,20 @@ def test_bpe_index_build_and_query_parity(spark, stopwords, tmp_path):
         want = [(r.doc_sign, r.bm25) for r in g.bm25_topk(q)]
         have = [(d, s) for _, d, s in sorted(got.get(qid, []))]
         assert_ranked_equal(have, want, ctx=f"bpe wand q{qid} ({q!r})")
+
+
+def test_marker_collision_with_literal_text():
+    """Merges can build a symbol that LOOKS like the end-of-word marker
+    from real characters ('</w>' in markup); only the positional marker
+    may be stripped, and offsets must stay correct."""
+    merges = [("<", "/"), ("</", "w"), ("</w", ">")]
+    tok = bpe.BPETokenizer(merges)
+    got = [(t.term, t.offset, t.length) for t in tok.tokens("x</w>y plain")]
+    # the first word's tokens tile it exactly: no character vanishes
+    assert "".join(t for t, off, _ in got if off < 6) == "x</w>y"
+    # the literal '</w>' symbol is emitted whole, at its true offset
+    assert ("</w>", 1, 4) in got
+    # every token's slice matches the original text
+    text = "x</w>y plain"
+    for term, off, ln in got:
+        assert text[off : off + ln] == term

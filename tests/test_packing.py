@@ -103,3 +103,10 @@ def test_pack_rejects_bad_chunk_len(corpus):
     _, df = corpus
     with pytest.raises(ValueError):
         packing.pack_sequences(df, chunk_len=0)
+
+
+def test_pack_rejects_bad_n_buckets(corpus):
+    _, df = corpus
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="n_buckets"):
+            packing.pack_sequences(df, chunk_len=8, n_buckets=bad)

@@ -142,3 +142,23 @@ def test_mixture_sample_deterministic_and_flattening(spark):
         assert abs(got[g] / n - rates[g]) < tol, g
     # flattening: zh keeps a larger share of itself than en does
     assert got["zh"] / 50 > got["en"] / 800
+
+
+def test_mixture_and_stratified_with_null_stratum(spark):
+    from tiny_search_engine_spark.pipeline.sampling import (
+        mixture_sample,
+        stratified_sample,
+        temperature_rates,
+    )
+
+    # temperature_rates tolerates a None group key
+    r = temperature_rates({None: 50, "en": 150}, 2.0, 100)
+    assert set(r) == {None, "en"} and 0 < r[None] <= 1.0
+    rows = [(i, "en" if i % 2 == 0 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # NULL strata are matched by the None rate key, not silently dropped
+    kept = stratified_sample(df, {None: 1.0, "en": 0.0}, stratum_col="lang").collect()
+    assert len(kept) == 100 and all(x["lang"] is None for x in kept)
+    # mixture_sample end-to-end with nulls present: no crash, nulls kept
+    out = mixture_sample(df, temperature=2.0, total_target=100).collect()
+    assert any(x["lang"] is None for x in out)

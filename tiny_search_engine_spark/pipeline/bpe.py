@@ -27,16 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..tokenizer import Token, Tokenizer
-from .textstats import WS_SPLIT
+from .textstats import _lower_tokens
 
 END = "</w>"  # end-of-word marker symbol (its own array slot)
 
 
 def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One corpus pass: lower-cased whitespace word frequencies."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
+    """One corpus pass: lower-cased whitespace word frequencies (the same
+    token rule as textstats/packing — one shared expression)."""
     return (
-        df.select(F.explode(toks).alias("word"))
+        df.select(F.explode(_lower_tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
@@ -162,8 +162,17 @@ class BPETokenizer(Tokenizer):
         self.ranks = {tuple(m): i for i, m in enumerate(merges)}
         self._word_re = re.compile(r"\S+")
 
-    def _encode(self, word: str) -> list[str]:
+    def _encode(self, word: str) -> list[tuple[str, bool]]:
+        """(symbol, carries_marker) pairs. The end-of-word marker is
+        tracked POSITIONALLY, not by string suffix: text containing the
+        literal characters '</w>' can legitimately merge into a symbol
+        that LOOKS like the marker (this is a code/markup engine), and a
+        suffix check would strip real characters and corrupt offsets.
+        The marker starts as the last element and only ever merges as a
+        RIGHT partner, so a flagged symbol always carries it as a
+        suffix."""
         syms = list(word) + [END]
+        marker = [False] * len(word) + [True]
         while len(syms) > 1:
             best_rank, best_i = None, None
             for i in range(len(syms) - 1):
@@ -173,14 +182,15 @@ class BPETokenizer(Tokenizer):
             if best_i is None:
                 break
             syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-        return syms
+            marker[best_i : best_i + 2] = [marker[best_i] or marker[best_i + 1]]
+        return list(zip(syms, marker))
 
     def tokens(self, text: str) -> list[Token]:
         out: list[Token] = []
         for m in self._word_re.finditer(text):
             pos = m.start()
-            for sym in self._encode(m.group(0).lower()):
-                term = sym[: -len(END)] if sym.endswith(END) else sym
+            for sym, has_marker in self._encode(m.group(0).lower()):
+                term = sym[: -len(END)] if has_marker else sym
                 if term:
                     out.append(Token(text[pos : pos + len(term)], pos, len(term)))
                     pos += len(term)

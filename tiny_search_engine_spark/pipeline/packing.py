@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import WS_SPLIT
+from .textstats import _lower_tokens
 
 
 def pack_sequences(
@@ -51,9 +51,12 @@ def pack_sequences(
     sequences)."""
     if chunk_len <= 0:
         raise ValueError("chunk_len must be positive")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != "")
+    if n_buckets is not None and n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     dl = (
-        df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+        df.select(
+            F.col(id_col), F.size(_lower_tokens(text_col)).cast("long").alias("n_tokens")
+        )
         .filter(F.col("n_tokens") > 0)
     )
     spark = df.sparkSession

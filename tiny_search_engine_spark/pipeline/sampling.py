@@ -35,6 +35,12 @@ from pyspark.sql import functions as F
 _BUCKET_SPACE = 16 ** 8  # 8 lowercase-hex chars
 
 
+def _stratum_key(value):
+    """Deterministic sort key for stratum values that tolerates None
+    (NULL strata are real in curation data): None sorts first."""
+    return (value is not None, "" if value is None else str(value))
+
+
 def rate_to_hex(rate: float) -> str:
     """The largest 8-hex-char bucket kept for a Bernoulli *rate*:
     strings strictly below it are kept. Exact for any rate in [0, 1]."""
@@ -98,12 +104,17 @@ def stratified_sample(
     stratum value to its keep-rate; strata not listed get
     *default_rate*. The per-stratum threshold is resolved with an
     inlined CASE (a handful of literals — never a join), so the plan
-    stays a scan + filter even with thousands of strata."""
+    stays a scan + filter even with thousands of strata. A ``None`` key
+    in *rates* matches NULL strata (a plain ``== NULL`` compare would
+    silently drop them at *default_rate*)."""
     thr = F.lit(rate_to_hex(default_rate))
-    for value, rate in sorted(rates.items()):
-        thr = F.when(F.col(stratum_col) == value, F.lit(rate_to_hex(rate))).otherwise(
-            thr
+    for value, rate in sorted(rates.items(), key=lambda kv: _stratum_key(kv[0])):
+        cond = (
+            F.col(stratum_col).isNull()
+            if value is None
+            else F.col(stratum_col) == value
         )
+        thr = F.when(cond, F.lit(rate_to_hex(rate))).otherwise(thr)
     return df.filter(bucket_col(key_col, salt) < thr)
 
 
@@ -124,11 +135,12 @@ def temperature_rates(
     if not counts:
         return {}
     inv = 1.0 / temperature
-    weights = {g: float(n) ** inv for g, n in sorted(counts.items()) if n > 0}
-    z = sum(weights[g] for g in sorted(weights))
+    items = sorted(counts.items(), key=lambda kv: _stratum_key(kv[0]))
+    weights = {g: float(n) ** inv for g, n in items if n > 0}
+    order = sorted(weights, key=_stratum_key)
+    z = sum(weights[g] for g in order)
     return {
-        g: min(1.0, (total_target * weights[g] / z) / counts[g])
-        for g in sorted(weights)
+        g: min(1.0, (total_target * weights[g] / z) / counts[g]) for g in order
     }
 
 
@@ -166,8 +178,12 @@ def stratified_sample_sql(
 ) -> str:
     """The DuckDB oracle twin of :func:`stratified_sample`."""
     cases = " ".join(
-        f"WHEN {stratum_col} = '{v}' THEN '{rate_to_hex(r)}'"
-        for v, r in sorted(rates.items())
+        (
+            f"WHEN {stratum_col} IS NULL THEN '{rate_to_hex(r)}'"
+            if v is None
+            else f"WHEN {stratum_col} = '{v}' THEN '{rate_to_hex(r)}'"
+        )
+        for v, r in sorted(rates.items(), key=lambda kv: _stratum_key(kv[0]))
     )
     return (
         f"SELECT {select} FROM {table} WHERE {bucket_sql(key_col, salt)} < "
