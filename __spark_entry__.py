@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tiny_search_engine_spark.pipeline import dedup, packing, simsearch, textstats
+from tiny_search_engine_spark.pipeline import dedup, packing, shards, simsearch, textstats
 from tiny_search_engine_spark.pipeline import sampling as _sampling
 
 # ---------------------------------------------------------------------------
@@ -529,6 +529,21 @@ def _q_decontaminate(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     return textstats.decontaminate(train, ev, n=3, threshold=0.1)
+
+
+def _q_training_chunks(spark, sf_dir):
+    """Tokenized training chunks (ws tokenizer, corpus-derived vocab,
+    chunk_len=128): the full shard-prep composition. Emits an md5 digest
+    of each chunk's comma-joined token ids — bit-stable across engines
+    (same trick as the MinHash md5 lanes)."""
+    ch = shards.build_chunks(_docs(spark, sf_dir), tokenizer="ws", chunk_len=128)
+    return ch.select(
+        "chunk_id",
+        "n_tokens",
+        F.md5(
+            F.array_join(F.transform("token_ids", lambda x: x.cast("string")), ",")
+        ).alias("ids_md5"),
+    )
 
 
 def _q_bpe_merges(spark, sf_dir):
@@ -1054,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "training_chunks": _q_training_chunks,
         "bpe_merges": _q_bpe_merges,
         "dup_clusters": _q_dup_clusters,
         "corpus_curate": _q_corpus_curate,
@@ -1857,6 +1873,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(off, chunk_id * 128) - chunk_id * 128 AS BIGINT) AS chunk_offset,
                    CAST(least(off + n, (chunk_id + 1) * 128) - greatest(off, chunk_id * 128) AS BIGINT) AS seg_len
             FROM seg
+        """,
+        "training_chunks": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+                       FROM documents),
+            tok AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(tk) + 1),
+                                  i -> {'pos': i, 'term': tk[i]}), recursive := true)
+                    FROM t),
+            vocab AS (SELECT term,
+                             row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS tid
+                      FROM tok GROUP BY term),
+            ids AS (SELECT doc_id, list(tid ORDER BY pos) AS ids
+                    FROM tok JOIN vocab USING (term) GROUP BY doc_id),
+            nz AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n, ids FROM ids WHERE len(ids) > 0),
+            o AS (SELECT doc_id, n, ids,
+                         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS off
+                  FROM nz),
+            seg AS (SELECT doc_id, ids, off, n,
+                           unnest(range(CAST(off // 128 AS BIGINT),
+                                        CAST((off + n - 1) // 128 + 1 AS BIGINT))) AS chunk_id
+                    FROM o),
+            pieces AS (SELECT chunk_id,
+                              greatest(off, chunk_id * 128) - chunk_id * 128 AS chunk_offset,
+                              list_slice(ids,
+                                         CAST(greatest(off, chunk_id * 128) - off + 1 AS BIGINT),
+                                         CAST(least(off + n, (chunk_id + 1) * 128) - off AS BIGINT)) AS seg_ids
+                       FROM seg),
+            chunks AS (SELECT chunk_id, flatten(list(seg_ids ORDER BY chunk_offset)) AS token_ids
+                       FROM pieces GROUP BY chunk_id)
+            SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(token_ids) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(token_ids, ',')) AS ids_md5
+            FROM chunks
         """,
         "trigram_search": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, doc_id, "

@@ -49,17 +49,28 @@ def pack_sequences(
     ``chunk_len`` tokens; docs longer than a chunk span several rows.
     Zero-token docs are dropped (they contribute nothing to training
     sequences)."""
+    dl = df.select(
+        F.col(id_col), F.size(_lower_tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return pack_from_lengths(dl, id_col=id_col, chunk_len=chunk_len, n_buckets=n_buckets)
+
+
+def pack_from_lengths(
+    dl: DataFrame,
+    id_col: str = "doc_id",
+    chunk_len: int = 128,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The packing core over a pre-computed (id, n_tokens) frame — used
+    directly by shards.write_training_shards, whose token counts come
+    from an arbitrary registry tokenizer rather than the whitespace
+    rule."""
     if chunk_len <= 0:
         raise ValueError("chunk_len must be positive")
     if n_buckets is not None and n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    dl = (
-        df.select(
-            F.col(id_col), F.size(_lower_tokens(text_col)).cast("long").alias("n_tokens")
-        )
-        .filter(F.col("n_tokens") > 0)
-    )
-    spark = df.sparkSession
+    dl = dl.filter(F.col("n_tokens") > 0)
+    spark = dl.sparkSession
     p = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # one tiny agg for the boundary sample (values, not positions, so any
     # sample is correct); empty corpus -> no boundaries -> single bucket

@@ -1,0 +1,138 @@
+"""Tokenized training-shard materialization: the last pipeline stage —
+registry tokenizer → vocabulary ids → concat-and-chunk packing →
+fixed-length token-id chunks written as shard-partitioned parquet.
+
+Composition of existing machinery, end to end on the cluster:
+``tokenizer.make_tokenize_iterator`` (the build path's Arrow-batched
+positional tokenizer, any registered mode incl. a learned BPE vocab),
+``packing.pack_from_lengths`` (the distributed two-phase prefix sum),
+and a bounded per-chunk assembly (collect_list is capped at chunk_len
+elements by construction — never a whole-corpus or whole-doc state).
+
+Scale shape: the only corpus-scale exchanges are (1) the token→vocab id
+join — broadcast when the vocabulary is model-sized (BPE: ~32-128k
+entries), (2) the per-doc groupBy assembling each doc's id array, and
+(3) the per-chunk groupBy assembling ≤ chunk_len ids. Deriving the
+vocabulary from the corpus ranks the DICTIONARY-sized term census on
+one reducer (fine for learned vocabs; pass ``vocab`` explicitly if the
+raw term universe is itself huge).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import make_tokenize_iterator
+from .packing import pack_from_lengths
+
+_TOK_SCHEMA = "doc_id long, pos int, term string, offset int, length int, dup int"
+
+
+def derive_vocab(tokens: DataFrame) -> DataFrame:
+    """(term, token_id) with dense ids ranked by (df desc, term asc) —
+    deterministic on any engine (binary string collation both sides)."""
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        tokens.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .withColumn("token_id", F.row_number().over(w) - 1)
+        .select("term", "token_id")
+    )
+
+
+def build_chunks(
+    df: DataFrame,
+    tokenizer: str = "ws",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_len: int = 128,
+    chunks_per_shard: int = 256,
+    vocab: DataFrame | None = None,
+    oov_id: int = -1,
+    broadcast_vocab: bool = True,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """The packed-chunk table: (shard_id, chunk_id, n_tokens, token_ids).
+    Every chunk except the global last holds exactly ``chunk_len`` ids;
+    ids come from ``vocab`` (or a corpus-derived one), OOV terms map to
+    ``oov_id``. Deterministic: doc order is id order, within-doc order is
+    token position, vocabulary rank is (df desc, term asc)."""
+    if chunks_per_shard < 1:
+        raise ValueError(f"chunks_per_shard must be >= 1, got {chunks_per_shard}")
+    tok_fn = make_tokenize_iterator(tokenizer, id_col, text_col)
+    tokens = (
+        df.select(F.col(id_col), F.col(text_col))
+        .mapInPandas(tok_fn, _TOK_SCHEMA)
+        .select(F.col(id_col), "pos", F.lower(F.col("term")).alias("term"))
+    )
+    if vocab is None:
+        vocab = derive_vocab(tokens)
+    v = F.broadcast(vocab) if broadcast_vocab else vocab
+    ids = (
+        tokens.join(v, "term", "left")
+        .select(
+            F.col(id_col),
+            "pos",
+            F.coalesce(F.col("token_id"), F.lit(int(oov_id))).cast("long").alias("tid"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda x: x["tid"]
+            ).alias("ids")
+        )
+    )
+    dl = ids.select(F.col(id_col), F.size("ids").cast("long").alias("n_tokens"))
+    seg = pack_from_lengths(dl, id_col=id_col, chunk_len=chunk_len, n_buckets=n_buckets)
+    pieces = seg.join(ids, id_col).select(
+        "chunk_id",
+        "chunk_offset",
+        F.slice(F.col("ids"), F.col("doc_offset") + 1, F.col("seg_len")).alias("seg_ids"),
+    )
+    chunks = pieces.groupBy("chunk_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_offset", "seg_ids"))),
+                lambda x: x["seg_ids"],
+            )
+        ).alias("token_ids")
+    )
+    return chunks.select(
+        F.floor(F.col("chunk_id") / chunks_per_shard).alias("shard_id"),
+        "chunk_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        "token_ids",
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    **kwargs,
+) -> dict:
+    """Write the chunk table as parquet partitioned by shard_id and
+    return a summary census (chunks, shards, tokens, full/tail split).
+    Idempotent overwrite; re-reading gives byte-identical chunks because
+    every ordering in build_chunks is pinned."""
+    chunks = build_chunks(df, **kwargs)
+    chunks.write.mode("overwrite").partitionBy("shard_id").parquet(out_dir)
+    spark = df.sparkSession
+    back = spark.read.parquet(out_dir)
+    chunk_len = int(kwargs.get("chunk_len", 128))
+    row = back.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("shard_id").alias("n_shards"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum((F.col("n_tokens") == chunk_len).cast("int")).alias("n_full"),
+    ).collect()[0]
+    return {
+        "path": os.path.abspath(out_dir),
+        "chunk_len": chunk_len,
+        "n_chunks": int(row["n_chunks"]),
+        "n_shards": int(row["n_shards"]),
+        "n_tokens": int(row["n_tokens"] or 0),
+        "n_full_chunks": int(row["n_full"] or 0),
+    }
