@@ -117,3 +117,32 @@ def test_bpe_tokenizer_composition(corpus, spark):
     # subword stream is at least as long as the word stream
     n_words = sum(len(t.split()) for _, t in rows)
     assert sum(sizes.values()) >= n_words
+
+
+def test_shards_cli_in_process(spark, tmp_path, capsys):
+    """jobs.py `shards` subcommand over an input_hint-shaped parquet
+    source: code-tokenizer path and the --bpe-merges learn-first path."""
+    import json
+
+    from tiny_search_engine_spark.jobs import main
+    from tiny_search_engine_spark.synth import source_files
+
+    src = source_files(spark, 40, seed=5)
+    pq = str(tmp_path / "src.parquet")
+    src.write.parquet(pq)
+
+    out = str(tmp_path / "shards")
+    rc = main(["shards", "--source", pq, "--out", out,
+               "--chunk-len", "64", "--chunks-per-shard", "4"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_chunks"] > 0 and s["n_full_chunks"] == s["n_chunks"] - 1
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("n_tokens") != 64).count() == 1  # only the tail
+
+    out2 = str(tmp_path / "shards_bpe")
+    rc = main(["shards", "--source", pq, "--out", out2,
+               "--bpe-merges", "8", "--chunk-len", "64"])
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["bpe_merges"] == 8 and s2["n_chunks"] > 0

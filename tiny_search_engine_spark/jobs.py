@@ -15,6 +15,10 @@ The package ships as a zip (``python scripts/make_pyfiles.py`` →
         scripts/tse_job.py grep --source iceberg:warehouse.db.repos \
         --trigram-store /tgstore --build-store --queries needles.tsv --out hits.parquet
 
+    spark-submit --py-files dist/tiny_search_engine_spark.zip \
+        scripts/tse_job.py shards --source iceberg:warehouse.db.repos \
+        --bpe-merges 32000 --chunk-len 2048 --out /shards
+
 Under spark-submit the session comes from ``getOrCreate()`` so the
 submitted ``--master`` / ``--conf`` / ``--num-executors`` are respected
 verbatim (that is how the N-vs-4N-executor scaling runs are launched);
@@ -232,6 +236,52 @@ def main_grep(argv: list[str]) -> int:
     return 0
 
 
+def main_shards(argv: list[str]) -> int:
+    """Training-shard prep over the source corpus: tokenize (any
+    registered mode; --bpe-merges N learns a BPE vocab from the corpus
+    first), map to vocabulary ids, pack into fixed-length chunks via the
+    distributed prefix sum, and write shard-partitioned parquet
+    (pipeline/shards.py). Prints the summary census as JSON."""
+    from pyspark.sql import functions as F
+
+    from .build import with_doc_id
+    from .pipeline import shards as sh
+
+    p = argparse.ArgumentParser(prog="tse_job shards")
+    p.add_argument("--source", required=True, help="iceberg:<tbl> | table:<tbl> | tsv:<path> | parquet path")
+    p.add_argument("--out", required=True, help="shard output directory")
+    p.add_argument("--tokenizer", default="code", help="registered tokenizer mode (ignored with --bpe-merges)")
+    p.add_argument("--bpe-merges", type=int, default=None, metavar="N",
+                   help="learn an N-merge BPE vocab from the corpus and tokenize with it")
+    p.add_argument("--chunk-len", type=int, default=2048)
+    p.add_argument("--chunks-per-shard", type=int, default=256)
+    a = p.parse_args(argv)
+
+    spark = job_session("tse_shards")
+    docs = with_doc_id(table_io(spark, a.source)).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    mode = a.tokenizer
+    if a.bpe_merges is not None:
+        from .pipeline import bpe
+        from .tokenizer import register_tokenizer
+
+        merges = bpe.learn_bpe(docs, n_merges=a.bpe_merges)
+        mode = "bpe_cli"
+        register_tokenizer(mode, bpe.BPETokenizer(merges))
+    summary = sh.write_training_shards(
+        docs,
+        a.out,
+        tokenizer=mode,
+        chunk_len=a.chunk_len,
+        chunks_per_shard=a.chunks_per_shard,
+    )
+    if a.bpe_merges is not None:
+        summary["bpe_merges"] = a.bpe_merges
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
@@ -244,7 +294,9 @@ def main(argv: list[str] | None = None) -> int:
         return main_query(rest)
     if cmd == "grep":
         return main_grep(rest)
-    print(f"unknown command {cmd!r} (expected: build | query | grep)", file=sys.stderr)
+    if cmd == "shards":
+        return main_shards(rest)
+    print(f"unknown command {cmd!r} (expected: build | query | grep | shards)", file=sys.stderr)
     return 2
 
 
