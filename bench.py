@@ -208,6 +208,7 @@ def main() -> None:
         timed("decontaminate", lambda: entrymod._q_decontaminate(spark, sf_dir).count())
         timed("pack_sequences", lambda: entrymod._q_pack_sequences(spark, sf_dir).count())
         timed("doc_mixture", lambda: entrymod._q_doc_mixture(spark, sf_dir).count())
+        timed("training_chunks", lambda: entrymod._q_training_chunks(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)
