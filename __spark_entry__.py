@@ -531,6 +531,16 @@ def _q_decontaminate(spark, sf_dir):
     return textstats.decontaminate(train, ev, n=3, threshold=0.1)
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph-level dedup (drop_repeated: keep the
+    globally first copy of each paragraph, rewrite the doc). The
+    documents table is single-paragraph (no newlines), so the oracle
+    exercises the full census/keep/reassemble machinery in its
+    degenerate shape; multi-line behavior is pinned in
+    tests/test_pipeline.py."""
+    return dedup.paragraph_dedup(_docs(spark, sf_dir), mode="drop_repeated")
+
+
 def _q_training_chunks(spark, sf_dir):
     """Tokenized training chunks (ws tokenizer, corpus-derived vocab,
     chunk_len=128): the full shard-prep composition. Emits an md5 digest
@@ -1069,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "paragraph_dedup": _q_paragraph_dedup,
         "training_chunks": _q_training_chunks,
         "bpe_merges": _q_bpe_merges,
         "dup_clusters": _q_dup_clusters,
@@ -1873,6 +1884,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(off, chunk_id * 128) - chunk_id * 128 AS BIGINT) AS chunk_offset,
                    CAST(least(off + n, (chunk_id + 1) * 128) - greatest(off, chunk_id * 128) AS BIGINT) AS seg_len
             FROM seg
+        """,
+        "paragraph_dedup": """
+            WITH raw AS (SELECT doc_id, string_split_regex(text, '\\n') AS ps FROM documents),
+            p0 AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(ps) + 1),
+                                 i -> {'pos': i - 1, 'para': trim(ps[i])}), recursive := true)
+                   FROM raw),
+            p AS (SELECT doc_id, pos, para, md5(para) AS fp FROM p0 WHERE para <> ''),
+            c AS (SELECT fp, min(struct_pack(d := doc_id, p := pos)) AS first FROM p GROUP BY fp),
+            k AS (SELECT p.doc_id, p.pos, p.para FROM p JOIN c USING (fp)
+                  WHERE c.first.d = p.doc_id AND c.first.p = p.pos),
+            reb AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+                           count(*) AS n_kept
+                    FROM k GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(reb.text, '') AS text,
+                   CAST(coalesce(tot.n_paras, 0) AS BIGINT) AS n_paras,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
         """,
         "training_chunks": """
             WITH t AS (SELECT doc_id,

@@ -483,3 +483,36 @@ def test_decontaminate_brute(spark):
     assert got[3]["n_grams"] == 3 and got[3]["n_overlap"] == 1
     assert got[4]["n_grams"] == 0 and got[4]["overlap_frac"] == 0.0
     assert got[4]["contaminated"] is False
+
+
+def test_paragraph_dedup_modes(spark):
+    rows = [
+        (1, "header\nalpha\nbeta"),
+        (2, "header\ngamma"),
+        (3, "unique only"),
+        (4, "header\nheader\ndelta"),
+        (5, "header"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r["doc_id"]: r for r in dedup.paragraph_dedup(df, mode="drop_repeated").collect()}
+    assert rep[1]["text"] == "header\nalpha\nbeta" and rep[1]["n_kept"] == 3
+    assert rep[2]["text"] == "gamma" and rep[2]["n_paras"] == 2 and rep[2]["n_kept"] == 1
+    assert rep[3]["text"] == "unique only"
+    assert rep[4]["text"] == "delta" and rep[4]["n_paras"] == 3  # intra-doc repeat cut too
+    assert rep[5]["text"] == "" and rep[5]["n_kept"] == 0        # all-boilerplate doc kept as a row
+    boil = {r["doc_id"]: r for r in dedup.paragraph_dedup(df, mode="drop_boilerplate", max_df=1).collect()}
+    assert boil[1]["text"] == "alpha\nbeta"   # header df=4 > 1: cut everywhere
+    assert boil[3]["text"] == "unique only"
+    with pytest.raises(ValueError):
+        dedup.paragraph_dedup(df, mode="nope")
+
+
+def test_paragraph_dedup_partitioning_invariant(spark):
+    rows = [(i, f"shared line\nuniq {i}\n" + ("tail" if i % 3 else "shared line")) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dedup.paragraph_dedup(df).collect()))
+    b = sorted(map(tuple, dedup.paragraph_dedup(df.repartition(13)).collect()))
+    assert a == b
+    # exactly one 'shared line' survives corpus-wide
+    kept_shared = sum(r[1].count("shared line") for r in a)
+    assert kept_shared == 1

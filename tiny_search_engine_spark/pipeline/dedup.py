@@ -578,3 +578,78 @@ def dedup_documents(
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(victims, id_col, "left_anti")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n",
+    join_sep: str = "\n",
+    mode: str = "drop_repeated",
+    max_df: int = 1,
+) -> DataFrame:
+    """Paragraph/line-level dedup inside documents (the CCNet /
+    RefinedWeb boilerplate-removal step): split each doc on ``sep``,
+    fingerprint the trimmed paragraphs, then REWRITE each doc keeping
+
+    * ``mode="drop_repeated"`` — only the globally FIRST occurrence of
+      each paragraph (min (doc_id, pos)); later copies are cut (CCNet's
+      rule), or
+    * ``mode="drop_boilerplate"`` — every copy of any paragraph whose
+      corpus df exceeds ``max_df`` (kills nav bars / license headers
+      outright, keeps genuinely unique text).
+
+    Returns (id, text rewritten, n_paras, n_kept); docs whose every
+    paragraph is cut come back with empty text, not dropped — the caller
+    decides the row's fate.
+
+    Scale shape: the census is ONE groupBy on the 16-byte fingerprint
+    whose map-side partial aggregation collapses the hot boilerplate
+    keys before the exchange (deliberately NOT a window over the
+    fingerprint — the billion-copy nav-bar paragraph would put a whole
+    partition on one reducer); the keep decision is a fingerprint-keyed
+    equi-join of paragraphs against that census (at most one census row
+    per distinct paragraph), and reassembly is a per-doc groupBy whose
+    collect_list is bounded by the doc's own paragraph count."""
+    if mode not in ("drop_repeated", "drop_boilerplate"):
+        raise ValueError(f"unknown mode {mode!r}")
+    paras = (
+        df.select(F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+        .withColumn("fp", F.md5("para"))
+    )
+    census = paras.groupBy("fp").agg(
+        F.count("*").alias("pdf"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+    )
+    joined = paras.join(census, "fp")
+    if mode == "drop_repeated":
+        keep = (F.col("first")[id_col] == F.col(id_col)) & (
+            F.col("first")["pos"] == F.col("pos")
+        )
+    else:
+        keep = F.col("pdf") <= max_df
+    kept = joined.filter(keep)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda x: x["para"]
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
