@@ -531,6 +531,22 @@ def _q_decontaminate(spark, sf_dir):
     return textstats.decontaminate(train, ev, n=3, threshold=0.1)
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity per document, self-trained on the
+    same corpus (add-1 smoothing). The dictionary-sized count tables and
+    many-to-one probability joins are the 100 TB shape."""
+    return textstats.lm_perplexity(_docs(spark, sf_dir))
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Lee-et-al ExactSubstr duplicate spans: 5-token windows occurring
+    >= 2 times anywhere in the corpus, merged into maximal per-doc spans
+    (census on a 16-byte window digest; gaps-and-islands merge)."""
+    from tiny_search_engine_spark.pipeline import dedup
+
+    return dedup.duplicate_spans(_docs(spark, sf_dir), window=5)
+
+
 def _q_paragraph_dedup(spark, sf_dir):
     """CCNet-style paragraph-level dedup (drop_repeated: keep the
     globally first copy of each paragraph, rewrite the doc). The
@@ -1078,6 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
+        "lm_perplexity": _q_lm_perplexity,
+        "dup_spans": _q_dup_spans,
         "pack_sequences": _q_pack_sequences,
         "paragraph_dedup": _q_paragraph_dedup,
         "training_chunks": _q_training_chunks,
@@ -1867,6 +1885,58 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_overlap, 0) * 1.0 / greatest(len(grams), 1) >= 0.1 AS contaminated
             FROM g LEFT JOIN hits h USING (doc_id)
             WHERE g.doc_id % 97 <> 0
+        """,
+        "lm_perplexity": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+                              i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                              ELSE [] END AS g2, toks
+                  FROM t),
+            uni AS (SELECT w1, count(*) AS c1
+                    FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+            v AS (SELECT count(*) AS V FROM uni),
+            bi AS (SELECT gram, count(*) AS c2
+                   FROM (SELECT unnest(g2) AS gram FROM g) GROUP BY 1),
+            db AS (SELECT doc_id, gram, count(*) AS occ
+                   FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2),
+            sc AS (SELECT doc_id, sum(occ) AS n_bi,
+                          sum(occ * ln((coalesce(c2, 0) + 1.0)
+                                       / (coalesce(c1, 0) + 1.0 * V))) AS ll
+                   FROM db
+                   LEFT JOIN bi USING (gram)
+                   LEFT JOIN uni ON uni.w1 = string_split(db.gram, ' ')[1]
+                   CROSS JOIN v
+                   GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(coalesce(sc.n_bi, 0) AS BIGINT) AS n_bigrams,
+                   round(coalesce(-sc.ll / sc.n_bi, 0.0), 6) AS logloss,
+                   round(coalesce(exp(-sc.ll / sc.n_bi), 1.0), 6) AS ppl
+            FROM t LEFT JOIN sc USING (doc_id)
+        """,
+        "dup_spans": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 5), ' ')) AS fp
+                  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS pos
+                        FROM t WHERE len(toks) >= 5)),
+            census AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2),
+            d AS (SELECT doc_id, pos FROM w JOIN census USING (fp)),
+            isl AS (SELECT doc_id, pos,
+                           sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                    FROM (SELECT doc_id, pos,
+                                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                          FROM d))
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 5 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_len,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, island
         """,
         "pack_sequences": """
             WITH t AS (SELECT doc_id,

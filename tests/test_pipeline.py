@@ -516,3 +516,154 @@ def test_paragraph_dedup_partitioning_invariant(spark):
     # exactly one 'shared line' survives corpus-wide
     kept_shared = sum(r[1].count("shared line") for r in a)
     assert kept_shared == 1
+
+
+# ---------------------------------------------------------------------------
+# lm_perplexity (CCNet-style bigram LM quality filter)
+
+
+def test_lm_perplexity_brute(spark):
+    import math
+
+    rows = [
+        (0, "the cat sat on the mat the cat sat on the mat"),
+        (1, "a completely different sentence with no repeats at all"),
+        (2, "the cat sat on the mat and then left quickly"),
+        (3, "one"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni, bi = {}, {}
+    for _, t in rows:
+        ws = t.lower().split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for g in zip(ws, ws[1:]):
+            bi[g] = bi.get(g, 0) + 1
+    V = len(uni)
+    exp = {}
+    for d, t in rows:
+        ws = t.lower().split()
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            exp[d] = (0, 0.0, 1.0)
+            continue
+        ll = sum(
+            math.log((bi.get(g, 0) + 1.0) / (uni.get(g[0], 0) + 1.0 * V)) for g in bgs
+        )
+        h = -ll / len(bgs)
+        exp[d] = (len(bgs), round(h, 6), round(math.exp(h), 6))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logloss"], r["ppl"])
+        for r in textstats.lm_perplexity(df).collect()
+    }
+    assert got == exp
+    # a doc made of the corpus's most common transitions scores LOWER
+    # perplexity than the no-repeat doc
+    assert got[0][2] < got[1][2]
+
+
+def test_lm_perplexity_ref_corpus_and_min_count(spark):
+    """OOV scoring against a separate reference corpus + tail pruning."""
+    ref = spark.createDataFrame(
+        [(100, "spark engine " * 50 + "rare pair")], "doc_id long, text string"
+    )
+    df = spark.createDataFrame(
+        [(0, "spark engine spark engine"), (1, "rare pair"), (2, "totally oov words")],
+        "doc_id long, text string",
+    )
+    full = {r["doc_id"]: r for r in textstats.lm_perplexity(df, ref_df=ref).collect()}
+    # the common transition scores far better than pure-OOV text
+    assert full[0]["ppl"] < full[2]["ppl"]
+    # pruning the tail ("rare pair" seen once) pushes doc 1 toward the
+    # unseen floor but cannot change doc 0 (its bigrams are hot)
+    pruned = {
+        r["doc_id"]: r
+        for r in textstats.lm_perplexity(df, ref_df=ref, min_count=2).collect()
+    }
+    assert pruned[0]["ppl"] == full[0]["ppl"]
+    assert pruned[1]["ppl"] > full[1]["ppl"]
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (Lee et al. ExactSubstr, token granularity)
+
+
+def _brute_spans(rows, window, min_occ=2):
+    from collections import Counter
+
+    cen = Counter()
+    for _, t in rows:
+        ws = t.lower().split()
+        for i in range(len(ws) - window + 1):
+            cen[" ".join(ws[i : i + window])] += 1
+    out = set()
+    for d, t in rows:
+        ws = t.lower().split()
+        dup = [
+            i
+            for i in range(len(ws) - window + 1)
+            if cen[" ".join(ws[i : i + window])] >= min_occ
+        ]
+        spans = []
+        for p in dup:
+            if spans and p - spans[-1][2] <= window:
+                spans[-1][1] = p + window
+                spans[-1][2] = p
+                spans[-1][3] += 1
+            else:
+                spans.append([p, p + window, p, 1])
+        for s in spans:
+            out.add((d, s[0], s[1], s[1] - s[0], s[3]))
+    return out
+
+
+def test_duplicate_spans_brute(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "prefix junk alpha beta gamma delta epsilon different tail here"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (3, "no shared content in this document at all whatsoever"),
+        (4, "short"),
+        (5, "self repeat self repeat self repeat self repeat self repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"], r["n_windows"])
+        for r in dedup.duplicate_spans(df, window=3).collect()
+    }
+    assert got == _brute_spans(rows, 3)
+    # doc 5's INTRA-doc repetition is caught (the Lee et al. rule counts
+    # occurrences anywhere, including the same doc)
+    assert any(d == 5 for d, *_ in got)
+    # docs 0 and 2 are fully covered by one maximal span
+    n_tok = 8
+    assert (0, 0, n_tok, n_tok, n_tok - 2) in got
+
+
+def test_duplicate_spans_gap_split(spark):
+    """Two duplicated regions separated by unique text yield TWO spans."""
+    a = "one two three four five"
+    b = "six seven eight nine ten"
+    rows = [
+        (0, f"{a} UNIQUEA0 UNIQUEB0 UNIQUEC0 {b}"),
+        (1, f"{a} UNIQUEA1 UNIQUEB1 UNIQUEC1 {b}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, window=3).collect()
+    }
+    assert got == {(0, 0, 5), (0, 8, 13), (1, 0, 5), (1, 8, 13)}
+
+
+def test_duplicate_spans_partitioning_invariance(spark):
+    rows = [(i, f"common prefix text here unique{i} and a common suffix tail") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dedup.duplicate_spans(df.repartition(2), window=3).collect()
+    b = dedup.duplicate_spans(df.repartition(17), window=3).collect()
+    key = lambda r: (r["doc_id"], r["span_start"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert {tuple(r) for r in a} == _brute_spans(rows, 3)

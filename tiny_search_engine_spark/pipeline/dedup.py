@@ -653,3 +653,78 @@ def paragraph_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans at token granularity — the
+    ExactSubstr rule of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"): any token window that occurs
+    ``min_occurrences``+ times ANYWHERE in the corpus (other docs or the
+    same doc) is a duplicated region; overlapping/adjacent duplicated
+    windows merge into maximal spans. Emits one row per merged span:
+    (doc_id, span_start, span_end, span_len, n_windows) with 0-based
+    token offsets, end exclusive — the downstream rewrite (cut the span,
+    keep the remainder) is a trivial slice over these rows. The paper
+    uses a suffix array on one machine; the distributed equivalent is a
+    fixed-width window census, which finds exactly the duplicated
+    regions of length >= window.
+
+    Scale shape: windows are generated per-row (colocated explode), the
+    census is ONE groupBy on a 128-bit window digest (shuffle carries
+    16 B + nothing else; map-side partial agg collapses each doc's
+    repeats first), and the dup-marking join is many-to-one against the
+    DISTINCT-keyed census, so a boilerplate window repeated millions of
+    times costs one census row, never a join blowup. Span merging is a
+    gaps-and-islands window per doc (one doc_id-keyed shuffle carrying
+    only the duplicated positions — at healthy dup rates a small
+    fraction of the corpus). All SQL-expressible: oracle ``dup_spans``.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    # staged projections: materialize the token array before the
+    # per-window slice() lambda, else Catalyst re-evaluates
+    # split(lower(text)) per window — O(L²) (see minhash_signatures)
+    tok_df = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_fp = tok_df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "fp")
+    )
+    census = (
+        pos_fp.groupBy("fp")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+    )
+    dup_pos = pos_fp.join(census, "fp").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos", 1).over(w)
+    islands = dup_pos.withColumn(
+        "_new", F.when(gap.isNull() | (gap > window), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start")).cast("long").alias("span_len"),
+            F.col("n_windows").cast("long"),
+        )
+    )

@@ -293,6 +293,98 @@ def decontaminate(
     )
 
 
+def lm_perplexity(
+    df: DataFrame,
+    ref_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """Bigram language-model cross-entropy / perplexity per document —
+    the CCNet-style quality filter (Wenzek et al. 2020 score documents
+    with an LM trained on a reference corpus and keep the low-perplexity
+    head; the reference engine has no corpus-level quality model at all,
+    its closest analog being the per-term idf pass at
+    /root/reference/src/table.cpp term-stats loop).
+
+    Trains an add-k-smoothed bigram model on ``ref_df`` (the clean
+    reference corpus; defaults to ``df`` itself = self-perplexity) and
+    scores every document in ``df``:
+
+        p(w2 | w1) = (c2(w1 w2) + k) / (c1(w1) + k * V)
+        logloss(d) = -(1/n_bigrams) * sum ln p(w_{i+1} | w_i)
+        ppl(d)     = exp(logloss)
+
+    Docs with < 2 tokens score logloss 0.0 / ppl 1.0 with n_bigrams 0
+    (kept, never dropped — the downstream filter decides).
+
+    Scale shape: the count tables are DICTIONARY-sized (unigram/bigram
+    types), built in one pass each over the reference corpus; the corpus
+    side collapses to one row per (doc, distinct bigram) via a map-side
+    partial agg BEFORE any exchange (explode output is colocated with
+    its input row), and both probability joins are many-to-one against
+    DISTINCT-keyed count tables, so a hot bigram cannot multiply rows.
+    V rides the plan as a broadcast 1-row aggregate — no driver collect.
+    ``min_count`` prunes the bigram table's long tail (at 100 TB bigram
+    types outnumber unigrams ~50:1; pruned grams fall back to the add-k
+    floor exactly like unseen grams), bounding the model table while
+    changing only tail scores. All SQL-expressible: oracle
+    ``lm_perplexity`` checks it value-exact at 6 dp.
+    """
+    ref = ref_df if ref_df is not None else df
+    # staged projection: materialize the token array before the per-gram
+    # slice() lambda, else Catalyst re-evaluates split(lower(text)) per
+    # bigram — O(L²) per row (see dedup.minhash_signatures)
+    ref_tok_df = ref.select(_lower_tokens(text_col).alias("_toks"))
+    uni = (
+        ref_tok_df.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        ref_tok_df.select(F.explode(_ngrams(F.col("_toks"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("c2"))
+    )
+    if min_count > 1:
+        bi = bi.filter(F.col("c2") >= min_count)
+    vdf = uni.agg(F.count("*").alias("_V"))
+
+    doc_bi = (
+        df.select(F.col(id_col), _lower_tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), F.explode(_ngrams(F.col("_toks"), 2)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("occ"))
+        .withColumn("w1", F.split(F.col("gram"), " ")[0])
+    )
+    k = F.lit(float(add_k))
+    p = (F.coalesce(F.col("c2"), F.lit(0)) + k) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("_V")
+    )
+    scored = (
+        doc_bi.join(bi, "gram", "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vdf))
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_bigrams"),
+            F.sum(F.col("occ") * F.log(p)).alias("_ll"),
+        )
+    )
+    logloss = F.coalesce(-F.col("_ll") / F.col("n_bigrams"), F.lit(0.0))
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(logloss, 6).alias("logloss"),
+            F.round(F.exp(logloss), 6).alias("ppl"),
+        )
+    )
+
+
 def corpus_profile(
     df: DataFrame,
     group_col: str = "lang",
