@@ -774,6 +774,24 @@ def _q_knn_lsh(spark, sf_dir):
     return simsearch.knn_lsh(emb, queries, dim=dim, k=10)
 
 
+PQ_M, PQ_CODES, PQ_REFINE, PQ_K = 8, 8, 3, 10
+
+
+def _q_knn_pq(spark, sf_dir):
+    """Product-quantization ANN (simsearch.knn_pq): corpus encoded to
+    PQ_M codes, ADC lookup scoring, exact cosine rerank of the refine·k
+    shortlist. lowest_id codebook = the SQL-oracle-reproducible variant
+    (the kmeans codebook's recall gain is pinned in test_pipeline.py)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return simsearch.knn_pq(
+        emb, queries, dim=dim, k=PQ_K, m=PQ_M, n_codes=PQ_CODES, refine=PQ_REFINE
+    )
+
+
 def _q_event_rollup(spark, sf_dir):
     """ROLLUP(event_type, hour) lattice in one pass (pipeline.events) —
     the grouping-sets surface the reference lacks (SURVEY.md §F)."""
@@ -1107,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windowed": _q_event_windowed,
         "event_rollup": _q_event_rollup,
         "knn_lsh": _q_knn_lsh,
+        "knn_pq": _q_knn_pq,
         "dup_set_ops": _q_dup_set_ops,
         "eval_ndcg": _q_eval_ndcg,
         "eval_mrr_recall": _q_eval_mrr_recall,
@@ -1401,6 +1420,60 @@ def _sql_knn_ivf() -> str:
                    row_number() OVER (PARTITION BY query_vec_id
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) WHERE rank <= {IVF_K}
+    """
+
+
+def _sql_knn_pq(dim: int = 64) -> str:
+    """Oracle for knn_pq (lowest_id codebook): unit-normalize, encode
+    (argmin of 6-dp-rounded subspace L2², ties to lowest code), ADC
+    shortlist, exact cosine rerank — all plain SQL; the codebook is the
+    n_codes lowest-id vectors read from the same table, so nothing is
+    inlined and engine/oracle cannot drift on dim."""
+    m, n_codes, refine, k = PQ_M, PQ_CODES, PQ_REFINE, PQ_K
+    dsub = dim // m
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id, v,
+                     list_transform(v, x -> x / (CASE WHEN n > 0 THEN n ELSE 1 END)) AS uv
+              FROM (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+                    FROM e)),
+        cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, uv AS cbv
+               FROM (SELECT vec_id, uv FROM u ORDER BY vec_id LIMIT {n_codes})),
+        d AS (SELECT u.vec_id, j.j, cb.c,
+                     round(list_sum(list_transform(range(1, {dsub + 1}),
+                           t -> (u.uv[j.j * {dsub} + t] - cb.cbv[j.j * {dsub} + t])
+                              * (u.uv[j.j * {dsub} + t] - cb.cbv[j.j * {dsub} + t]))), 6) AS dist
+              FROM u, range(0, {m}) AS j(j), cb),
+        codes AS (SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist ASC, c ASC) AS rn
+            FROM d) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
+        adc AS (SELECT codes.vec_id, q.qid,
+                       round(sum(list_sum(list_transform(range(1, {dsub + 1}),
+                             t -> (q.quv[codes.j * {dsub} + t] - cb.cbv[codes.j * {dsub} + t])
+                                * (q.quv[codes.j * {dsub} + t] - cb.cbv[codes.j * {dsub} + t])))), 6) AS adc
+                FROM codes JOIN cb USING (c), q
+                GROUP BY codes.vec_id, q.qid),
+        short AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc ASC, vec_id ASC) AS rn
+            FROM adc) WHERE rn <= {refine * k}),
+        scored AS (SELECT s.qid AS query_vec_id, s.vec_id,
+                          round(list_dot_product(ce.v, qe.v)
+                                / (sqrt(list_dot_product(ce.v, ce.v))
+                                   * sqrt(list_dot_product(qe.v, qe.v))), 6) AS cosine
+                   FROM short s
+                   JOIN e ce ON ce.vec_id = s.vec_id
+                   JOIN e qe ON qe.vec_id = s.qid)
+        SELECT query_vec_id, rank, vec_id, cosine FROM (
+            SELECT query_vec_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_vec_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) WHERE rank <= {k}
     """
 
 
@@ -1719,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup_lsh": _sql_embedding_lsh(dim=_emb_dim()),
         "knn_lsh": _sql_knn_lsh(dim=_emb_dim()),
+        "knn_pq": _sql_knn_pq(dim=_emb_dim()),
         "dup_set_ops": f"""
             WITH lshp AS ({_sql_lsh_pairs()}),
             jacp AS ({_sql_ngram_jaccard()}),

@@ -667,3 +667,59 @@ def test_duplicate_spans_partitioning_invariance(spark):
     key = lambda r: (r["doc_id"], r["span_start"])
     assert sorted(a, key=key) == sorted(b, key=key)
     assert {tuple(r) for r in a} == _brute_spans(rows, 3)
+
+
+# ---------------------------------------------------------------------------
+# knn_pq (product quantization + ADC, exact rerank)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_knn_pq_recall_and_kmeans_codebook(spark, emb):
+    dim = len(emb.first()["embedding"])
+    q = emb.filter(F.col("vec_id") % 37 == 0).limit(5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    exact = simsearch.knn_cosine(emb, q, k=10)
+    low = simsearch.knn_pq(emb, q, dim=dim, k=10, m=8, n_codes=16, refine=5)
+    km = simsearch.knn_pq(
+        emb, q, dim=dim, k=10, m=8, n_codes=16, refine=5, codebook="kmeans"
+    )
+    r_low = simsearch.ann_recall(exact, low)
+    r_km = simsearch.ann_recall(exact, km)
+    # the trained codebook beats the lowest-id stand-in, and clears a floor
+    assert r_km > r_low
+    assert r_km >= 0.6
+    # rank-1 self-hit: every query vector is its own nearest neighbor and
+    # survives any shortlist (ADC distance 0 to itself)
+    self_hits = {
+        (r["query_vec_id"], r["vec_id"]) for r in km.collect() if r["rank"] == 1
+    }
+    assert self_hits == {(i, i) for i, in q.select("query_vec_id").collect()}
+
+
+def test_pq_encode_codes_bounded_and_invariant(spark, emb):
+    dim = len(emb.first()["embedding"])
+    cbs = simsearch.pq_codebooks(emb, dim, m=4, n_codes=8)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == dim // 4
+    a = simsearch.pq_encode(emb.repartition(3), cbs).select("vec_id", "codes").collect()
+    b = simsearch.pq_encode(emb.repartition(11), cbs).select("vec_id", "codes").collect()
+    am = {r["vec_id"]: r["codes"] for r in a}
+    bm = {r["vec_id"]: r["codes"] for r in b}
+    assert am == bm
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in am.values())
+    # the codebook's own vectors encode to themselves (distance 0)
+    low_ids = sorted(am)[:8]
+    for rank0, vid in enumerate(low_ids):
+        assert am[vid] == [rank0] * 4
+
+
+def test_pq_codebooks_validation(spark, emb):
+    dim = len(emb.first()["embedding"])
+    with pytest.raises(ValueError, match="not divisible"):
+        simsearch.pq_codebooks(emb, dim, m=7)
+    with pytest.raises(ValueError, match="unknown codebook method"):
+        simsearch.pq_codebooks(emb, dim, m=4, method="nope")

@@ -318,3 +318,216 @@ def ann_recall(exact: DataFrame, approx: DataFrame, qid_col: str = "query_vec_id
     hit = e.join(a, [qid_col, id_col], "inner").count()
     total = e.count()
     return hit / total if total else 1.0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — Jégou et al. 2011 "Product Quantization
+# for Nearest Neighbor Search". The vector is split into m subspaces; each
+# subspace is vector-quantized against its own n_codes-entry codebook, so a
+# d-dim float vector compresses to m small ints, and query-time scoring is
+# m table lookups (ADC — asymmetric distance computation) instead of d
+# multiplies. The engine keeps EVERYTHING inside whole-stage codegen: encode
+# (argmin-L2 over the inlined codebook), the per-query lookup tables, and
+# the ADC sum are all column algebra — no Python in the scan, no UDF — so
+# the oracle can check the whole path value-exact and a 100 TB corpus
+# encodes in one map pass. (The Arrow-matmul encode variant is the
+# _top_centroids_udf pattern above if n_codes grows into the thousands.)
+
+
+def _unit(vec_col):
+    """L2-normalized double array (zero vectors pass through unchanged)."""
+    n = _norm(vec_col)
+    safe = F.when(n > 0, n).otherwise(F.lit(1.0))
+    return F.transform(vec_col, lambda x: x.cast("double") / safe)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    method: str = "lowest_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """m × n_codes × (dim/m) PQ codebook.
+
+    ``method='lowest_id'`` — subspace j's codebook = subvectors of the
+    n_codes lowest-id corpus vectors (L2-normalized), the deterministic,
+    SQL-oracle-reproducible stand-in (same contract as ivf_centroids).
+    ``method='kmeans'`` — per-subspace Lloyd (L2) over the SAME
+    deterministic xxhash64-ordered sample ivf_centroids_kmeans uses:
+    only sample_size × dim doubles reach the driver regardless of corpus
+    size; ties and empty-cluster reseeds break by index."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    if method == "lowest_id":
+        rows = (
+            corpus.select(F.col(id_col), _unit(F.col(vec_col)).alias("v"))
+            .orderBy(F.asc(id_col))
+            .limit(n_codes)
+            .collect()
+        )
+        if len(rows) < n_codes:
+            raise ValueError(f"corpus ({len(rows)}) smaller than n_codes ({n_codes})")
+        vs = [r["v"] for r in rows]
+        return [
+            [[float(x) for x in v[j * dsub : (j + 1) * dsub]] for v in vs]
+            for j in range(m)
+        ]
+    if method != "kmeans":
+        raise ValueError(f"unknown codebook method {method!r}")
+    rows = (
+        corpus.select(F.col(id_col), _unit(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(int(sample_size))
+        .collect()
+    )
+    X = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    if len(X) < n_codes:
+        raise ValueError(f"sample ({len(X)}) smaller than n_codes ({n_codes})")
+    out = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.default_rng(seed + j)
+        C = S[rng.choice(len(S), size=n_codes, replace=False)].copy()
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(np.round(d2, 12), axis=1)
+            newC = np.zeros_like(C)
+            for c in range(n_codes):
+                members = S[assign == c]
+                if len(members) == 0:
+                    far = int(np.argmax(d2[np.arange(len(S)), assign]))
+                    newC[c] = S[far]
+                else:
+                    newC[c] = members.mean(axis=0)
+            if np.allclose(newC, C, atol=1e-12):
+                C = newC
+                break
+            C = newC
+        out.append([row.tolist() for row in C])
+    return out
+
+
+def _cb_lit(cb_j: list[list[float]]):
+    """One subspace codebook as an inlined array<array<double>> literal."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in cb_j])
+
+
+def _sub(vcol, j: int, dsub: int):
+    return F.slice(vcol, j * dsub + 1, dsub)
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes per vector: code_j = argmin over the subspace codebook of
+    the squared L2 distance from the (unit-normalized) subvector, distances
+    rounded to 6 dp before the argmin with ties to the LOWEST code — the
+    exact rule the SQL oracle can reproduce. Emits (id, vec, codes:array<int>);
+    m·n_codes·dsub = dim·n_codes fused multiply-adds per row, all codegen."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    unit = corpus.select(
+        F.col(id_col), F.col(vec_col), _unit(F.col(vec_col)).alias("_u")
+    )
+    def _dist_fn(j: int):
+        # NB: must return a UNARY lambda — F.transform treats a second
+        # parameter as the element-index argument (see minhash_signatures)
+        return lambda code: F.round(_l2sq(_sub(F.col("_u"), j, dsub), code), 6)
+
+    codes = []
+    for j in range(m):
+        dists = F.transform(_cb_lit(codebooks[j]), _dist_fn(j))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"_c{j}")
+        )
+    return unit.select(
+        F.col(id_col), F.col(vec_col), F.array(*codes).alias("codes")
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    refine: int = 3,
+    codebook: str = "lowest_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via PQ + ADC with exact rerank: corpus encoded to
+    m codes; each (broadcast) query carries an m × n_codes lookup table of
+    subspace L2² distances; candidate score = Σ_j lut_j[code_j] (m lookups
+    per corpus row — the PQ win: scan cost independent of dim); the
+    refine·k best candidates per query by (rounded ADC asc, id asc) get an
+    exact cosine rerank, so output precision is exact and only recall is
+    approximate (measured vs knn_cosine in tests).
+
+    Scale shape: the encoded corpus is a one-off map pass (and at rest is
+    m bytes + id per vector — the 100 TB vector table compresses ~64×);
+    serving is a broadcast nested-loop over codes with NO shuffle of the
+    corpus, then a per-query top-(refine·k) window and a rerank join back
+    to the k·refine·n_queries surviving vectors only. All column algebra,
+    SQL-expressible: oracle ``knn_pq`` checks the full path value-exact."""
+    cbs = pq_codebooks(
+        corpus, dim, m=m, n_codes=n_codes, method=codebook,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    dsub = dim // m
+    enc = pq_encode(corpus, cbs, id_col, vec_col).select(
+        id_col, F.col(vec_col).alias("cv"), "codes"
+    )
+    qu = queries.select(
+        F.col(qid_col), F.col(vec_col).alias("qv"), _unit(F.col(vec_col)).alias("_qu")
+    )
+    def _lut_fn(j: int):
+        # unary on purpose — a second lambda param would bind the index
+        return lambda code: _l2sq(_sub(F.col("_qu"), j, dsub), code)
+
+    luts = F.array(*[F.transform(_cb_lit(cbs[j]), _lut_fn(j)) for j in range(m)])
+    qlut = qu.select(qid_col, "qv", luts.alias("_luts"))
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("_luts"), lambda c, l: F.element_at(l, c + 1)
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        6,
+    )
+    cand = enc.crossJoin(F.broadcast(qlut)).withColumn("_adc", adc)
+    wq = Window.partitionBy(qid_col).orderBy(F.asc("_adc"), F.asc(id_col))
+    short = cand.withColumn("_r", F.row_number().over(wq)).filter(
+        F.col("_r") <= refine * k
+    )
+    rer = short.withColumn(
+        "cosine",
+        F.round(_dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
+    )
