@@ -547,6 +547,14 @@ def _q_dup_spans(spark, sf_dir):
     return dedup.duplicate_spans(_docs(spark, sf_dir), window=5)
 
 
+def _q_dup_spans_removed(spark, sf_dir):
+    """ExactSubstr rewrite (dedup.remove_duplicate_spans): cut every
+    duplicated >= 5-token region out of every doc, reassemble the rest."""
+    from tiny_search_engine_spark.pipeline import dedup
+
+    return dedup.remove_duplicate_spans(_docs(spark, sf_dir), window=5)
+
+
 def _q_paragraph_dedup(spark, sf_dir):
     """CCNet-style paragraph-level dedup (drop_repeated: keep the
     globally first copy of each paragraph, rewrite the doc). The
@@ -1114,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "lm_perplexity": _q_lm_perplexity,
         "dup_spans": _q_dup_spans,
+        "dup_spans_removed": _q_dup_spans_removed,
         "pack_sequences": _q_pack_sequences,
         "paragraph_dedup": _q_paragraph_dedup,
         "training_chunks": _q_training_chunks,
@@ -2011,6 +2020,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_len,
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM isl GROUP BY doc_id, island
+        """,
+        "dup_spans_removed": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                       FROM documents),
+            raw AS (SELECT doc_id,
+                           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rtoks
+                    FROM documents),
+            w AS (SELECT doc_id, pos, md5(array_to_string(list_slice(toks, pos + 1, pos + 5), ' ')) AS fp
+                  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS pos
+                        FROM t WHERE len(toks) >= 5)),
+            census AS (SELECT fp FROM w GROUP BY fp HAVING count(*) >= 2),
+            d AS (SELECT doc_id, pos FROM w JOIN census USING (fp)),
+            isl AS (SELECT doc_id, pos,
+                           sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                    FROM (SELECT doc_id, pos,
+                                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                          FROM d)),
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+                      FROM isl GROUP BY doc_id, island),
+            tok AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(rtoks) + 1),
+                                  i -> {'pos': i - 1, 'term': rtoks[i]}), recursive := true)
+                    FROM raw),
+            cut AS (SELECT DISTINCT tok.doc_id, pos
+                    FROM tok JOIN spans s ON tok.doc_id = s.doc_id
+                                          AND tok.pos >= s.s AND tok.pos < s.e),
+            kept AS (SELECT tok.doc_id, tok.pos, tok.term
+                     FROM tok ANTI JOIN cut USING (doc_id, pos)),
+            reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT r.doc_id, coalesce(reb.text, '') AS text,
+                   CAST(len(rtoks) AS BIGINT) AS n_tokens,
+                   CAST(len(rtoks) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+            FROM raw r LEFT JOIN reb USING (doc_id)
         """,
         "pack_sequences": """
             WITH t AS (SELECT doc_id,

@@ -209,6 +209,11 @@ def main() -> None:
         timed("pack_sequences", lambda: entrymod._q_pack_sequences(spark, sf_dir).count())
         timed("doc_mixture", lambda: entrymod._q_doc_mixture(spark, sf_dir).count())
         timed("training_chunks", lambda: entrymod._q_training_chunks(spark, sf_dir).count())
+        # round-2 additions: LM quality filter, ExactSubstr spans + rewrite,
+        # PQ/ADC ANN (encode is the corpus-scale pass, serving is lookups)
+        timed("lm_perplexity", lambda: entrymod._q_lm_perplexity(spark, sf_dir).count())
+        timed("dup_spans_removed", lambda: entrymod._q_dup_spans_removed(spark, sf_dir).count())
+        timed("knn_pq", lambda: entrymod._q_knn_pq(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -723,3 +723,30 @@ def test_pq_codebooks_validation(spark, emb):
         simsearch.pq_codebooks(emb, dim, m=7)
     with pytest.raises(ValueError, match="unknown codebook method"):
         simsearch.pq_codebooks(emb, dim, m=4, method="nope")
+
+
+def test_remove_duplicate_spans(spark):
+    rows = [
+        (0, "Alpha Beta Gamma Delta Epsilon zeta eta"),
+        (1, "prefix Alpha Beta Gamma Delta Epsilon tail"),
+        (2, "no shared content in this document at all"),
+        (3, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(df, window=3).collect()}
+    # the shared 5-token run is cut from BOTH docs (cut-all, the Lee et al.
+    # tool's rule), original case preserved in the remainder
+    assert out[0]["text"] == "zeta eta"
+    assert out[1]["text"] == "prefix tail"
+    assert (out[0]["n_tokens"], out[0]["n_removed"]) == (7, 5)
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (7, 5)
+    # untouched docs come back whitespace-joined but otherwise identical
+    assert out[2]["text"] == rows[2][1] and out[2]["n_removed"] == 0
+    assert out[3]["text"] == "tiny" and out[3]["n_tokens"] == 1
+    # a fully-duplicated doc becomes an empty row, not a dropped row
+    dup_all = spark.createDataFrame(
+        [(0, "x y z w v"), (1, "x y z w v")], "doc_id long, text string"
+    )
+    o2 = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(dup_all, window=3).collect()}
+    assert o2[0]["text"] == "" and o2[0]["n_removed"] == 5
+    assert o2[1]["text"] == ""

@@ -728,3 +728,59 @@ def duplicate_spans(
             F.col("n_windows").cast("long"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Apply the ExactSubstr rewrite: cut every duplicate_spans region out
+    of every document and reassemble the remainder (single-space joined —
+    token-granularity rewrites are whitespace-normalizing by construction,
+    like the training-shard tokenize path; original token CASE is kept,
+    only span *detection* lowercases). This is the rule of Lee et al.'s
+    released deduplicate-text-datasets tool: ALL occurrences of a
+    duplicated region are removed, including the first (pair with
+    paragraph_dedup's keep-first mode when one surviving copy is wanted).
+    Emits (id, text, n_tokens, n_removed); docs that lose everything stay
+    as empty-text rows (the downstream length filter decides).
+
+    Scale shape: duplicate_spans does the census work (see there); the
+    rewrite adds one tiny groupBy over the span rows (bounded by the dup
+    volume, not the corpus), one doc_id equi-join of spans onto the
+    corpus, and a per-row index-lambda filter over the token array —
+    O(tokens × spans-in-doc) inside codegen, no Python. Oracle
+    ``dup_spans_removed`` replays it relationally in DuckDB.
+    """
+    spans = duplicate_spans(
+        df, id_col=id_col, text_col=text_col, window=window,
+        min_occurrences=min_occurrences,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.filter(F.split(F.col(text_col), WS_SPLIT), lambda x: x != "")
+    joined = df.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.coalesce(
+            "_spans", F.array().cast("array<struct<span_start:long,span_end:long>>")
+        ).alias("_spans"),
+    )
+    # F.filter's index lambda is 0-based — matching the 0-based span offsets
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
