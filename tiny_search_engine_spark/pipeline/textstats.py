@@ -217,10 +217,20 @@ def repetition_stats(
     per-string term stats pass (/root/reference/src/segment.cpp term
     loop) but as a repetition census rather than an index input.
     """
-    toks = _lower_tokens(text_col)
-    cols = [F.col(id_col), F.size(toks).alias("n_tokens")]
+    # staged projections: materialize the token array, then each n-gram
+    # array, BEFORE the stats expressions — inlining the tokenize into the
+    # per-gram slice() lambda re-evaluates split(lower(text)) per gram,
+    # O(L²) per row (see dedup.minhash_signatures), and each gram array is
+    # referenced by three stats so staging also computes it once
+    tok_df = df.select(F.col(id_col), _lower_tokens(text_col).alias("_toks"))
+    gram_df = tok_df.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        *[_ngrams(F.col("_toks"), n).alias(f"_g{n}") for n in ns],
+    )
+    cols = [F.col(id_col), F.col("n_tokens")]
     for n in ns:
-        grams = _ngrams(toks, n)
+        grams = F.col(f"_g{n}")
         total = F.size(grams)
         distinct = F.size(F.array_distinct(grams))
         # max occurrence count == longest run in the sorted array
@@ -238,7 +248,7 @@ def repetition_stats(
         safe_t = F.greatest(total, F.lit(1))
         cols.append(F.round((total - distinct) / safe_t, 6).alias(f"dup_{n}gram_frac"))
         cols.append(F.round(top_c / safe_t, 6).alias(f"top_{n}gram_frac"))
-    return df.select(*cols)
+    return gram_df.select(*cols)
 
 
 def decontaminate(
@@ -267,11 +277,19 @@ def decontaminate(
     cannot blow up the join: both sides are distinct, so each
     (doc, gram) row matches at most one eval row.
     """
-    toks = _lower_tokens(text_col)
-    grams = F.array_distinct(_ngrams(toks, n))
-    doc_grams = df.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+    # staged: tokenize once per row, THEN slice n-grams from the
+    # materialized array (inline tokens re-split per gram — O(L²), see
+    # dedup.minhash_signatures)
+    doc_grams = (
+        df.select(F.col(id_col), _lower_tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(_ngrams(F.col("_toks"), n))).alias("gram"),
+        )
+    )
     eval_grams = (
-        eval_df.select(F.explode(F.array_distinct(_ngrams(_lower_tokens(text_col), n))).alias("gram"))
+        eval_df.select(_lower_tokens(text_col).alias("_toks"))
+        .select(F.explode(F.array_distinct(_ngrams(F.col("_toks"), n))).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
