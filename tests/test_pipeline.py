@@ -750,3 +750,17 @@ def test_remove_duplicate_spans(spark):
     o2 = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(dup_all, window=3).collect()}
     assert o2[0]["text"] == "" and o2[0]["n_removed"] == 5
     assert o2[1]["text"] == ""
+    # NULL text follows the paragraph_dedup empty-row convention:
+    # text='', counts 0 — never NULL text or a -1 legacy sizeOfNull
+    with_null = spark.createDataFrame(
+        [(0, "a b c a b c d"), (1, None)], "doc_id long, text string"
+    )
+    o3 = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(with_null, window=3).collect()}
+    assert o3[1]["text"] == ""
+    assert (o3[1]["n_tokens"], o3[1]["n_removed"]) == (0, 0)
+
+
+def test_lm_perplexity_rejects_zero_add_k(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="add_k"):
+        textstats.lm_perplexity(df, add_k=0.0)

@@ -691,14 +691,7 @@ def duplicate_spans(
     # per-window slice() lambda, else Catalyst re-evaluates
     # split(lower(text)) per window — O(L²) (see minhash_signatures)
     tok_df = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
-    toks = F.col("_toks")
-    grams = F.when(
-        F.size(toks) >= window,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
-            lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(_shingles_of(F.col("_toks"), window), lambda s: F.md5(s))
     pos_fp = tok_df.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "fp")
     )
@@ -762,7 +755,12 @@ def remove_duplicate_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = F.filter(F.split(F.col(text_col), WS_SPLIT), lambda x: x != "")
+    # coalesce NULL text to an empty token array — same empty-row
+    # convention as paragraph_dedup (text='', counts 0), never NULL/-1
+    toks = F.coalesce(
+        F.filter(F.split(F.col(text_col), WS_SPLIT), lambda x: x != ""),
+        F.array().cast("array<string>"),
+    )
     joined = df.join(per_doc, id_col, "left").select(
         F.col(id_col),
         toks.alias("_toks"),

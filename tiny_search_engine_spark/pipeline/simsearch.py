@@ -399,11 +399,14 @@ def pq_codebooks(
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(np.round(d2, 12), axis=1)
             newC = np.zeros_like(C)
+            # reseed each empty cluster with a DISTINCT farthest point —
+            # sharing one argmax would duplicate centroids, permanently
+            # deadening the extra codes (ties always break low)
+            far_order = iter(np.argsort(-d2[np.arange(len(S)), assign], kind="stable"))
             for c in range(n_codes):
                 members = S[assign == c]
                 if len(members) == 0:
-                    far = int(np.argmax(d2[np.arange(len(S)), assign]))
-                    newC[c] = S[far]
+                    newC[c] = S[int(next(far_order))]
                 else:
                     newC[c] = members.mean(axis=0)
             if np.allclose(newC, C, atol=1e-12):
@@ -485,27 +488,26 @@ def knn_pq(
 
     Scale shape: the encoded corpus is a one-off map pass (and at rest is
     m bytes + id per vector — the 100 TB vector table compresses ~64×);
-    serving is a broadcast nested-loop over codes with NO shuffle of the
-    corpus, then a per-query top-(refine·k) window and a rerank join back
-    to the k·refine·n_queries surviving vectors only. All column algebra,
-    SQL-expressible: oracle ``knn_pq`` checks the full path value-exact."""
+    serving scans codes only (the full vectors never enter the ADC scan
+    or its shuffle): the shortlist window exchanges bare (query, id, adc)
+    triples, pre-pruned map-side to refine·k per query by Catalyst's
+    rank-limit pushdown (WindowGroupLimit Partial, SPARK-37099), and the
+    exact rerank joins the k·refine·n_queries SURVIVORS (broadcast) back
+    to the corpus vectors. All column algebra, SQL-expressible: oracle
+    ``knn_pq`` checks the full path value-exact."""
     cbs = pq_codebooks(
         corpus, dim, m=m, n_codes=n_codes, method=codebook,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
     dsub = dim // m
-    enc = pq_encode(corpus, cbs, id_col, vec_col).select(
-        id_col, F.col(vec_col).alias("cv"), "codes"
-    )
-    qu = queries.select(
-        F.col(qid_col), F.col(vec_col).alias("qv"), _unit(F.col(vec_col)).alias("_qu")
-    )
+    enc = pq_encode(corpus, cbs, id_col, vec_col).select(id_col, "codes")
+    qu = queries.select(F.col(qid_col), _unit(F.col(vec_col)).alias("_qu"))
     def _lut_fn(j: int):
         # unary on purpose — a second lambda param would bind the index
         return lambda code: _l2sq(_sub(F.col("_qu"), j, dsub), code)
 
     luts = F.array(*[F.transform(_cb_lit(cbs[j]), _lut_fn(j)) for j in range(m)])
-    qlut = qu.select(qid_col, "qv", luts.alias("_luts"))
+    qlut = qu.select(qid_col, luts.alias("_luts"))
     adc = F.round(
         F.aggregate(
             F.zip_with(
@@ -516,14 +518,28 @@ def knn_pq(
         ),
         6,
     )
-    cand = enc.crossJoin(F.broadcast(qlut)).withColumn("_adc", adc)
-    wq = Window.partitionBy(qid_col).orderBy(F.asc("_adc"), F.asc(id_col))
-    short = cand.withColumn("_r", F.row_number().over(wq)).filter(
-        F.col("_r") <= refine * k
+    cand = enc.crossJoin(F.broadcast(qlut)).select(
+        F.col(qid_col), F.col(id_col), adc.alias("_adc")
     )
-    rer = short.withColumn(
-        "cosine",
-        F.round(_dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6),
+    wq = Window.partitionBy(qid_col).orderBy(F.asc("_adc"), F.asc(id_col))
+    short = (
+        cand.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= refine * k)
+        .select(qid_col, id_col)
+    )
+    rer = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+        .join(F.broadcast(short), id_col)
+        .join(
+            F.broadcast(queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))),
+            qid_col,
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+            ),
+        )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -350,6 +350,12 @@ def lm_perplexity(
     changing only tail scores. All SQL-expressible: oracle
     ``lm_perplexity`` checks it value-exact at 6 dp.
     """
+    if not add_k > 0:
+        # add_k=0 would make unseen bigrams p=0 -> log NULL, silently
+        # DROPPED from the sum while still counted in n_bigrams — an
+        # all-unseen doc would score ppl 1.0 (perfect). Smoothing is
+        # load-bearing, not a tunable-to-zero knob.
+        raise ValueError(f"add_k must be > 0, got {add_k}")
     ref = ref_df if ref_df is not None else df
     # staged projection: materialize the token array before the per-gram
     # slice() lambda, else Catalyst re-evaluates split(lower(text)) per
