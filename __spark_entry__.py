@@ -674,6 +674,59 @@ def _q_event_windowed(spark, sf_dir):
     )
 
 
+def _q_event_asof(spark, sf_dir):
+    """Backward as-of join (pipeline.events.asof_join): every event picks
+    the user's most recent purchase at-or-before it, within a 4 h
+    tolerance — the temporal point-lookup join Spark lacks natively,
+    implemented as union + forward-fill (ONE user_id-keyed shuffle, no
+    candidate-pair generation). Timestamps surfaced as unix micros;
+    p_value is an untouched input double (bit-stable hash)."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    e = _events(spark, sf_dir)
+    left = e.select("event_id", "ts", "user_id")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return ev.asof_join(
+        left,
+        right,
+        right_cols=("event_id", "value"),
+        tolerance_minutes=240,
+        prefix="p_",
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "p_event_id",
+        "p_value",
+    )
+
+
+def _q_event_range_join(spark, sf_dir):
+    """Binned interval-containment join (pipeline.events.range_join):
+    events joined back to the session intervals that contain them — the
+    bucketed equi-join shape (bin-exploded intervals ⋈ binned points +
+    exact filter), never the BroadcastNestedLoopJoin a raw range
+    predicate plans. Self-validating: every event lands in exactly its
+    own session, so row count == event count."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    e = _events(spark, sf_dir)
+    sess = ev.sessionize(e, gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    return ev.range_join(
+        e.select("event_id", "ts", "user_id"), sess, bin_minutes=60
+    ).select(
+        "event_id",
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("start_us"),
+    )
+
+
 def _labels_df(spark, sf_dir):
     """Deterministic synthetic relevance labels over (query, doc): the
     reference's eval corpus carries a graded label column
@@ -1131,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": _q_corpus_curate,
         "event_sessions": _q_event_sessions,
         "event_sessions_native": _q_event_sessions_native,
+        "event_asof": _q_event_asof,
+        "event_range_join": _q_event_range_join,
         "event_windowed": _q_event_windowed,
         "event_rollup": _q_event_rollup,
         "knn_lsh": _q_knn_lsh,
@@ -1840,6 +1895,44 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
                    count(*) AS n_events, round(sum(value), 6) AS total_value
             FROM s GROUP BY user_id, session_id
+        """,
+        "event_asof": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events),
+            r AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts,
+                         value AS p_value
+                  FROM events WHERE event_type = 'purchase'),
+            cand AS (
+              SELECT l.event_id, r.p_event_id, r.p_ts, r.p_value,
+                     row_number() OVER (PARTITION BY l.event_id
+                       ORDER BY r.p_ts DESC, r.p_event_id DESC) AS rn
+              FROM l JOIN r ON l.user_id = r.user_id AND r.p_ts <= l.ts
+                   AND epoch_us(l.ts) - epoch_us(r.p_ts) <= 14400000000)
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                   epoch_us(c.p_ts) AS p_ts_us, c.p_event_id, c.p_value
+            FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+                 USING (event_id)
+        """,
+        "event_range_join": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            s AS (
+              SELECT *, CAST(sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM o),
+            sess AS (
+              SELECT user_id, session_id, min(ts) AS session_start,
+                     max(ts) AS session_end
+              FROM s GROUP BY user_id, session_id)
+            SELECT e.event_id, e.user_id, sess.session_id,
+                   epoch_us(sess.session_start) AS start_us
+            FROM events e JOIN sess ON e.user_id = sess.user_id
+                 AND e.ts BETWEEN sess.session_start AND sess.session_end
         """,
         "phrase_match": _sql_phrase_match(),
         "more_like_this": _sql_more_like_this(),

@@ -264,3 +264,133 @@ def test_value_percentiles_approx_close_to_exact(spark):
     assert set(exact) == set(approx)
     for k, v in exact.items():
         assert abs(approx[k] - v) < 0.5  # 1000 uniform(0,100) samples/type
+
+
+def test_asof_join_brute(spark):
+    """Backward as-of vs a pure-Python brute force over a crafted log:
+    inclusive boundary, equal-ts tie to highest order_col, cross-user
+    isolation, unmatched-left NULLs, tolerance cutoff."""
+    from datetime import datetime as dt
+
+    L = [  # (event_id, ts, user_id)
+        (0, dt(2024, 1, 1, 10, 0, 0), 1),
+        (1, dt(2024, 1, 1, 10, 30, 0), 1),
+        (2, dt(2024, 1, 1, 9, 0, 0), 1),   # before every right row
+        (3, dt(2024, 1, 1, 10, 0, 0), 2),  # other user
+        (4, dt(2024, 1, 1, 12, 0, 0), 1),
+    ]
+    R = [  # (event_id, ts, user_id, value)
+        (100, dt(2024, 1, 1, 10, 0, 0), 1, 1.0),   # ties L0 exactly
+        (101, dt(2024, 1, 1, 10, 0, 0), 1, 2.0),   # same ts, higher id wins
+        (102, dt(2024, 1, 1, 10, 20, 0), 1, 3.0),
+        (103, dt(2024, 1, 1, 9, 30, 0), 2, 4.0),
+    ]
+    left = spark.createDataFrame(L, "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame(
+        R, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+    def brute(tol_min=None):
+        out = {}
+        for lid, lts, lu in L:
+            cands = [
+                r for r in R
+                if r[2] == lu and r[1] <= lts
+                and (tol_min is None or (lts - r[1]).total_seconds() <= tol_min * 60)
+            ]
+            best = max(cands, key=lambda r: (r[1], r[0])) if cands else None
+            out[lid] = (best[0], best[3]) if best else (None, None)
+        return out
+
+    got = {
+        r["event_id"]: (r["r_event_id"], r["r_value"])
+        for r in ev.asof_join(left, right).collect()
+    }
+    assert got == brute()
+    assert got[0] == (101, 2.0)  # inclusive boundary + tie to highest id
+    assert got[2] == (None, None)  # nothing prior -> NULL payload, row kept
+    # tolerance: L4 is 100 min after R102 -> cut at 60-min tolerance
+    got_tol = {
+        r["event_id"]: (r["r_event_id"], r["r_value"])
+        for r in ev.asof_join(left, right, tolerance_minutes=60).collect()
+    }
+    assert got_tol == brute(60)
+    assert got_tol[4] == (None, None)
+    # row count preserved (left outer semantics)
+    assert ev.asof_join(left, right).count() == len(L)
+
+
+def test_asof_join_partitioning_invariant(spark):
+    from datetime import datetime as dt, timedelta
+
+    rows = [
+        (i, dt(2024, 1, 1) + timedelta(minutes=7 * i), i % 3)
+        for i in range(60)
+    ]
+    left = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame(
+        [(i + 1000, ts, u, float(i)) for i, ts, u in rows[::2]],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    a = sorted(
+        (r["event_id"], r["r_event_id"]) for r in ev.asof_join(left, right).collect()
+    )
+    b = sorted(
+        (r["event_id"], r["r_event_id"])
+        for r in ev.asof_join(left.repartition(13), right.repartition(2)).collect()
+    )
+    assert a == b
+
+
+def test_range_join_brute_and_bins(spark):
+    """Binned interval join vs brute containment; intervals spanning
+    multiple bins; inclusive endpoints; keyed isolation; max_bins guard."""
+    from datetime import datetime as dt
+
+    P = [  # (event_id, ts, user_id)
+        (0, dt(2024, 1, 1, 10, 0, 0), 1),
+        (1, dt(2024, 1, 1, 13, 30, 0), 1),   # interval spans several 1h bins
+        (2, dt(2024, 1, 1, 15, 0, 0), 1),    # exactly at an interval end
+        (3, dt(2024, 1, 1, 16, 0, 1), 1),    # one second outside
+        (4, dt(2024, 1, 1, 10, 30, 0), 2),   # other user, same times
+    ]
+    I = [  # (interval_id, start, end, user_id)
+        (10, dt(2024, 1, 1, 10, 0, 0), dt(2024, 1, 1, 11, 0, 0), 1),
+        (11, dt(2024, 1, 1, 12, 0, 0), dt(2024, 1, 1, 15, 0, 0), 1),
+        (12, dt(2024, 1, 1, 10, 0, 0), dt(2024, 1, 1, 11, 0, 0), 2),
+    ]
+    pts = spark.createDataFrame(P, "event_id long, ts timestamp, user_id long")
+    ivl = spark.createDataFrame(
+        I, "interval_id long, session_start timestamp, session_end timestamp, user_id long"
+    )
+    got = sorted(
+        (r["event_id"], r["interval_id"])
+        for r in ev.range_join(pts, ivl, bin_minutes=60).collect()
+    )
+    brute = sorted(
+        (pid, iid)
+        for pid, pts_, pu in P
+        for iid, s, e, iu in I
+        if pu == iu and s <= pts_ <= e
+    )
+    assert got == brute
+    assert (2, 11) in got and (3, 11) not in got  # inclusive end, outside drops
+    assert (0, 10) in got and (4, 12) in got and (0, 12) not in got
+    # max_bins guard raises instead of exploding
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with _pt.raises((Py4JJavaError, SparkRuntimeException, Exception), match="max_bins"):
+        ev.range_join(pts, ivl, bin_minutes=1, max_bins=10).collect()
+
+
+def test_range_join_reproduces_sessionization(elog):
+    """Every event lands in exactly the session whose interval contains
+    it — range_join(events, sessionize(events)) is a self-oracle."""
+    sess = ev.sessionize(elog, gap_minutes=30)
+    out = ev.range_join(elog, sess, bin_minutes=30)
+    assert out.count() == elog.count()
+    # event 2 (the post-gap singleton) maps to user 1 session 2
+    row = [r for r in out.collect() if r["event_id"] == 2][0]
+    assert (row["user_id"], row["session_id"]) == (1, 2)

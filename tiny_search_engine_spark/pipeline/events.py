@@ -180,6 +180,147 @@ def value_percentiles(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple[str, ...] = ("event_id", "value"),
+    order_col: str = "event_id",
+    tolerance_minutes: int | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: each *left* row picks the single most recent
+    *right* row of the same key with ``right.ts <= left.ts`` (inclusive —
+    a right row at exactly left's timestamp matches), optionally within
+    ``tolerance_minutes``; unmatched left rows keep NULL payloads (left
+    outer semantics). Ties among right rows at the same timestamp break
+    to the HIGHEST ``order_col`` — deterministic on both engines. This is
+    the time-series point-lookup join Spark's optimizer has no native
+    operator for (pandas has merge_asof; the reference engine has no
+    temporal joins at all — its only join is the posting OR-merge,
+    /root/reference/src/table.cpp recall loop).
+
+    Implementation is the union + forward-fill trick, NOT a range join:
+    both sides union into one stream tagged so right rows sort before
+    left rows at equal timestamps, one window per key forward-fills the
+    last-seen right payload (``F.last(ignorenulls=True)``), and left rows
+    read it off. Scale shape: ONE shuffle keyed on ``key_col`` (no
+    per-pair candidate generation, so a right row matching millions of
+    left rows costs nothing extra); a skewed key is bounded by its own
+    combined event count exactly like ``sessionize``. The tolerance is a
+    post-pick filter — the newest prior row is the only possible match,
+    so nulling it when too old equals filtering the join. All column
+    algebra; oracle ``event_asof`` replays it with an ANSI window in
+    DuckDB."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pay = F.struct(
+        us.alias("_rts_us"),
+        F.col(ts_col).cast("timestamp").alias("_rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(key_col),
+        us.alias("_us"),
+        F.lit(0).alias("_side"),
+        F.col(order_col).alias("_ord"),
+        pay.alias("_rpay"),
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(key_col),
+        us.alias("_us"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_ord"].dataType).alias("_ord"),
+        F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    # right rows sort before left at equal ts (inclusive match); among
+    # equal-ts right rows the highest order_col lands nearest the left
+    # row, so last(ignorenulls) picks it
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_us").asc(), F.col("_side").asc(), F.col("_ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r.unionByName(l).withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+    m = F.col("_m")
+    if tolerance_minutes is not None:
+        m = F.when(
+            F.col("_us") - F.col("_m._rts_us") <= tolerance_minutes * 60 * 1_000_000,
+            F.col("_m"),
+        )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        m["_rts"].alias(f"{prefix}{ts_col}"),
+        *[m[c].alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    key_col: str | None = "user_id",
+    bin_minutes: int = 60,
+    max_bins: int = 10_000,
+) -> DataFrame:
+    """Interval-containment join: each point row pairs with every interval
+    row satisfying ``start <= point <= end`` (both ends inclusive) and, if
+    ``key_col`` is given, the same key — WITHOUT the cross product a naive
+    theta join plans (Spark turns a pure range predicate into
+    BroadcastNestedLoopJoin: O(points × intervals)).
+
+    The bucketing trick: time is cut into fixed ``bin_minutes`` bins; each
+    interval explodes to the bin ids it spans, each point maps to its one
+    bin, and the match becomes an EQUI-join on (key, bin) + the exact
+    containment filter. A (point, interval) match shares exactly one bin —
+    the point's — so no post-join dedup is needed. Shuffle volume is
+    points + Σ interval-spans rows, never the pair count; a hot bin is a
+    skew key AQE can split, not a plan explosion. ``max_bins`` refuses
+    degenerate intervals that would explode the build side (an interval
+    spanning > max_bins bins means the bin width is wrong for the data —
+    raise, don't silently build a bomb). Columns: all point columns + all
+    interval columns (inner join; points outside every interval drop).
+    Oracle ``event_range_join`` is the plain theta join in DuckDB."""
+    p_us = F.unix_micros(F.col(point_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    bin_us = bin_minutes * 60 * 1_000_000
+    # the guard lives INSIDE the sequence bound so Catalyst cannot prune
+    # it away as an unused column — a dead raise_error guards nothing
+    end_bin = F.when(
+        (e_us >= s_us) & ((e_us - s_us) / F.lit(bin_us) <= max_bins),
+        F.floor(e_us / bin_us),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join: interval spans > max_bins={max_bins} bins "
+                    f"of {bin_minutes}min (or end < start); widen bin_minutes: "
+                ),
+                F.col(start_col).cast("string"),
+                F.lit(" .. "),
+                F.col(end_col).cast("string"),
+            )
+        )
+    )
+    ivl = intervals.withColumn(
+        "_bin", F.explode(F.sequence(F.floor(s_us / bin_us), end_bin))
+    )
+    pts = points.withColumn("_bin", F.floor(p_us / bin_us))
+    on = ["_bin"] if key_col is None else [key_col, "_bin"]
+    joined = pts.join(ivl, on).filter(
+        (p_us >= s_us) & (p_us <= e_us)
+    )
+    out_cols = [F.col(c) for c in points.columns] + [
+        F.col(c) for c in intervals.columns if c != key_col
+    ]
+    return joined.select(*out_cols)
+
+
 def type_hour_rollup(df: DataFrame) -> DataFrame:
     """Multi-level aggregate via ROLLUP(event_type, hour-of-day): per
     (type, hour) cells, per-type subtotals, and a grand total in ONE
