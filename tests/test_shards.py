@@ -146,3 +146,24 @@ def test_shards_cli_in_process(spark, tmp_path, capsys):
     assert rc == 0
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["bpe_merges"] == 8 and s2["n_chunks"] > 0
+
+
+def test_fused_and_join_paths_identical(corpus):
+    """broadcast_vocab=True (fused tokenize+id-map, no token shuffle) and
+    =False (explode ⋈ vocab join) must produce identical chunk tables."""
+    rows, df = corpus
+    a = {
+        r["chunk_id"]: list(r["token_ids"])
+        for r in shards.build_chunks(
+            df, tokenizer="ws", chunk_len=8, broadcast_vocab=True
+        ).collect()
+    }
+    b = {
+        r["chunk_id"]: list(r["token_ids"])
+        for r in shards.build_chunks(
+            df, tokenizer="ws", chunk_len=8, broadcast_vocab=False
+        ).collect()
+    }
+    assert a == b
+    want, _, _ = _brute_chunks(rows, 8)
+    assert a == want

@@ -9,13 +9,21 @@ positional tokenizer, any registered mode incl. a learned BPE vocab),
 and a bounded per-chunk assembly (collect_list is capped at chunk_len
 elements by construction — never a whole-corpus or whole-doc state).
 
-Scale shape: the only corpus-scale exchanges are (1) the token→vocab id
-join — broadcast when the vocabulary is model-sized (BPE: ~32-128k
-entries), (2) the per-doc groupBy assembling each doc's id array, and
-(3) the per-chunk groupBy assembling ≤ chunk_len ids. Deriving the
-vocabulary from the corpus ranks the DICTIONARY-sized term census on
-one reducer (fine for learned vocabs; pass ``vocab`` explicitly if the
-raw term universe is itself huge).
+Scale shape (fused path, the default): token→id mapping happens INSIDE
+the tokenize Arrow pass against a Spark-broadcast vocab dict (model-
+sized — BPE: ~32-128k entries), so each doc leaves Python already as
+its id array and NO token-level exchange exists anywhere — the only
+corpus-scale shuffles are the doc-length prefix sum and the per-chunk
+groupBy assembling ≤ chunk_len ids. The tokenizer pass was already
+Python (the registry contract), so the dict lookup rides a pass that
+exists anyway; at 100 TB this removes the two token-level shuffles
+(vocab join + per-doc collect_list regroup) the join path pays.
+``broadcast_vocab=False`` keeps the join path — the right shape when
+the vocabulary itself is too big to broadcast. Deriving the vocabulary
+from the corpus adds one census pass (map-side partial agg to the
+dictionary-sized term table; its rank window is one reducer — fine for
+learned vocabs; pass ``vocab`` explicitly if the raw term universe is
+itself huge).
 """
 
 from __future__ import annotations
@@ -43,6 +51,40 @@ def derive_vocab(tokens: DataFrame) -> DataFrame:
     )
 
 
+def _make_fused_ids_iterator(mode: str, id_col: str, text_col: str, vocab_bc, oov_id: int):
+    """iterator[pd.DataFrame] -> iterator[pd.DataFrame] for mapInPandas:
+    one row per doc, (id, ids array) — tokenize AND vocab-id lookup fused
+    into the single Arrow pass (the broadcast dict lives on the worker
+    once, not per task). Docs with no tokens are skipped, matching the
+    join path where they simply emit no token rows."""
+    import pandas as pd
+
+    from ..tokenizer import get_tokenizer
+
+    tok = get_tokenizer(mode)
+
+    def fn(batches):
+        vm = vocab_bc.value
+        for pdf in batches:
+            out_ids: list[int] = []
+            out_arrs: list[list[int]] = []
+            for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                if text is None:
+                    continue
+                arr = [vm.get(t.term.lower(), oov_id) for t in tok.tokens(text)]
+                if arr:
+                    out_ids.append(did)
+                    out_arrs.append(arr)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_ids, dtype="int64"),
+                    "ids": pd.Series(out_arrs, dtype="object"),
+                }
+            )
+
+    return fn
+
+
 def build_chunks(
     df: DataFrame,
     tokenizer: str = "ws",
@@ -59,32 +101,51 @@ def build_chunks(
     Every chunk except the global last holds exactly ``chunk_len`` ids;
     ids come from ``vocab`` (or a corpus-derived one), OOV terms map to
     ``oov_id``. Deterministic: doc order is id order, within-doc order is
-    token position, vocabulary rank is (df desc, term asc)."""
+    token position, vocabulary rank is (df desc, term asc).
+
+    ``broadcast_vocab=True`` (default) takes the FUSED path — the id
+    lookup happens inside the tokenize Arrow pass against a broadcast
+    vocab dict, so no token-level shuffle exists; ``False`` takes the
+    join path (token explode ⋈ vocab → per-doc regroup), the right
+    shape only when the vocabulary is too big to broadcast. Both paths
+    produce identical chunks (pinned in tests/test_shards.py)."""
     if chunks_per_shard < 1:
         raise ValueError(f"chunks_per_shard must be >= 1, got {chunks_per_shard}")
-    tok_fn = make_tokenize_iterator(tokenizer, id_col, text_col)
-    tokens = (
-        df.select(F.col(id_col), F.col(text_col))
-        .mapInPandas(tok_fn, _TOK_SCHEMA)
-        .select(F.col(id_col), "pos", F.lower(F.col("term")).alias("term"))
-    )
+    tokens = None
+    if vocab is None or not broadcast_vocab:
+        tok_fn = make_tokenize_iterator(tokenizer, id_col, text_col)
+        tokens = (
+            df.select(F.col(id_col), F.col(text_col))
+            .mapInPandas(tok_fn, _TOK_SCHEMA)
+            .select(F.col(id_col), "pos", F.lower(F.col("term")).alias("term"))
+        )
     if vocab is None:
         vocab = derive_vocab(tokens)
-    v = F.broadcast(vocab) if broadcast_vocab else vocab
-    ids = (
-        tokens.join(v, "term", "left")
-        .select(
-            F.col(id_col),
-            "pos",
-            F.coalesce(F.col("token_id"), F.lit(int(oov_id))).cast("long").alias("tid"),
+    if broadcast_vocab:
+        # fused path: the id lookup rides the tokenize Arrow pass — no
+        # token-level exchange at all (see module docstring). Collecting
+        # the vocab is the same model-sized assumption broadcast makes.
+        vmap = {r["term"]: int(r["token_id"]) for r in vocab.collect()}
+        bc = df.sparkSession.sparkContext.broadcast(vmap)
+        fused_fn = _make_fused_ids_iterator(tokenizer, id_col, text_col, bc, int(oov_id))
+        ids = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            fused_fn, f"{id_col} long, ids array<long>"
         )
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda x: x["tid"]
-            ).alias("ids")
+    else:
+        ids = (
+            tokens.join(vocab, "term", "left")
+            .select(
+                F.col(id_col),
+                "pos",
+                F.coalesce(F.col("token_id"), F.lit(int(oov_id))).cast("long").alias("tid"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda x: x["tid"]
+                ).alias("ids")
+            )
         )
-    )
     dl = ids.select(F.col(id_col), F.size("ids").cast("long").alias("n_tokens"))
     seg = pack_from_lengths(dl, id_col=id_col, chunk_len=chunk_len, n_buckets=n_buckets)
     pieces = seg.join(ids, id_col).select(
