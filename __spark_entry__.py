@@ -727,6 +727,20 @@ def _q_event_range_join(spark, sf_dir):
     )
 
 
+def _q_event_funnel(spark, sf_dir):
+    """Ordered-step conversion funnel signup → view → purchase within a
+    24 h horizon of step 1 (pipeline.events.funnel): first qualifying
+    event per step, strictly-after chaining, NULL propagation once the
+    chain breaks. k user-keyed min-agg passes — never event × event."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    return ev.funnel(
+        _events(spark, sf_dir),
+        steps=("signup", "view", "purchase"),
+        horizon_minutes=24 * 60,
+    )
+
+
 def _labels_df(spark, sf_dir):
     """Deterministic synthetic relevance labels over (query, doc): the
     reference's eval corpus carries a graded label column
@@ -1186,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions_native": _q_event_sessions_native,
         "event_asof": _q_event_asof,
         "event_range_join": _q_event_range_join,
+        "event_funnel": _q_event_funnel,
         "event_windowed": _q_event_windowed,
         "event_rollup": _q_event_rollup,
         "knn_lsh": _q_knn_lsh,
@@ -1933,6 +1948,30 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(sess.session_start) AS start_us
             FROM events e JOIN sess ON e.user_id = sess.user_id
                  AND e.ts BETWEEN sess.session_start AND sess.session_end
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t1_us
+              FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t1_us
+                AND epoch_us(e.ts) - s1.t1_us <= 86400000000
+              GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+                            JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+                AND epoch_us(e.ts) - s1.t1_us <= 86400000000
+              GROUP BY e.user_id)
+            SELECT s1.user_id, s1.t1_us, s2.t2_us, s3.t3_us,
+                   CAST(1 + (s2.t2_us IS NOT NULL)::int
+                          + (s3.t3_us IS NOT NULL)::int AS BIGINT)
+                     AS steps_completed
+            FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                    LEFT JOIN s3 ON s1.user_id = s3.user_id
         """,
         "phrase_match": _sql_phrase_match(),
         "more_like_this": _sql_more_like_this(),

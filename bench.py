@@ -204,6 +204,7 @@ def main() -> None:
         timed("event_windowed", lambda: entrymod._q_event_windowed(spark, sf_dir).count())
         timed("event_asof", lambda: entrymod._q_event_asof(spark, sf_dir).count())
         timed("event_range_join", lambda: entrymod._q_event_range_join(spark, sf_dir).count())
+        timed("event_funnel", lambda: entrymod._q_event_funnel(spark, sf_dir).count())
         # curation additions: shuffle-free repetition census, broadcast-join
         # decontamination, two-phase-prefix-sum packing, mixture sampling
         timed("repetition_stats", lambda: entrymod._q_repetition_stats(spark, sf_dir).count())

@@ -394,3 +394,81 @@ def test_range_join_reproduces_sessionization(elog):
     # event 2 (the post-gap singleton) maps to user 1 session 2
     row = [r for r in out.collect() if r["event_id"] == 2][0]
     assert (row["user_id"], row["session_id"]) == (1, 2)
+
+
+def test_funnel_brute(spark):
+    """Funnel vs pure-python brute: strictly-after chaining, horizon from
+    step 1, NULL propagation after a break, only step-1 completers kept."""
+    from datetime import datetime as dt, timedelta
+
+    base = dt(2024, 1, 1)
+    rows, eid = [], 0
+
+    def add(u, minutes, typ):
+        nonlocal eid
+        rows.append((eid, base + timedelta(minutes=minutes), u, typ, 1.0, "{}"))
+        eid += 1
+
+    add(1, 0, "signup"); add(1, 10, "view"); add(1, 20, "purchase")   # full
+    add(2, 0, "view"); add(2, 10, "signup"); add(2, 5, "purchase")    # view/purchase BEFORE signup
+    add(2, 30, "view")                                                 # completes step 2 only
+    add(3, 0, "signup")                                                # step 1 only
+    add(4, 0, "view"); add(4, 10, "purchase")                          # never signs up -> absent
+    add(5, 0, "signup"); add(5, 0, "view")                             # same ts: NOT strictly after
+    add(6, 0, "signup"); add(6, 2000, "view"); add(6, 2010, "purchase")  # view outside 24h horizon
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    steps = ("signup", "view", "purchase")
+
+    def brute(horizon_min):
+        out = {}
+        by_u = {}
+        for _, ts, u, typ, _, _ in rows:
+            by_u.setdefault(u, []).append((ts, typ))
+        for u, evs in by_u.items():
+            firsts = [min((t for t, y in evs if y == steps[0]), default=None)]
+            if firsts[0] is None:
+                continue
+            for s in steps[1:]:
+                prev = firsts[-1]
+                cand = [
+                    t for t, y in evs
+                    if y == s and prev is not None and t > prev
+                    and (t - firsts[0]).total_seconds() <= horizon_min * 60
+                ]
+                firsts.append(min(cand, default=None))
+            out[u] = tuple(
+                int(t.timestamp() * 1_000_000) if t else None for t in firsts
+            ) + (sum(1 for t in firsts if t),)
+        return out
+
+    got = {
+        r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"], r["steps_completed"])
+        for r in ev.funnel(df, steps=steps, horizon_minutes=24 * 60).collect()
+    }
+    assert got == brute(24 * 60)
+    assert 4 not in got                       # no step 1, no row
+    assert got[5][1] is None                  # same-ts is not strictly after
+    assert got[6][3] == 1                     # horizon cuts step 2 (and 3)
+    assert got[2][3] == 2 and got[2][2] is None  # purchase-before-view breaks chain
+
+
+def test_funnel_no_horizon_and_single_step(spark):
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        [(0, dt(2024, 1, 1), 1, "signup", 1.0, "{}"),
+         (1, dt(2024, 3, 1), 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = ev.funnel(df, steps=("signup", "view")).collect()[0]
+    assert r["steps_completed"] == 2  # no horizon: 2 months later still counts
+    r1 = ev.funnel(df, steps=("signup",)).collect()[0]
+    assert r1["steps_completed"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one step"):
+        ev.funnel(df, steps=())

@@ -321,6 +321,68 @@ def range_join(
     return joined.select(*out_cols)
 
 
+def funnel(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "purchase"),
+    horizon_minutes: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step funnel analysis: for each user, the earliest time each
+    step was completed STRICTLY AFTER the previous step (step 1 = the
+    user's earliest such event; with ``horizon_minutes``, later steps must
+    also land within the horizon of step 1). Emits one row per user who
+    completed step 1: (user, t1_us..tk_us as unix micros — NULL once the
+    chain breaks, and a NULL step nulls everything after it) plus
+    ``steps_completed``. The product-analytics "conversion funnel"
+    (Amplitude/Mixpanel semantics: first qualifying event per step).
+
+    Scale shape: one filter to the step types, then k per-user min-aggs
+    each joined back against the (user-cardinality) previous frontier —
+    the join is many-to-one on the user key, never event×event; every agg
+    has a map-side partial, so shuffle volume per pass is bounded by user
+    cardinality. k is the funnel length (tiny constant). All column
+    algebra; oracle ``event_funnel`` replays the same chained-CTE shape
+    in DuckDB."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.filter(F.col(type_col).isin(*steps)).select(
+        F.col(user_col), F.col(type_col), us.alias("_us")
+    )
+    cur = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("_us").alias("t1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}_us"
+        cand = ev.filter(F.col(type_col) == step).join(
+            cur.select(user_col, F.col(prev).alias("_prev"), F.col("t1_us").alias("_t1")),
+            user_col,
+        )
+        cond = F.col("_us") > F.col("_prev")
+        if horizon_minutes is not None:
+            cond = cond & (
+                F.col("_us") - F.col("_t1") <= horizon_minutes * 60 * 1_000_000
+            )
+        nxt = (
+            cand.filter(cond)
+            .groupBy(user_col)
+            .agg(F.min("_us").alias(f"t{i}_us"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    done = sum(
+        (F.col(f"t{i}_us").isNotNull()).cast("int") for i in range(1, len(steps) + 1)
+    )
+    return cur.select(
+        user_col,
+        *[F.col(f"t{i}_us") for i in range(1, len(steps) + 1)],
+        done.cast("long").alias("steps_completed"),
+    )
+
+
 def type_hour_rollup(df: DataFrame) -> DataFrame:
     """Multi-level aggregate via ROLLUP(event_type, hour-of-day): per
     (type, hour) cells, per-type subtotals, and a grand total in ONE
