@@ -472,3 +472,42 @@ def test_funnel_no_horizon_and_single_step(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one step"):
         ev.funnel(df, steps=())
+
+
+def test_asof_join_null_key_and_null_ts(spark):
+    """SQL equi-join semantics: NULL-key or NULL-ts right rows match
+    nothing; NULL-key left rows are kept with NULL payloads."""
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(0, dt(2024, 1, 1, 10, 0), 1), (1, dt(2024, 1, 1, 10, 0), None)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(100, None, 1, 7.0), (101, dt(2024, 1, 1, 9, 0), None, 8.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {r["event_id"]: (r["r_event_id"], r["r_value"])
+           for r in ev.asof_join(left, right).collect()}
+    # NULL-ts right row (user 1) and NULL-key right row both match nothing
+    assert got == {0: (None, None), 1: (None, None)}
+
+
+def test_range_join_guards(spark):
+    from datetime import datetime as dt
+
+    pts = spark.createDataFrame(
+        [(0, dt(2024, 1, 1, 10, 0), 1)], "event_id long, ts timestamp, user_id long"
+    )
+    ivl = spark.createDataFrame(
+        [(10, dt(2024, 1, 1, 0, 30), dt(2024, 1, 1, 10, 30), 1)],
+        "interval_id long, session_start timestamp, session_end timestamp, user_id long",
+    )
+    # shared non-key column name -> loud ValueError, not AMBIGUOUS_REFERENCE
+    import pytest as _pt
+    with _pt.raises(ValueError, match="share non-key columns"):
+        ev.range_join(pts, ivl.withColumnRenamed("interval_id", "event_id"))
+    # exploded-bin count guard: 00:30-10:30 straddles 11 one-hour bins
+    with _pt.raises(Exception, match="max_bins"):
+        ev.range_join(pts, ivl, bin_minutes=60, max_bins=10).collect()
+    assert ev.range_join(pts, ivl, bin_minutes=60, max_bins=11).count() == 1

@@ -219,6 +219,12 @@ def asof_join(
         F.col(ts_col).cast("timestamp").alias("_rts"),
         *[F.col(c).alias(c) for c in right_cols],
     )
+    # SQL equi-join semantics: a NULL-key or NULL-ts right row matches
+    # nothing (the window would otherwise group NULL keys together and
+    # sort NULL ts first, forward-filling phantom matches); NULL-key/ts
+    # LEFT rows need no filter — their window slice holds no right rows,
+    # so they keep NULL payloads, same as a left outer join
+    right = right.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
     r = right.select(
         F.col(key_col),
         us.alias("_us"),
@@ -285,14 +291,23 @@ def range_join(
     raise, don't silently build a bomb). Columns: all point columns + all
     interval columns (inner join; points outside every interval drop).
     Oracle ``event_range_join`` is the plain theta join in DuckDB."""
+    shared = (set(points.columns) & set(intervals.columns)) - {key_col}
+    if shared:
+        raise ValueError(
+            f"range_join: points and intervals share non-key columns {sorted(shared)}; "
+            "rename or pre-select disjoint columns"
+        )
     p_us = F.unix_micros(F.col(point_col).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
     bin_us = bin_minutes * 60 * 1_000_000
     # the guard lives INSIDE the sequence bound so Catalyst cannot prune
-    # it away as an unused column — a dead raise_error guards nothing
+    # it away as an unused column — a dead raise_error guards nothing.
+    # Count EXPLODED bins (floor(e)-floor(s)+1), not duration/bin — an
+    # unaligned interval straddles one more bin than its duration spans
     end_bin = F.when(
-        (e_us >= s_us) & ((e_us - s_us) / F.lit(bin_us) <= max_bins),
+        (e_us >= s_us)
+        & (F.floor(e_us / bin_us) - F.floor(s_us / bin_us) + 1 <= max_bins),
         F.floor(e_us / bin_us),
     ).otherwise(
         F.raise_error(

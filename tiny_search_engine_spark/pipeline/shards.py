@@ -51,6 +51,29 @@ def derive_vocab(tokens: DataFrame) -> DataFrame:
     )
 
 
+def _make_lower_terms_iterator(mode: str, id_col: str, text_col: str):
+    """iterator[pd.DataFrame] -> iterator[pd.DataFrame] for mapInPandas:
+    one row per token occurrence, a single python-str.lower()ed ``term``
+    column — the vocab-census twin of the fused-ids pass, using the SAME
+    case fold so derived vocab keys always hit the fused lookup."""
+    import pandas as pd
+
+    from ..tokenizer import get_tokenizer
+
+    tok = get_tokenizer(mode)
+
+    def fn(batches):
+        for pdf in batches:
+            out: list[str] = []
+            for text in pdf[text_col].to_numpy():
+                if text is None:
+                    continue
+                out.extend(t.term.lower() for t in tok.tokens(text))
+            yield pd.DataFrame({"term": pd.Series(out, dtype="object")})
+
+    return fn
+
+
 def _make_fused_ids_iterator(mode: str, id_col: str, text_col: str, vocab_bc, oov_id: int):
     """iterator[pd.DataFrame] -> iterator[pd.DataFrame] for mapInPandas:
     one row per doc, (id, ids array) — tokenize AND vocab-id lookup fused
@@ -107,24 +130,34 @@ def build_chunks(
     lookup happens inside the tokenize Arrow pass against a broadcast
     vocab dict, so no token-level shuffle exists; ``False`` takes the
     join path (token explode ⋈ vocab → per-doc regroup), the right
-    shape only when the vocabulary is too big to broadcast. Both paths
-    produce identical chunks (pinned in tests/test_shards.py)."""
+    shape only when the vocabulary is too big to broadcast. The fused
+    path case-folds in Python end to end (census AND lookup — they can
+    never diverge from each other); the join path folds with JVM
+    lower(). The two paths produce identical chunks whenever those
+    folds agree — all ASCII and virtually all real text; the handful of
+    divergent codepoints are Unicode-version skew between the Python
+    and JVM runtimes (pinned in tests/test_shards.py)."""
     if chunks_per_shard < 1:
         raise ValueError(f"chunks_per_shard must be >= 1, got {chunks_per_shard}")
-    tokens = None
-    if vocab is None or not broadcast_vocab:
-        tok_fn = make_tokenize_iterator(tokenizer, id_col, text_col)
-        tokens = (
-            df.select(F.col(id_col), F.col(text_col))
-            .mapInPandas(tok_fn, _TOK_SCHEMA)
-            .select(F.col(id_col), "pos", F.lower(F.col("term")).alias("term"))
-        )
-    if vocab is None:
-        vocab = derive_vocab(tokens)
     if broadcast_vocab:
         # fused path: the id lookup rides the tokenize Arrow pass — no
         # token-level exchange at all (see module docstring). Collecting
-        # the vocab is the same model-sized assumption broadcast makes.
+        # the vocab is the same model-sized assumption broadcast makes,
+        # and it is EAGER: build_chunks materializes the vocab (one
+        # census pass when vocab=None) at call time rather than at
+        # action time; with vocab=None the corpus is tokenized twice
+        # (census + fused pass) — pass vocab explicitly to pay one.
+        if vocab is None:
+            # census folds case in PYTHON (same str.lower the fused
+            # lookup and the tokenizer's own dup-counting use) so the
+            # derived keys and the lookup keys cannot diverge on
+            # codepoints where JVM and Python Unicode versions disagree
+            vocab = derive_vocab(
+                df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+                    _make_lower_terms_iterator(tokenizer, id_col, text_col),
+                    "term string",
+                )
+            )
         vmap = {r["term"]: int(r["token_id"]) for r in vocab.collect()}
         bc = df.sparkSession.sparkContext.broadcast(vmap)
         fused_fn = _make_fused_ids_iterator(tokenizer, id_col, text_col, bc, int(oov_id))
@@ -132,6 +165,14 @@ def build_chunks(
             fused_fn, f"{id_col} long, ids array<long>"
         )
     else:
+        tok_fn = make_tokenize_iterator(tokenizer, id_col, text_col)
+        tokens = (
+            df.select(F.col(id_col), F.col(text_col))
+            .mapInPandas(tok_fn, _TOK_SCHEMA)
+            .select(F.col(id_col), "pos", F.lower(F.col("term")).alias("term"))
+        )
+        if vocab is None:
+            vocab = derive_vocab(tokens)
         ids = (
             tokens.join(vocab, "term", "left")
             .select(
