@@ -1014,6 +1014,10 @@ def _sql_boolean_search() -> str:
 
 SUGGEST_PREFIXES: list[tuple[int, str]] = [(1, "ta"), (2, "s"), (3, "zz")]
 RELATED_SEEDS: list[str] = ["table", "merge"]
+SPELL_QUERIES: list[tuple[int, str]] = [
+    (1, "tabel"), (2, "quer"), (3, "jion"), (4, "sprak"), (5, "ro"), (6, "zzzzz")
+]
+SEMDEDUP_CLUSTERS, SEMDEDUP_THRESHOLD = 8, 0.3
 
 
 def _q_suggest(spark, sf_dir):
@@ -1032,6 +1036,31 @@ def _q_related_terms(spark, sf_dir):
     from tiny_search_engine_spark.pipeline import retrieval
 
     return retrieval.related_terms(_docs(spark, sf_dir), RELATED_SEEDS, k=10)
+
+
+def _q_spell_correct(spark, sf_dir):
+    """Fuzzy term correction from the corpus term dictionary
+    (pipeline.retrieval.spell_correct): dictionary-sized banded
+    Levenshtein theta-join against the broadcast query batch, top-k by
+    (distance, df desc, term). The query-repair layer in front of the
+    reference's exact-sign-only recall (src/table.cpp:430-470)."""
+    from tiny_search_engine_spark.pipeline import retrieval
+
+    return retrieval.spell_correct(
+        _docs(spark, sf_dir), SPELL_QUERIES, max_dist=2, k=5
+    )
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table (pipeline.simsearch
+    .semantic_dedup): cluster-bounded pairwise cosine — drop any vector
+    with a lower-id same-cluster neighbor above the threshold. Lowest-id
+    codebook so the DuckDB oracle reproduces the assignment exactly
+    (same discipline as knn_ivf)."""
+    emb = _emb(spark, sf_dir)
+    return simsearch.semantic_dedup(
+        emb, n_clusters=SEMDEDUP_CLUSTERS, threshold=SEMDEDUP_THRESHOLD
+    )
 
 
 # trigram code search: needles/patterns chosen to exercise every path —
@@ -1225,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_terms": _q_related_terms,
         "boolean_search": _q_boolean_search,
         "doc_pagerank": _q_doc_pagerank,
+        "spell_correct": _q_spell_correct,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2331,4 +2362,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT seed, rank, term, c_xy, pmi FROM r WHERE rank <= 10
         """,
         "boolean_search": _sql_boolean_search(),
+        "spell_correct": f"""
+            WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_TOKENS_SQL})),
+            dfs AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+            q(query_id, q) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in SPELL_QUERIES)}),
+            cand AS (SELECT query_id, term, df, levenshtein(term, q) AS dist
+                     FROM dfs, q WHERE levenshtein(term, q) <= 2),
+            r AS (SELECT query_id, term, dist, df,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY dist ASC, df DESC, term ASC) AS rank
+                  FROM cand)
+            SELECT query_id, rank, term, dist, df FROM r WHERE rank <= 5
+        """,
+        "semantic_dedup": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_CLUSTERS}),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ec AS (SELECT e.vec_id, c.cid,
+                          round(list_dot_product(e.v, c.cv)
+                                / (sqrt(list_dot_product(e.v, e.v))
+                                   * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+                   FROM e, c),
+            assign AS (SELECT vec_id, cid AS centroid_id FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+                FROM ec) WHERE rn = 1),
+            wit AS (SELECT a.vec_id, count(*) AS n_dup_witnesses
+                    FROM assign a JOIN assign b USING (centroid_id)
+                         JOIN e ea ON ea.vec_id = a.vec_id
+                         JOIN e eb ON eb.vec_id = b.vec_id
+                    WHERE b.vec_id < a.vec_id
+                      AND round(list_dot_product(ea.v, eb.v)
+                                / (sqrt(list_dot_product(ea.v, ea.v))
+                                   * sqrt(list_dot_product(eb.v, eb.v))), 6)
+                          >= {SEMDEDUP_THRESHOLD}
+                    GROUP BY a.vec_id)
+            SELECT a.vec_id, a.centroid_id, w.vec_id IS NULL AS is_kept,
+                   coalesce(w.n_dup_witnesses, 0) AS n_dup_witnesses
+            FROM assign a LEFT JOIN wit w USING (vec_id)
+        """,
     }

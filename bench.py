@@ -217,6 +217,9 @@ def main() -> None:
         timed("lm_perplexity", lambda: entrymod._q_lm_perplexity(spark, sf_dir).count())
         timed("dup_spans_removed", lambda: entrymod._q_dup_spans_removed(spark, sf_dir).count())
         timed("knn_pq", lambda: entrymod._q_knn_pq(spark, sf_dir).count())
+        # cluster-bounded embedding dedup + dictionary-sized fuzzy correction
+        timed("semantic_dedup", lambda: entrymod._q_semantic_dedup(spark, sf_dir).count())
+        timed("spell_correct", lambda: entrymod._q_spell_correct(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -764,3 +764,77 @@ def test_lm_perplexity_rejects_zero_add_k(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="add_k"):
         textstats.lm_perplexity(df, add_k=0.0)
+
+
+def test_semantic_dedup_brute(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 12))
+    vecs = {i: base[i] for i in range(40)}
+    # planted near-duplicates: tiny perturbations of existing rows
+    for i, src in [(40, 3), (41, 3), (42, 17), (43, 25)]:
+        vecs[i] = vecs[src] + 1e-3 * rng.standard_normal(12)
+    rows = [(i, v.astype("float32").tolist()) for i, v in sorted(vecs.items())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: (r.centroid_id, r.is_kept, r.n_dup_witnesses)
+        for r in simsearch.semantic_dedup(emb, n_clusters=4, threshold=0.9).collect()
+    }
+    # brute with the engine's exact tie/rounding rules (float32 storage,
+    # double math, round-6 cosine, lowest-cid argmax tie)
+    V = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+
+    def cos(a, b):
+        return round(
+            float(V[a] @ V[b]) / (np.linalg.norm(V[a]) * np.linalg.norm(V[b])), 6
+        )
+
+    cids = [0, 1, 2, 3]
+    assign = {
+        i: max(cids, key=lambda c: (cos(i, c), -c))
+        for i in V
+    }
+    want = {}
+    for i in V:
+        wit = [
+            j for j in V
+            if j < i and assign[j] == assign[i] and cos(i, j) >= 0.9
+        ]
+        want[i] = (assign[i], not wit, len(wit))
+    assert out == want
+    # the planted copies were caught and the originals kept
+    assert not out[41][1] and not out[42][1] and not out[43][1]
+    assert out[3][1] and out[17][1] and out[25][1]
+    # 40 vs 3: same cluster, 40 is the lower-id copy... 3 < 40 so 40 drops
+    assert not out[40][1]
+
+
+def test_semantic_dedup_kmeans_codebook(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(60)]
+    rows += [(60, rows[7][1]), (61, rows[9][1])]  # exact copies
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = simsearch.semantic_dedup(
+        emb, n_clusters=4, threshold=0.99, codebook="kmeans"
+    )
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 62
+    # exact copies land in the copied row's cluster and are dropped
+    assert got[60].centroid_id == got[7].centroid_id and not got[60].is_kept
+    assert got[61].centroid_id == got[9].centroid_id and not got[61].is_kept
+    assert got[7].is_kept and got[9].is_kept
+    # the lowest id of every cluster can have no lower-id witness
+    lowest = {}
+    for i, r in got.items():
+        if r.centroid_id not in lowest or i < lowest[r.centroid_id]:
+            lowest[r.centroid_id] = i
+    assert all(got[i].is_kept for i in lowest.values())
+    # the precomputed-assignments path (the 100 TB materialize-once shape)
+    # is identical to the inline path
+    cents = simsearch.ivf_centroids_kmeans(emb, 4, "vec_id", "embedding")
+    pre = simsearch.ivf_assign(emb, cents)
+    out2 = simsearch.semantic_dedup(emb, threshold=0.99, assignments=pre)
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out.collect()}

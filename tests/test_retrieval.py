@@ -153,3 +153,58 @@ def test_boolean_search_gates(spark):
         retrieval.boolean_search(df, [(1, "-x")])
     with pytest.raises(ValueError, match="duplicate query_id"):
         retrieval.boolean_search(df, [(1, "x"), (1, "y")])
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_spell_correct_brute(spark):
+    rows = [
+        (0, "table scan merge"),
+        (1, "table query sort"),
+        (2, "table tables tale"),
+        (3, "query quest zebra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(1, "tabel"), (2, "quer"), (3, "tale"), (4, "zzzzzz")]
+    got = {
+        (r.query_id, r.rank): (r.term, r.dist, r.df)
+        for r in retrieval.spell_correct(df, queries, max_dist=2, k=3).collect()
+    }
+    # brute: python levenshtein over the distinct-term dictionary
+    dfreq: dict[str, int] = {}
+    for _, t in rows:
+        for term in set(t.split()):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    want = {}
+    for qid, q in queries:
+        cand = [
+            (d, -c, t)
+            for t, c in dfreq.items()
+            if (d := _lev(t, q)) <= 2
+        ]
+        for rank, (d, negc, t) in enumerate(sorted(cand)[:3], 1):
+            want[(qid, rank)] = (t, d, -negc)
+    assert got == want and got
+    # semantic pins: exact hit ranks first at distance 0; df breaks dist ties
+    assert got[(3, 1)] == ("tale", 0, 1)
+    assert got[(1, 1)][0] == "table"  # df 3 beats tables/tale at equal dist
+    assert all(q != 4 for q, _ in got)  # nothing within distance 2 of zzzzzz
+
+
+def test_spell_correct_length_band_never_cuts(spark):
+    # the |len| <= max_dist prefilter is a necessary condition of the DP:
+    # removing it must not change results on a dictionary with extreme
+    # length spread
+    rows = [(0, "ab abc abcd abcde abcdefghijklm x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval.spell_correct(df, [(1, "abcd")], max_dist=2, k=10).collect()
+    assert sorted(r.term for r in out) == ["ab", "abc", "abcd", "abcde"]
+    assert {r.term: r.dist for r in out}["ab"] == 2

@@ -344,3 +344,60 @@ def more_like_this(
         .filter(F.col("rank") <= k)
         .select("seed_id", "rank", id_col, "sim")
     )
+
+
+def spell_correct(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Fuzzy term correction ("did you mean") from the corpus term
+    dictionary: for each (query_id, typed term), the top-k dictionary
+    terms within Levenshtein distance ``max_dist``, ranked by
+    (distance asc, document frequency desc, term asc). Exact hits rank
+    first at distance 0. Returns (query_id, rank, term, dist, df).
+
+    The reference has no fuzzy matching at all — an unknown query term
+    simply recalls nothing (src/table.cpp:430-470 merges postings of
+    exact term signs only); this is the query-repair layer every real
+    engine bolts on in front of that recall.
+
+    Scale shape: like ``suggest``, the match runs against the term
+    DICTIONARY (one distinct (doc, term) projection + a term-level
+    groupBy — dictionary-sized, not corpus-sized) with the tiny query
+    batch broadcast. The theta join carries a cheap length-band
+    prefilter (|len(term) − len(q)| ≤ max_dist, a necessary condition
+    for edit distance ≤ max_dist) so most dictionary rows short-circuit
+    before the DP; ``F.levenshtein``'s built-in threshold form prunes
+    the rest JVM-side. A production engine compiles a Levenshtein
+    automaton over its FST dictionary (Lucene FuzzyQuery); at dictionary
+    cardinality the broadcast banded theta join is the declarative
+    equivalent, and it never touches the corpus again after the one
+    dictionary build."""
+    spark = docs.sparkSession
+    qf = spark.createDataFrame(
+        [(int(i), q) for i, q in queries], "query_id long, q string"
+    )
+    df_tbl = (
+        tokens_view(docs, id_col=id_col, text_col=text_col)
+        .select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    cand = df_tbl.join(
+        F.broadcast(qf),
+        (F.abs(F.length("term") - F.length("q")) <= max_dist)
+        & (F.levenshtein("term", "q", max_dist) >= 0),
+    ).withColumn("dist", F.levenshtein("term", "q"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "term", "dist", "df")
+    )

@@ -547,3 +547,96 @@ def knn_pq(
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, "cosine")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    codebook: str = "lowest_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    table, then mark as duplicates the vectors that have a same-cluster
+    neighbor above the cosine ``threshold``. Keep rule is deterministic:
+    a vector is dropped iff a LOWER-id vector in its cluster is within
+    the threshold (so the lowest id of every near-duplicate chain
+    survives, and chains collapse without an iterative component pass —
+    the paper keeps one exemplar per dup pair; keep-lowest-witness is
+    the order-free equivalent).
+
+    Returns one row per input vector:
+    (vec_id, centroid_id, is_kept, n_dup_witnesses) where
+    ``n_dup_witnesses`` counts the lower-id same-cluster vectors above
+    the threshold (0 for kept rows).
+
+    The reference deduplicates nothing (its corpus loader keeps every
+    row, src/table.cpp:139-176); this is the embedding-space member of
+    the dedup family (exact/MinHash/SimHash/ngram live in
+    pipeline/dedup.py) — the one that catches paraphrases sharing no
+    tokens, which no lexical detector in that family can.
+
+    Scale shape: THE point of SemDeDup — the pairwise cosine join is
+    cluster-bounded (Σ_c |c|² vs |corpus|² for the brute pass;
+    ``embedding_neardup_pairs`` is that labeled exact baseline), and
+    every stage is an equi-join on centroid_id, never a cross join. At
+    100 TB you size n_clusters ∝ corpus so the expected cluster stays
+    O(corpus / n_clusters) ≈ constant, assign once (one map pass over
+    the vector table, codebook broadcast inside the Arrow UDF), and the
+    pair join shuffles each cluster to one task. ``codebook='lowest_id'``
+    is SQL-oracle-reproducible; ``codebook='kmeans'`` plugs in the real
+    spherical-k-means codebook (balanced clusters → tighter bound).
+
+    The self-join references the assignment THREE times (pair left, pair
+    right, final projection); a declarative plan recomputes the Arrow
+    assignment pass per reference. At scale, materialize it once and
+    pass it back in via ``assignments`` (a (id, vec, centroid_id) frame
+    from ``ivf_assign`` — e.g. written to parquet partitioned by
+    centroid_id, which also pre-co-locates the pair join); default None
+    recomputes inline, which the SQL oracle reproduces exactly."""
+    if assignments is not None:
+        assign = assignments
+    else:
+        if codebook == "kmeans":
+            centroids = ivf_centroids_kmeans(
+                corpus, n_clusters, id_col, vec_col, seed=seed
+            )
+        else:
+            centroids = ivf_centroids(corpus, n_clusters, id_col, vec_col)
+        assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    left = assign.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), "centroid_id"
+    )
+    right = assign.select(
+        F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv"), "centroid_id"
+    )
+    witnesses = (
+        left.join(right, "centroid_id")
+        .filter(F.col("_rid") < F.col(id_col))
+        .withColumn(
+            "_cos",
+            F.round(
+                _dot(F.col("_v"), F.col("_rv")) / (_norm(F.col("_v")) * _norm(F.col("_rv"))),
+                6,
+            ),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_witnesses"))
+    )
+    return (
+        assign.select(id_col, "centroid_id")
+        .join(witnesses, id_col, "left")
+        .select(
+            id_col,
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("n_dup_witnesses").isNull().alias("is_kept"),
+            F.coalesce(F.col("n_dup_witnesses"), F.lit(0).cast("long")).alias(
+                "n_dup_witnesses"
+            ),
+        )
+    )
