@@ -1051,6 +1051,28 @@ def _q_spell_correct(spark, sf_dir):
     )
 
 
+def _q_hybrid_search(spark, sf_dir):
+    """Hybrid search: the lexical BM25 top-k and the embedding cosine
+    top-k (query i's vector = embeddings[vec_id=i], doc ids shared
+    across tables in the synthetic schema) fused by reciprocal-rank
+    fusion (pipeline.retrieval.rrf_fuse, k_rrf=60). Fusion is
+    rank-only — no score calibration — and adds no corpus pass on top
+    of the two upstream rankings."""
+    from tiny_search_engine_spark.pipeline import retrieval, simsearch as ss
+
+    lex = _q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    sem = ss.knn_cosine(emb, qv, k=TOPK).select(
+        F.col("query_vec_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    return retrieval.rrf_fuse([lex, sem], k_rrf=60, k=TOPK)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table (pipeline.simsearch
     .semantic_dedup): cluster-bounded pairwise cosine — drop any vector
@@ -1256,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": _q_doc_pagerank,
         "spell_correct": _q_spell_correct,
         "semantic_dedup": _q_semantic_dedup,
+        "hybrid_search": _q_hybrid_search,
     }
 
 
@@ -2400,5 +2423,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, a.centroid_id, w.vec_id IS NULL AS is_kept,
                    coalesce(w.n_dup_witnesses, 0) AS n_dup_witnesses
             FROM assign a LEFT JOIN wit w USING (vec_id)
+        """,
+        "hybrid_search": f"""
+            WITH lex AS ({_sql_bm25_topk(n, qterms)}),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qe AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 8),
+            semscored AS (SELECT qe.query_id, e.vec_id AS doc_id,
+                                 round(list_dot_product(e.v, qe.qv)
+                                       / (sqrt(list_dot_product(e.v, e.v))
+                                          * sqrt(list_dot_product(qe.qv, qe.qv))), 6) AS cosine
+                          FROM e, qe),
+            sem AS (SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, doc_id ASC) AS rank
+                FROM semscored) WHERE rank <= {TOPK}),
+            contrib AS (
+                SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM lex
+                UNION ALL
+                SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM sem),
+            fused AS (SELECT query_id, doc_id, round(sum(c), 6) AS rrf
+                      FROM contrib GROUP BY 1, 2)
+            SELECT query_id, rank, doc_id, rrf FROM (
+                SELECT query_id, doc_id, rrf,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rrf DESC, doc_id ASC) AS rank
+                FROM fused) WHERE rank <= {TOPK}
         """,
     }

@@ -220,6 +220,7 @@ def main() -> None:
         # cluster-bounded embedding dedup + dictionary-sized fuzzy correction
         timed("semantic_dedup", lambda: entrymod._q_semantic_dedup(spark, sf_dir).count())
         timed("spell_correct", lambda: entrymod._q_spell_correct(spark, sf_dir).count())
+        timed("hybrid_search", lambda: entrymod._q_hybrid_search(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

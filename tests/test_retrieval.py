@@ -208,3 +208,51 @@ def test_spell_correct_length_band_never_cuts(spark):
     out = retrieval.spell_correct(df, [(1, "abcd")], max_dist=2, k=10).collect()
     assert sorted(r.term for r in out) == ["ab", "abc", "abcd", "abcde"]
     assert {r.term: r.dist for r in out}["ab"] == 2
+
+
+def test_rrf_fuse_brute(spark):
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(0, 12, 1), (0, 13, 2), (0, 10, 3), (1, 21, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.rrf)
+        for r in retrieval.rrf_fuse([lex, sem], k_rrf=60, k=10).collect()
+    }
+    # brute RRF
+    contrib: dict[tuple[int, int], float] = {}
+    for df in (
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2)],
+        [(0, 12, 1), (0, 13, 2), (0, 10, 3), (1, 21, 1)],
+    ):
+        for q, d, r in df:
+            contrib[(q, d)] = contrib.get((q, d), 0.0) + 1.0 / (60 + r)
+    want = {}
+    for q in (0, 1):
+        ranked = sorted(
+            ((d, round(s, 6)) for (qq, d), s in contrib.items() if qq == q),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for rank, (d, s) in enumerate(ranked, 1):
+            want[(q, rank)] = (d, s)
+    assert got == want
+    # doc 12 (ranks 3+1) and doc 10 (ranks 1+3) tie exactly -> id tie-break
+    assert got[(0, 1)][0] == 10 and got[(0, 2)][0] == 12
+    # two-list docs beat one-list docs at comparable ranks
+    assert got[(0, 3)][0] == 11  # 1/62 > 1/62? no: 11 has 1/62, 13 has 1/62 -> id tie-break
+    assert got[(0, 4)][0] == 13
+
+
+def test_rrf_fuse_weights_and_gates(spark):
+    a = spark.createDataFrame([(0, 1, 1)], "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame([(0, 2, 1)], "query_id long, doc_id long, rank int")
+    out = {r.doc_id: r.rrf for r in retrieval.rrf_fuse([a, b], weights=[2.0, 1.0]).collect()}
+    assert out[1] == round(2.0 / 61, 6) and out[2] == round(1.0 / 61, 6)
+    with pytest.raises(ValueError, match="at least one"):
+        retrieval.rrf_fuse([])
+    with pytest.raises(ValueError, match="length mismatch"):
+        retrieval.rrf_fuse([a], weights=[1.0, 2.0])

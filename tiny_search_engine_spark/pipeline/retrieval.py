@@ -401,3 +401,59 @@ def spell_correct(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "term", "dist", "df")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse any
+    number of per-query rankings — each (query_col, id_col, rank) — into
+    one, scoring each doc Σ_i w_i / (k_rrf + rank_i) over the lists that
+    ranked it. The standard hybrid-search combiner (lexical BM25 +
+    embedding ANN) because it needs no score calibration across systems —
+    only ranks. k_rrf=60 is the paper's constant. Returns
+    (query_col, rank, id_col, rrf) with rrf rounded to 6 decimals and the
+    fused rank ordered (rrf desc, id asc).
+
+    The reference has exactly one ranking and no fusion; this is the
+    glue that lets its lexical pipeline and the ANN family serve ONE
+    result list.
+
+    Scale shape: inputs are already top-k-per-query — k·n_queries rows
+    each, corpus-independent — so the union + (query, doc) groupBy + one
+    per-query window is as small as the query batch itself. The heavy
+    lifting stays in the upstream rankings; fusion adds no corpus pass.
+    Bit-stable by construction with ≤2 lists (one commutative add per
+    doc); with more lists, equal-rrf ties still order deterministically
+    by the id tie-break."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError("rrf_fuse: weights/rankings length mismatch")
+    parts = [
+        df.select(
+            F.col(query_col),
+            F.col(id_col),
+            (
+                F.lit(float(w)) / (F.lit(float(k_rrf)) + F.col("rank").cast("double"))
+            ).alias("_c"),
+        )
+        for df, w in zip(rankings, weights)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, id_col).agg(F.round(F.sum("_c"), 6).alias("rrf"))
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, "rank", id_col, "rrf")
+    )
