@@ -1018,6 +1018,9 @@ SPELL_QUERIES: list[tuple[int, str]] = [
     (1, "tabel"), (2, "quer"), (3, "jion"), (4, "sprak"), (5, "ro"), (6, "zzzzz")
 ]
 SEMDEDUP_CLUSTERS, SEMDEDUP_THRESHOLD = 8, 0.3
+VOCAB_COVERAGE_TERMS = [
+    "table", "row", "scan", "value", "key", "batch", "merge", "the", "a", "spark"
+]
 
 
 def _q_suggest(spark, sf_dir):
@@ -1049,6 +1052,15 @@ def _q_spell_correct(spark, sf_dir):
     return retrieval.spell_correct(
         _docs(spark, sf_dir), SPELL_QUERIES, max_dist=2, k=5
     )
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-fit census (pipeline.textstats.vocab_coverage,
+    DataFrame-vocab path — the broadcast-join shape a real 32-256k
+    subword vocab needs; the inlined-list map-only path is pinned equal
+    in tests/test_pipeline.py)."""
+    v = spark.createDataFrame([(t,) for t in VOCAB_COVERAGE_TERMS], "term string")
+    return textstats.vocab_coverage(_docs(spark, sf_dir), v)
 
 
 def _q_hybrid_search(spark, sf_dir):
@@ -1279,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_correct": _q_spell_correct,
         "semantic_dedup": _q_semantic_dedup,
         "hybrid_search": _q_hybrid_search,
+        "vocab_coverage": _q_vocab_coverage,
     }
 
 
@@ -2450,5 +2463,23 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY rrf DESC, doc_id ASC) AS rank
                 FROM fused) WHERE rank <= {TOPK}
+        """,
+        "vocab_coverage": f"""
+            WITH toks AS (SELECT doc_id, lower(term) AS term FROM ({_TOKENS_SQL})),
+            v(term) AS (VALUES {", ".join(f"('{t}')" for t in VOCAB_COVERAGE_TERMS)}),
+            per AS (SELECT doc_id, count(*) AS n_tokens,
+                           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+                    FROM toks LEFT JOIN v USING (term) GROUP BY doc_id),
+            nb AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS nbpe
+                   FROM documents)
+            SELECT d.doc_id,
+                   coalesce(per.n_tokens, 0) AS n_tokens,
+                   coalesce(per.n_oov, 0) AS n_oov,
+                   round(CASE WHEN coalesce(per.n_tokens, 0) > 0
+                              THEN per.n_oov::DOUBLE / per.n_tokens ELSE 0.0 END, 6) AS oov_rate,
+                   round(CASE WHEN coalesce(per.n_tokens, 0) > 0
+                              THEN nb.nbpe::DOUBLE / per.n_tokens ELSE 0.0 END, 6) AS fertility
+            FROM documents d LEFT JOIN per USING (doc_id) JOIN nb USING (doc_id)
         """,
     }

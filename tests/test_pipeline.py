@@ -838,3 +838,44 @@ def test_semantic_dedup_kmeans_codebook(spark):
     pre = simsearch.ivf_assign(emb, cents)
     out2 = simsearch.semantic_dedup(emb, threshold=0.99, assignments=pre)
     assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_vocab_coverage_brute_and_path_parity(spark):
+    import re
+
+    rows = [
+        (0, "Table ROW scan zebra"),      # case-folding; 1 OOV
+        (1, "x1 y2 (z)"),                 # all OOV; punct affects fertility
+        (2, ""),                          # empty doc: zero rates, kept
+        (3, "the the the"),               # all in-vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = ["table", "row", "scan", "the"]
+    list_out = {r.doc_id: r for r in textstats.vocab_coverage(df, vocab).collect()}
+    vdf = spark.createDataFrame([(t,) for t in vocab], "term string")
+    df_out = {r.doc_id: r for r in textstats.vocab_coverage(df, vdf).collect()}
+    # brute
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        n_bpe = len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", text))
+        n_oov = sum(1 for t in toks if t not in vocab)
+        want = (
+            len(toks),
+            n_oov,
+            round(n_oov / len(toks), 6) if toks else 0.0,
+            round(n_bpe / len(toks), 6) if toks else 0.0,
+        )
+        for out in (list_out, df_out):
+            got = out[i]
+            assert (got.n_tokens, got.n_oov, got.oov_rate, got.fertility) == want, (i, got)
+    # both plans, same answer (incl. the empty doc surviving the join path)
+    assert {tuple(r) for r in list_out.values()} == {tuple(r) for r in df_out.values()}
+    # literal pin: "x1 y2 (z)" -> pieces x,1,y,2,(,z,) = 7 over 3 ws tokens
+    assert list_out[1].fertility == round(7 / 3, 6)
+    assert list_out[1].n_oov == 3 and list_out[0].n_oov == 1
+
+
+def test_vocab_coverage_list_path_is_shuffle_free(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = textstats.vocab_coverage(df, ["a"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
