@@ -1054,6 +1054,13 @@ def _q_spell_correct(spark, sf_dir):
     )
 
 
+def _q_doc_keyterms(spark, sf_dir):
+    """Per-doc tf-idf keyword extraction (pipeline.textstats
+    .doc_keyterms): broadcast df census + per-doc rank-limit-pushed
+    window; rank over the 6-dp-rounded weight + term tie-break."""
+    return textstats.doc_keyterms(_docs(spark, sf_dir), k=5, min_df=2)
+
+
 def _q_vocab_coverage(spark, sf_dir):
     """Tokenizer-fit census (pipeline.textstats.vocab_coverage,
     DataFrame-vocab path — the broadcast-join shape a real 32-256k
@@ -1292,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "hybrid_search": _q_hybrid_search,
         "vocab_coverage": _q_vocab_coverage,
+        "doc_keyterms": _q_doc_keyterms,
     }
 
 
@@ -2481,5 +2489,19 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN coalesce(per.n_tokens, 0) > 0
                               THEN nb.nbpe::DOUBLE / per.n_tokens ELSE 0.0 END, 6) AS fertility
             FROM documents d LEFT JOIN per USING (doc_id) JOIN nb USING (doc_id)
+        """,
+        "doc_keyterms": f"""
+            WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                        FROM ({_TOKENS_SQL}) GROUP BY 1, 2),
+            dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) >= 2),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                              round(tf.tf * ln(n.n_docs::DOUBLE / dfs.df), 6) AS wei
+                       FROM tf JOIN dfs USING (term), n)
+            SELECT doc_id, rank, term, tf, wei FROM (
+                SELECT doc_id, term, tf, wei,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY wei DESC, term ASC) AS rank
+                FROM scored) WHERE rank <= 5
         """,
     }

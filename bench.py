@@ -222,6 +222,7 @@ def main() -> None:
         timed("spell_correct", lambda: entrymod._q_spell_correct(spark, sf_dir).count())
         timed("hybrid_search", lambda: entrymod._q_hybrid_search(spark, sf_dir).count())
         timed("vocab_coverage", lambda: entrymod._q_vocab_coverage(spark, sf_dir).count())
+        timed("doc_keyterms", lambda: entrymod._q_doc_keyterms(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

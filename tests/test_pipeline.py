@@ -879,3 +879,48 @@ def test_vocab_coverage_list_path_is_shuffle_free(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     plan = textstats.vocab_coverage(df, ["a"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_doc_keyterms_brute(spark):
+    import math
+
+    rows = [
+        (0, "spark spark table common"),
+        (1, "duck pond common table"),
+        (2, "spark duck common common"),
+        (3, "zebra common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.wei)
+        for r in textstats.doc_keyterms(df, k=2, min_df=1).collect()
+    }
+    # brute tf-idf with the engine's rounding/tie rules
+    toks = {i: t.split() for i, t in rows}
+    dfreq: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for i, ts in toks.items():
+        tf = {t: ts.count(t) for t in set(ts)}
+        scored = sorted(
+            (
+                (round(c * math.log(len(rows) / dfreq[t]), 6), t, c)
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rank, (wei, t, c) in enumerate(scored[:2], 1):
+            want[(i, rank)] = (t, c, wei)
+    assert got == want
+    # doc 0's signature term is spark (tf=2, df=2), never "common" (df=4, idf=0)
+    assert got[(0, 1)][0] == "spark"
+    # idf 0 terms (in every doc) still appear when nothing else is left
+    assert got[(3, 1)][0] == "zebra" and got[(3, 2)] == ("common", 1, 0.0)
+    # min_df prunes hapax: zebra (df=1) disappears, doc 3 keeps only common
+    pruned = {
+        (r.doc_id, r.rank): r.term
+        for r in textstats.doc_keyterms(df, k=2, min_df=2).collect()
+    }
+    assert pruned[(3, 1)] == "common" and (3, 2) not in pruned

@@ -539,3 +539,51 @@ def vocab_coverage(
             F.when(n_tok > 0, n_bpe / n_tok).otherwise(F.lit(0.0)), 6
         ).alias("fertility"),
     )
+
+
+def doc_keyterms(
+    df: DataFrame,
+    k: int = 5,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf
+    (wei = tf · ln(n_docs / df), the "significant terms" /
+    keyword-extraction primitive behind tagging, faceting and
+    related-content UIs). Returns (id, rank, term, tf, wei) with wei
+    rounded to 6 dp and rank computed OVER the rounded value + term
+    tie-break (engine-reproducible). ``min_df`` prunes hapax noise.
+
+    The reference computes idf only to score queries; this turns the
+    same statistic inward to describe each document. Shares the
+    tf/df shapes of ``more_like_this`` (retrieval.py) but emits the
+    seed-side weights for EVERY doc instead of a similarity join.
+
+    Scale shape: one (doc, term) aggregation, one term-level df census
+    (dictionary-sized, broadcast back), then a per-doc window whose
+    partition key is the highest-cardinality column in the corpus —
+    Catalyst's rank-limit pushdown (WindowGroupLimit Partial) prunes
+    each map task to ≤ k rows per doc before the exchange, so the
+    window shuffles O(k · n_docs), not the corpus."""
+    n = df.count()
+    tf = (
+        tokens_view(df, id_col=id_col, text_col=text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfs = dfs.filter(F.col("df") >= min_df)
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(dfs), "term").withColumn(
+        "wei",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("wei").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "wei")
+    )
