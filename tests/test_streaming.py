@@ -160,3 +160,53 @@ def test_delete_docs_equals_rebuild_without_them(spark, tmp_path):
     assert abs(deleted.meta()["avg_doc_len"] - full.meta()["avg_doc_len"]) < 1e-9
     # base store untouched (snapshot semantics)
     assert base.meta()["n_docs"] == 60
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming LSH dedup == batch lsh_candidate_pairs over the union of
+    all epochs; per-epoch pair deltas are disjoint (exactly-once); a
+    drain with no new files is a no-op (checkpoint resume)."""
+    from tiny_search_engine_spark.pipeline import dedup
+    from tiny_search_engine_spark.streaming.dedup_stream import (
+        dedup_ingest_available_now,
+        stream_buckets,
+        stream_pairs,
+    )
+
+    rows1 = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # intra-epoch dup
+        (4, "completely different content about spark engines"),
+    ]
+    rows2 = [
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1/2
+        (5, "the quick brown fox jumps over the lazy dog"),  # cross-epoch exact dup
+        (6, "unrelated words entirely here now"),
+    ]
+    schema = "doc_id long, text string"
+    inbox, store, ck = str(tmp_path / "in"), str(tmp_path / "st"), str(tmp_path / "ck")
+
+    spark.createDataFrame(rows1, schema).write.parquet(os.path.join(inbox, "b1"))
+    assert dedup_ingest_available_now(spark, inbox + "/*", store, ck) == 1
+    p1 = {(r.id_a, r.id_b) for r in stream_pairs(spark, store).collect()}
+    want1 = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(spark.createDataFrame(rows1, schema)).collect()
+    }
+    assert p1 == want1 and (1, 2) in p1
+
+    # checkpoint resume: nothing new -> no epochs, store unchanged
+    assert dedup_ingest_available_now(spark, inbox + "/*", store, ck) == 0
+    assert {(r.id_a, r.id_b) for r in stream_pairs(spark, store).collect()} == p1
+
+    spark.createDataFrame(rows2, schema).write.parquet(os.path.join(inbox, "b2"))
+    assert dedup_ingest_available_now(spark, inbox + "/*", store, ck) == 1
+    allp = stream_pairs(spark, store)
+    got = {(r.id_a, r.id_b) for r in allp.collect()}
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    want = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(union).collect()}
+    assert got == want
+    assert (1, 5) in got and (2, 5) in got  # cross-epoch exact dups collide
+    # exactly-once: deltas are disjoint — the plain union has no repeats
+    assert allp.count() == len(got)
+    assert stream_buckets(spark, store).select("doc_id").distinct().count() == 6

@@ -130,6 +130,37 @@ def minhash_signatures(
     return h_df.select(*cols).filter(F.col("mh_0").isNotNull())
 
 
+def lsh_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """LSH bucket membership: (id, band, band_key) rows — the banded
+    MinHash signature exploded one row per band (band_key = md5 of the
+    band's signature lanes). The shared primitive under the batch pair
+    join (lsh_candidate_pairs) and the streaming bucket store
+    (streaming/dedup_stream.py): two docs are candidate near-dups iff
+    they share a (band, band_key) row. One projection + posexplode, so
+    the shingle/signature pipeline runs once, not once per band."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.posexplode(band_keys).alias("band", "band_key"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -150,7 +181,6 @@ def lsh_candidate_pairs(
     returned pairs relate representatives, and exact members are
     recovered from ``exact_dup_groups`` without ever materialising the
     quadratic expansion. Default False matches the DuckDB oracle."""
-    rows_per_band = num_hashes // bands
     if collapse_exact:
         keep = (
             df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
@@ -159,23 +189,7 @@ def lsh_candidate_pairs(
             .select(id_col)
         )
         df = df.join(keep, id_col, "left_semi")
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle)
-    # one projection + posexplode (NOT an N-branch union, which would
-    # recompute the shingle/signature pipeline once per band)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "band_key")
-    )
+    banded = lsh_band_rows(df, id_col, text_col, num_hashes, bands, shingle)
     # self-join as sort-merge over one explicit shuffle on the band key:
     # both sides canonicalize to the SAME Exchange, so the whole
     # tokenize→shingle→minhash pipeline runs ONCE and the second side is
