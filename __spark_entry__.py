@@ -1227,6 +1227,53 @@ def _q_trigram_regex(spark, sf_dir):
     return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
 
 
+def _mangled_docs(spark, sf_dir):
+    """documents with deterministic Unicode mess injected IN-QUERY (the
+    parquet corpus is clean ASCII, so normalization over it would be a
+    no-op oracle): every 'a' gains a combining acute (U+0301 — NFC must
+    recompose it to á), every 'o' gains a leading U+0001 control char and
+    trailing double space, and the doc gains leading whitespace. The
+    oracle applies the IDENTICAL mangle in SQL (chr(769)/chr(1)), so the
+    parity check exercises recomposition, control-strip and ws-collapse
+    for real."""
+    t = F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301"))
+    t = F.replace(t, F.lit("o"), F.lit("\x01o  "))
+    return _docs(spark, sf_dir).withColumn("text", F.concat(F.lit("  "), t))
+
+
+def _q_text_normalize(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse over the mangled
+    corpus (pipeline.textstats.normalize_text): the NFC step is one
+    Arrow-batched pandas UDF, everything else whole-stage codegen; the
+    whole op is map-only/shuffle-free. Oracle: DuckDB nfc_normalize +
+    regexp_replace."""
+    return textstats.normalize_text(_mangled_docs(spark, sf_dir))
+
+
+def _q_gopher_flags(spark, sf_dir):
+    """Full Gopher quality rule set (Rae et al. 2021 A1.1) per document
+    (pipeline.textstats.gopher_flags) — shuffle-free column algebra."""
+    return textstats.gopher_flags(_docs(spark, sf_dir))
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunks (32 tokens, stride 16) — the
+    RAG/embedding-index primitive (pipeline.textstats.chunk_documents);
+    map-only explode with a tail-aligned final window."""
+    return textstats.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=16)
+
+
+def _q_facet_counts(spark, sf_dir):
+    """Faceted navigation counts (lang, source) over the BM25 top-k
+    result set (pipeline.retrieval.facet_counts): the tiny per-query
+    result set broadcasts into the metadata scan — the corpus is never
+    shuffled."""
+    from tiny_search_engine_spark.pipeline import retrieval as rt
+
+    ranked = _q_bm25_topk(spark, sf_dir)
+    return rt.facet_counts(ranked, _docs(spark, sf_dir), ["lang", "source"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_counts": _q_token_counts,
@@ -1300,6 +1347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": _q_hybrid_search,
         "vocab_coverage": _q_vocab_coverage,
         "doc_keyterms": _q_doc_keyterms,
+        "text_normalize": _q_text_normalize,
+        "gopher_flags": _q_gopher_flags,
+        "doc_chunks": _q_doc_chunks,
+        "facet_counts": _q_facet_counts,
     }
 
 
@@ -2503,5 +2554,78 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY doc_id
                                           ORDER BY wei DESC, term ASC) AS rank
                 FROM scored) WHERE rank <= 5
+        """,
+        # mangle (chr(769) = U+0301 combining acute, chr(1) = the control
+        # char) is byte-identical to _mangled_docs; NFC recomposes a+0301,
+        # the regexes mirror normalize_text's JVM-side steps.
+        "text_normalize": """
+            WITH m AS (SELECT doc_id,
+                              '  ' || replace(replace(text, 'a', 'a' || chr(769)), 'o', chr(1) || 'o  ') AS text
+                       FROM documents),
+            nrm AS (SELECT doc_id, text,
+                           trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                                '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                                '\\s+', ' ', 'g')) AS norm_text
+                    FROM m)
+            SELECT doc_id, norm_text, norm_text <> text AS changed,
+                   CAST(length(norm_text) AS INT) AS n_chars
+            FROM nrm
+        """,
+        "gopher_flags": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+                     list_filter(string_split_regex(text, '\\n'), x -> trim(x) <> '') AS lines
+              FROM documents),
+            stats AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     CASE WHEN len(words) > 0 THEN round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6) ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN len(words) > 0 THEN round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                          + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3) / len(words), 6) ELSE 0.0 END AS symbol_ratio,
+                     CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^(•|-|\\*)'))) AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS bullet_ratio,
+                     CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '\\.\\.\\.$'))) AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS ellipsis_ratio,
+                     CASE WHEN len(words) > 0 THEN round(CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(words), 6) ELSE 0.0 END AS alpha_word_ratio,
+                     len(list_intersect(list_transform(words, x -> lower(x)), {textstats.GOPHER_STOPWORDS!r})) AS stop_hits
+              FROM base)
+            SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len, symbol_ratio,
+                   bullet_ratio, ellipsis_ratio, alpha_word_ratio, CAST(stop_hits AS INT) AS stop_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
+                   (symbol_ratio <= 0.1) AS pass_symbol_ratio,
+                   (bullet_ratio <= 0.9) AS pass_bullet,
+                   (ellipsis_ratio <= 0.3) AS pass_ellipsis,
+                   (alpha_word_ratio >= 0.8) AS pass_alpha_words,
+                   (stop_hits >= 2) AS pass_stopwords,
+                   ((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                    AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9) AND (ellipsis_ratio <= 0.3)
+                    AND (alpha_word_ratio >= 0.8) AND (stop_hits >= 2)) AS gopher_pass
+            FROM stats
+        """,
+        "doc_chunks": """
+            WITH toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                          FROM documents),
+            base AS (SELECT doc_id, toks, greatest(len(toks) - 32, 0) AS last
+                     FROM toks WHERE len(toks) > 0),
+            starts AS (
+              SELECT doc_id, CAST(s AS INT) AS start_token
+              FROM base, unnest(generate_series(0, last, 16)) AS t(s)
+              UNION
+              SELECT doc_id, CAST(last AS INT) FROM base)
+            SELECT b.doc_id,
+                   CAST(row_number() OVER (PARTITION BY b.doc_id ORDER BY s.start_token) - 1 AS INT) AS chunk_id,
+                   s.start_token,
+                   CAST(len(b.toks[s.start_token + 1 : s.start_token + 32]) AS INT) AS n_tokens,
+                   array_to_string(b.toks[s.start_token + 1 : s.start_token + 32], ' ') AS chunk_text
+            FROM starts s JOIN base b USING (doc_id)
+        """,
+        "facet_counts": f"""
+            WITH ranked AS ({_sql_bm25_topk(n, qterms)}),
+            r AS (SELECT DISTINCT query_id, doc_id FROM ranked),
+            j AS (SELECT r.query_id, d.lang, d.source FROM r JOIN documents d USING (doc_id)),
+            s AS (SELECT query_id, 'lang' AS facet, coalesce(CAST(lang AS VARCHAR), '(null)') AS value FROM j
+                  UNION ALL
+                  SELECT query_id, 'source' AS facet, coalesce(CAST(source AS VARCHAR), '(null)') AS value FROM j)
+            SELECT query_id, facet, value, count(*) AS n_docs FROM s GROUP BY 1, 2, 3
         """,
     }

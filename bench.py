@@ -223,6 +223,13 @@ def main() -> None:
         timed("hybrid_search", lambda: entrymod._q_hybrid_search(spark, sf_dir).count())
         timed("vocab_coverage", lambda: entrymod._q_vocab_coverage(spark, sf_dir).count())
         timed("doc_keyterms", lambda: entrymod._q_doc_keyterms(spark, sf_dir).count())
+        # ingestion-front ops: unicode normalize (one Arrow-batched UDF,
+        # map-only), Gopher quality gate + RAG chunker (pure codegen,
+        # shuffle-free), faceted counts over the BM25 result set
+        timed("text_normalize", lambda: entrymod._q_text_normalize(spark, sf_dir).count())
+        timed("gopher_flags", lambda: entrymod._q_gopher_flags(spark, sf_dir).count())
+        timed("doc_chunks", lambda: entrymod._q_doc_chunks(spark, sf_dir).count())
+        timed("facet_counts", lambda: entrymod._q_facet_counts(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -924,3 +924,151 @@ def test_doc_keyterms_brute(spark):
         for r in textstats.doc_keyterms(df, k=2, min_df=2).collect()
     }
     assert pruned[(3, 1)] == "common" and (3, 2) not in pruned
+
+
+def _brute_normalize(t, form="NFC", lowercase=False):
+    import re
+    import unicodedata
+
+    out = unicodedata.normalize(form, t)
+    out = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", out)
+    if lowercase:
+        out = out.lower()
+    out = re.sub(r"\s+", " ", out).strip()
+    return out
+
+
+def test_normalize_text_brute(spark):
+    rows = [
+        (1, "cafe\u0301 latte"),                # decomposed -> NFC recomposes
+        (2, "tab\tand\nnewline   kept"),        # ws collapse
+        (3, "ctrl\x01\x02 chars \x7f gone"),    # control strip (DEL too)
+        (4, "  already clean  "),               # trim only
+        (5, ""),                                # empty survives
+        (6, "ＨＩ ﬁne"),           # fullwidth + ligature: NFC no-op, NFKC folds
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for form in ("NFC", "NFKC"):
+        got = {r["doc_id"]: r for r in textstats.normalize_text(df, form=form).collect()}
+        for doc_id, t in rows:
+            exp = _brute_normalize(t, form)
+            assert got[doc_id]["norm_text"] == exp, (form, doc_id)
+            assert got[doc_id]["changed"] == (exp != t)
+            assert got[doc_id]["n_chars"] == len(exp)
+    # NFC leaves compatibility chars alone; NFKC folds them
+    got_nfc = {r["doc_id"]: r for r in textstats.normalize_text(df, form="NFC").collect()}
+    got_nfkc = {r["doc_id"]: r for r in textstats.normalize_text(df, form="NFKC").collect()}
+    assert got_nfc[6]["norm_text"] != got_nfkc[6]["norm_text"]
+    assert got_nfkc[6]["norm_text"] == "HI fine"
+    # idempotence: a second pass is a no-op
+    once = textstats.normalize_text(df).select(F.col("doc_id"), F.col("norm_text").alias("text"))
+    twice = textstats.normalize_text(once)
+    assert twice.filter(F.col("changed")).count() == 0
+    # lowercase goes through F.lower (SQL semantics)
+    low = {r["doc_id"]: r for r in textstats.normalize_text(df, lowercase=True).collect()}
+    assert low[6]["norm_text"] == _brute_normalize(rows[5][1], lowercase=True)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        textstats.normalize_text(df, form="NFX")
+
+
+def _brute_gopher(t, min_words=50):
+    import re
+
+    words = t.split()
+    n = len(words)
+    mean_wl = round(sum(len(w) for w in words) / n, 6) if n else 0.0
+    n_hash = t.count("#")
+    n_ell = (len(t) - len(t.replace("...", ""))) / 3
+    sym = round((n_hash + n_ell) / n, 6) if n else 0.0
+    lines = [x for x in t.split("\n") if x.strip()]
+    nl = len(lines)
+    bullet = round(sum(1 for x in lines if re.match(r"^(•|-|\*)", x.strip())) / nl, 6) if nl else 0.0
+    ell = round(sum(1 for x in lines if x.strip().endswith("...")) / nl, 6) if nl else 0.0
+    alpha = round(sum(1 for w in words if re.search("[a-zA-Z]", w)) / n, 6) if n else 0.0
+    stops = len({w.lower() for w in words} & set(textstats.GOPHER_STOPWORDS))
+    flags = dict(
+        n_words=n, mean_word_len=mean_wl, symbol_ratio=sym, bullet_ratio=bullet,
+        ellipsis_ratio=ell, alpha_word_ratio=alpha, stop_hits=stops,
+        pass_word_count=min_words <= n <= 100_000,
+        pass_mean_word_len=3.0 <= mean_wl <= 10.0,
+        pass_symbol_ratio=sym <= 0.1,
+        pass_bullet=bullet <= 0.9,
+        pass_ellipsis=ell <= 0.3,
+        pass_alpha_words=alpha >= 0.8,
+        pass_stopwords=stops >= 2,
+    )
+    flags["gopher_pass"] = all(
+        flags[k] for k in flags if k.startswith("pass_")
+    )
+    return flags
+
+
+def test_gopher_flags_brute(spark):
+    rows = [
+        (1, "the quick brown fox jumps with zeal over the lazy dog of note"),
+        (2, "- bullet one\n- bullet two\n- bullet three\nplain line..."),
+        (3, "### #tag ... more ... stuff #x"),
+        (4, "12 34 56 78 90"),              # no alpha words
+        (5, ""),                            # empty: everything 0, fails gates
+        (6, "supercalifragilisticexpialidocious antidisestablishmentarianism"),  # huge words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in textstats.gopher_flags(df, min_words=3).collect()}
+    for doc_id, t in rows:
+        exp = _brute_gopher(t, min_words=3)
+        for k, v in exp.items():
+            if isinstance(v, float):
+                assert got[doc_id][k] == pytest.approx(v, abs=1e-9), (doc_id, k)
+            else:
+                assert got[doc_id][k] == v, (doc_id, k)
+    assert not got[4]["pass_alpha_words"]
+    assert not got[6]["pass_mean_word_len"]
+    assert got[2]["bullet_ratio"] == 0.75 and got[2]["ellipsis_ratio"] == 0.25
+
+
+def _brute_chunks(t, chunk, stride):
+    toks = t.split()
+    n = len(toks)
+    if n == 0:
+        return []
+    last = max(n - chunk, 0)
+    starts = sorted({*range(0, last + 1, stride), last})
+    return [
+        (i, s, toks[s : s + chunk]) for i, s in enumerate(starts)
+    ]
+
+
+def test_chunk_documents_brute(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # tail not stride-aligned
+        (2, " ".join(f"u{i}" for i in range(8))),    # exactly chunk-sized
+        (3, " ".join(f"v{i}" for i in range(3))),    # shorter than chunk
+        (4, "solo"),                                  # single token
+        (5, ""),                                      # empty -> no chunks
+        (6, " ".join(f"w{i}" for i in range(12))),   # stride-aligned tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textstats.chunk_documents(df, chunk_tokens=8, stride=4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 5 not in by_doc
+    for doc_id, t in rows:
+        exp = _brute_chunks(t, 8, 4)
+        gl = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_id"])
+        assert len(gl) == len(exp), doc_id
+        for r, (i, s, toks) in zip(gl, exp):
+            assert r["chunk_id"] == i and r["start_token"] == s
+            assert r["n_tokens"] == len(toks)
+            assert r["chunk_text"] == " ".join(toks)
+    # coverage: every token position of doc 1 appears in some chunk
+    covered = set()
+    for _, s, toks in _brute_chunks(rows[0][1], 8, 4):
+        covered |= set(range(s, s + len(toks)))
+    assert covered == set(range(10))
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, stride=-1)

@@ -256,3 +256,41 @@ def test_rrf_fuse_weights_and_gates(spark):
         retrieval.rrf_fuse([])
     with pytest.raises(ValueError, match="length mismatch"):
         retrieval.rrf_fuse([a], weights=[1.0, 2.0])
+
+
+def test_facet_counts(spark):
+    results = spark.createDataFrame(
+        [
+            (0, 10), (0, 11), (0, 12),
+            (0, 10),            # duplicate result row: counted once
+            (1, 11),
+            (2, 99),            # doc missing from metadata: contributes nothing
+        ],
+        "query_id long, doc_id long",
+    )
+    meta = spark.createDataFrame(
+        [
+            (10, "en", "web"),
+            (11, "de", "web"),
+            (12, "en", None),   # NULL facet value -> '(null)' bucket
+            (13, "fr", "book"), # not in any result: never counted
+        ],
+        "doc_id long, lang string, source string",
+    )
+    got = {
+        (r["query_id"], r["facet"], r["value"]): r["n_docs"]
+        for r in retrieval.facet_counts(results, meta, ["lang", "source"]).collect()
+    }
+    assert got == {
+        (0, "lang", "en"): 2,
+        (0, "lang", "de"): 1,
+        (0, "source", "web"): 2,
+        (0, "source", "(null)"): 1,
+        (1, "lang", "de"): 1,
+        (1, "source", "web"): 1,
+    }
+    # single facet works; empty facet list refuses
+    one = retrieval.facet_counts(results, meta, ["lang"])
+    assert {r["facet"] for r in one.collect()} == {"lang"}
+    with pytest.raises(ValueError):
+        retrieval.facet_counts(results, meta, [])

@@ -457,3 +457,53 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(query_col, "rank", id_col, "rrf")
     )
+
+
+def facet_counts(
+    results: DataFrame,
+    meta: DataFrame,
+    facets: list[str],
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Faceted navigation counts over a result set: for each query and
+    each facet column, how many of its result docs carry each value —
+    the standard search-UI sidebar (filter by language / source / …).
+    The reference returns a bare ranked list (result.h:24-38); facets
+    are the canonical aggregation layered on top.
+
+    ``results`` is a per-query ranked set (query_id, doc_id, …) — e.g.
+    the output of the BM25/WAND/VSM top-k paths; ``meta`` is the corpus
+    metadata table. Returns (query, facet, value, n_docs).
+
+    Scale shape: results is top-k-per-query (k·|queries| rows — tiny
+    next to a 100 TB corpus), so it is BROADCAST into the metadata scan:
+    the corpus is never shuffled, facet stacking happens on the
+    semi-join-sized slice, and the final groupBy keys
+    (query, facet, value) are low-cardinality with map-side partial
+    aggregation. NULL facet values are kept as the literal '(null)'
+    bucket (a real UI shows missing metadata too).
+    """
+    if not facets:
+        raise ValueError("facet_counts: need at least one facet column")
+    r = results.select(query_col, id_col).distinct()
+    joined = meta.select(id_col, *facets).join(F.broadcast(r), id_col)
+    stacked = joined.select(
+        query_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("facet"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("(null)")).alias("value"),
+                    )
+                    for c in facets
+                ]
+            )
+        ).alias("fv"),
+    )
+    return (
+        stacked.select(query_col, F.col("fv.facet").alias("facet"), F.col("fv.value").alias("value"))
+        .groupBy(query_col, "facet", "value")
+        .agg(F.count("*").alias("n_docs"))
+    )

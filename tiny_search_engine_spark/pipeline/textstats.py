@@ -587,3 +587,191 @@ def doc_keyterms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "wei")
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+    lowercase: bool = False,
+    strip_control: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Unicode text normalization / cleanup — the first stage of any
+    web-scale ingestion pipeline (the reference assumes its TSV corpus is
+    already clean UTF-8, `/root/reference/src/table.cpp:157-171`; a real
+    crawl is not). Steps, in order:
+
+      1. Unicode normalization to ``form`` (NFC/NFKC/NFD/NFKD) — the only
+         step Spark has no builtin for, so it runs as ONE Arrow-batched
+         pandas UDF (`Series.str.normalize`, vectorized C path in
+         pandas/unicodedata — never row-at-a-time Python).
+      2. control-character strip (C0 minus tab/newline/CR, plus DEL) —
+         JVM-side regexp, whole-stage codegen.
+      3. optional ASCII-semantics lowercase (`F.lower`, matches SQL
+         ``lower`` — deliberately NOT Python ``str.casefold`` so the
+         DuckDB oracle decides identically).
+      4. whitespace collapse + trim.
+
+    Returns (id, norm_text, changed, n_chars). Scale shape: map-only and
+    shuffle-free — a 100 TB corpus streams through scan tasks once; the
+    Arrow batch transfer for step 1 is the only Python boundary and it
+    amortizes over `spark.sql.execution.arrow.maxRecordsPerBatch` rows.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_text: unknown unicode form {form!r}")
+    import pandas as pd  # noqa: F401  (pandas_udf signature)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _unorm(s):  # type: ignore[no-untyped-def]
+        return s.str.normalize(form)
+
+    out = F.col(text_col)
+    out = _unorm(out)
+    if strip_control:
+        out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if lowercase:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.select(
+        id_col,
+        out.alias("norm_text"),
+        (out != F.col(text_col)).alias("changed"),
+        F.length(out).alias("n_chars"),
+    )
+
+
+# Gopher (Rae et al. 2021, appendix A1.1) stopword-presence list
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1) — the standard pre-training
+    quality gate that `quality_score` (composite heuristic) does not
+    cover rule-for-rule:
+
+      * word count in [min_words, max_words]
+      * mean word length in [min_mean_word_len, max_mean_word_len]
+      * symbol-to-word ratio ('#' chars + '...' occurrences) <= 0.1
+      * fraction of lines starting with a bullet (•, -, *) <= 0.9
+      * fraction of lines ending in an ellipsis <= 0.3
+      * fraction of words containing an alphabetic char >= 0.8
+      * at least 2 distinct Gopher stopwords present
+
+    Emits per-rule stats (6-dp rounded ratios — bit-stable vs the SQL
+    oracle) + booleans + the conjunction `gopher_pass`. Pure column
+    algebra: map-only, shuffle-free, whole-stage codegen end to end —
+    the 100 TB shape is one streaming pass over the corpus scan.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, WS_SPLIT), lambda x: x != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_wl = F.when(n_words > 0, F.round(sum_len / n_words, 6)).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.expr(f"replace({text_col}, '#', '')"))
+    n_ellipsis = (F.length(t) - F.length(F.expr(f"replace({text_col}, '...', '')"))) / 3
+    sym_ratio = F.when(n_words > 0, F.round((n_hash + n_ellipsis) / n_words, 6)).otherwise(
+        F.lit(0.0)
+    )
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^(•|-|\*)"))
+    )
+    n_ell_end = F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"\.\.\.$")))
+    bullet_ratio = F.when(n_lines > 0, F.round(n_bullet / n_lines, 6)).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(n_lines > 0, F.round(n_ell_end / n_lines, 6)).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_ratio = F.when(n_words > 0, F.round(n_alpha / n_words, 6)).otherwise(F.lit(0.0))
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.transform(words, lambda x: F.lower(x)), stop_lit)
+    )
+    f_words = (n_words >= min_words) & (n_words <= max_words)
+    f_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    f_sym = sym_ratio <= max_symbol_ratio
+    f_bullet = bullet_ratio <= max_bullet_ratio
+    f_ell = ellipsis_ratio <= max_ellipsis_ratio
+    f_alpha = alpha_ratio >= min_alpha_word_ratio
+    f_stop = stop_hits >= min_stop_hits
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        f_words.alias("pass_word_count"),
+        f_wl.alias("pass_mean_word_len"),
+        f_sym.alias("pass_symbol_ratio"),
+        f_bullet.alias("pass_bullet"),
+        f_ell.alias("pass_ellipsis"),
+        f_alpha.alias("pass_alpha_words"),
+        f_stop.alias("pass_stopwords"),
+        (f_words & f_wl & f_sym & f_bullet & f_ell & f_alpha & f_stop).alias("gopher_pass"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunker — the RAG / embedding-index
+    primitive (every doc becomes a set of <= chunk_tokens windows that a
+    downstream encoder embeds; `pipeline/simsearch.py` then serves them).
+    Differs from `packing.pack_sequences` (training shards CONCATENATE
+    docs into fixed chunks) in that chunks here never cross documents and
+    OVERLAP by chunk_tokens - stride.
+
+    Window rule (deterministic, SQL-reproducible): starts at
+    0, stride, 2·stride, … up to n - chunk_tokens, plus one tail-aligned
+    start at n - chunk_tokens when the stride doesn't land on it, so the
+    doc tail is always covered exactly once; docs with
+    n <= chunk_tokens emit a single chunk. Empty docs emit none.
+
+    Returns (id, chunk_id, start_token, n_tokens, chunk_text). Scale
+    shape: map-only explode, shuffle-free; output rows ≈ n_tokens/stride
+    per doc, each bounded by chunk_tokens — no skew amplification beyond
+    doc length itself (cap upstream via `curate`).
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_documents: chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), WS_SPLIT), lambda x: x != "")
+    base = df.select(id_col, toks.alias("_toks")).filter(F.size("_toks") > 0)
+    last = F.greatest(F.size("_toks") - F.lit(chunk_tokens), F.lit(0))
+    starts = F.array_distinct(
+        F.concat(F.sequence(F.lit(0), last, F.lit(stride)), F.array(last))
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_token") + 1, chunk_tokens)
+    return (
+        base.select(id_col, "_toks", F.posexplode(starts).alias("chunk_id", "start_token"))
+        .select(
+            id_col,
+            "chunk_id",
+            "start_token",
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
