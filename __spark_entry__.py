@@ -1227,6 +1227,83 @@ def _q_trigram_regex(spark, sf_dir):
     return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
 
 
+def _q_collapse_results(spark, sf_dir):
+    """Field collapsing over the BM25 top-k (pipeline.retrieval
+    .collapse_results): best hit per (query, source), survivors re-ranked
+    to top-5 — result-set-sized windows, corpus never shuffled."""
+    from tiny_search_engine_spark.pipeline import retrieval as rt
+
+    ranked = _q_bm25_topk(spark, sf_dir)
+    return rt.collapse_results(ranked, _docs(spark, sf_dir), "source", k=5)
+
+
+def _q_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-rank (pipeline.simsearch.mmr_rerank) of the exact
+    cosine top-20 per query vector: k=8 greedy picks at lam=0.7. Every
+    step is candidate-slice-sized relational algebra (never touches the
+    corpus), so the DuckDB oracle is an exact unrolled-CTE replay —
+    the doc_pagerank discipline."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    cand = simsearch.knn_cosine(emb, queries, k=20)
+    return simsearch.mmr_rerank(cand, emb, k=8, lam=0.7)
+
+
+def _sql_mmr(k: int = 8, lam: float = 0.7, n_cand: int = 20, n_q: int = 5) -> str:
+    """Unrolled MMR greedy selection: sel_i/all_i CTE pairs mirror the
+    engine's per-step argmax exactly (6-dp rounds, id tie-breaks, inlined
+    full-precision lam / 1-lam doubles)."""
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    pen_s = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"q AS (SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {n_q})",
+        (
+            "scored AS (SELECT q.query_vec_id, e.vec_id, "
+            "round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) "
+            "* sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel FROM e, q)"
+        ),
+        (
+            f"cand AS MATERIALIZED (SELECT s.query_vec_id, s.vec_id, s.rel, e.v, "
+            f"sqrt(list_dot_product(e.v, e.v)) AS nrm FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY query_vec_id ORDER BY rel DESC, vec_id ASC) AS rn "
+            f"FROM scored) s JOIN e USING (vec_id) WHERE s.rn <= {n_cand})"
+        ),
+        (
+            f"all1 AS MATERIALIZED (SELECT query_vec_id, vec_id, v, nrm, round({lam_s} * rel, 6) AS mmr, 1 AS rank "
+            f"FROM (SELECT *, row_number() OVER (PARTITION BY query_vec_id "
+            f"ORDER BY round({lam_s} * rel, 6) DESC, vec_id ASC) AS rn FROM cand) WHERE rn = 1)"
+        ),
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(
+            f"rem{i} AS MATERIALIZED (SELECT c.* FROM cand c LEFT JOIN all{p} s "
+            f"ON c.query_vec_id = s.query_vec_id AND c.vec_id = s.vec_id WHERE s.vec_id IS NULL)"
+        )
+        parts.append(
+            f"sim{i} AS MATERIALIZED (SELECT c.query_vec_id, c.vec_id, "
+            f"max(round(list_dot_product(c.v, s.v) / (c.nrm * s.nrm), 6)) AS maxsim "
+            f"FROM rem{i} c JOIN all{p} s USING (query_vec_id) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT query_vec_id, vec_id, v, nrm, mmr, {i} AS rank FROM ("
+            f"SELECT c.query_vec_id, c.vec_id, c.v, c.nrm, "
+            f"round({lam_s} * c.rel - {pen_s} * m.maxsim, 6) AS mmr, "
+            f"row_number() OVER (PARTITION BY c.query_vec_id "
+            f"ORDER BY round({lam_s} * c.rel - {pen_s} * m.maxsim, 6) DESC, c.vec_id ASC) AS rn "
+            f"FROM rem{i} c JOIN sim{i} m ON c.query_vec_id = m.query_vec_id AND c.vec_id = m.vec_id"
+            f") WHERE rn = 1)"
+        )
+        parts.append(f"all{i} AS MATERIALIZED (SELECT * FROM all{p} UNION ALL SELECT * FROM sel{i})")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT query_vec_id, rank, vec_id, mmr AS mmr_score FROM all{k}"
+    )
+
+
 def _mangled_docs(spark, sf_dir):
     """documents with deterministic Unicode mess injected IN-QUERY (the
     parquet corpus is clean ASCII, so normalization over it would be a
@@ -1351,6 +1428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_flags": _q_gopher_flags,
         "doc_chunks": _q_doc_chunks,
         "facet_counts": _q_facet_counts,
+        "mmr_rerank": _q_mmr_rerank,
+        "collapse_results": _q_collapse_results,
     }
 
 
@@ -2627,5 +2706,20 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL
                   SELECT query_id, 'source' AS facet, coalesce(CAST(source AS VARCHAR), '(null)') AS value FROM j)
             SELECT query_id, facet, value, count(*) AS n_docs FROM s GROUP BY 1, 2, 3
+        """,
+        "mmr_rerank": _sql_mmr(),
+        "collapse_results": f"""
+            WITH ranked AS ({_sql_bm25_topk(n, qterms)}),
+            j AS (SELECT r.query_id, r.doc_id, r.bm25,
+                         coalesce(CAST(d.source AS VARCHAR), '(doc:' || r.doc_id || ')') AS group_value
+                  FROM ranked r LEFT JOIN documents d USING (doc_id)),
+            best AS (SELECT query_id, group_value, doc_id, bm25 FROM (
+                       SELECT *, row_number() OVER (PARTITION BY query_id, group_value
+                                                    ORDER BY bm25 DESC, doc_id ASC) AS rg FROM j)
+                     WHERE rg = 1)
+            SELECT query_id, rank, group_value, doc_id, bm25 FROM (
+              SELECT query_id, group_value, doc_id, bm25,
+                     row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+              FROM best) WHERE rank <= 5
         """,
     }

@@ -230,6 +230,10 @@ def main() -> None:
         timed("gopher_flags", lambda: entrymod._q_gopher_flags(spark, sf_dir).count())
         timed("doc_chunks", lambda: entrymod._q_doc_chunks(spark, sf_dir).count())
         timed("facet_counts", lambda: entrymod._q_facet_counts(spark, sf_dir).count())
+        # result-set-sized post-rankers: greedy MMR (k bounded relational
+        # steps) and field collapsing (two windows over top-k rows)
+        timed("mmr_rerank", lambda: entrymod._q_mmr_rerank(spark, sf_dir).count())
+        timed("collapse_results", lambda: entrymod._q_collapse_results(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -1072,3 +1072,94 @@ def test_chunk_documents_brute(spark):
         textstats.chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         textstats.chunk_documents(df, stride=-1)
+
+
+def _brute_mmr(cands, vecs, k, lam):
+    """cands: {qid: [(id, rel)]}; vecs: {id: [floats]} -> {qid: [(rank, id, mmr)]}"""
+    import math
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def cos(a, b):
+        return round(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))), 6)
+
+    out = {}
+    for qid, items in cands.items():
+        sel = []
+        pool = dict(items)
+        # first pick: argmax rel, id tie-break
+        first = min(pool, key=lambda i: (-round(lam * pool[i], 6), i))
+        sel.append((1, first, round(lam * pool[first], 6)))
+        del pool[first]
+        for rank in range(2, k + 1):
+            if not pool:
+                break
+            scored = {
+                i: round(
+                    lam * pool[i]
+                    - (1 - lam) * max(cos(vecs[i], vecs[s]) for _, s, _ in sel),
+                    6,
+                )
+                for i in pool
+            }
+            best = min(scored, key=lambda i: (-scored[i], i))
+            sel.append((rank, best, scored[best]))
+            del pool[best]
+        out[qid] = sel
+    return out
+
+
+def test_mmr_rerank_brute(spark):
+    import math
+
+    # 2-d vectors: two tight clusters + one outlier; relevance favors
+    # cluster A, diversity must pull in cluster B early
+    vecs = {
+        1: [1.0, 0.0],
+        2: [0.99, 0.14],   # near-dup of 1
+        3: [0.98, 0.2],    # near-dup of 1
+        4: [0.0, 1.0],     # orthogonal cluster
+        5: [0.1, 0.99],
+        6: [-0.7, 0.7],    # outlier
+    }
+    rels = [(0, 1, 0.95), (0, 2, 0.94), (0, 3, 0.93), (0, 4, 0.5), (0, 5, 0.45), (0, 6, 0.2),
+            (1, 4, 0.9), (1, 5, 0.89), (1, 1, 0.3), (1, 6, 0.25)]
+    cand = spark.createDataFrame(rels, "query_vec_id long, vec_id long, cosine double")
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    for lam in (0.7, 0.5, 1.0):
+        got = simsearch.mmr_rerank(cand, emb, k=4, lam=lam).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_vec_id"], []).append(
+                (r["rank"], r["vec_id"], r["mmr_score"])
+            )
+        cands = {}
+        for q, i, rel in rels:
+            cands.setdefault(q, []).append((i, rel))
+        exp = _brute_mmr(cands, vecs, 4, lam)
+        for q in exp:
+            assert sorted(by_q[q]) == exp[q], (lam, q, sorted(by_q[q]), exp[q])
+    # diversity sanity: at lam=0.5 the ~0.99-cosine near-dups of doc 1
+    # are penalized below the orthogonal cluster (a pure-relevance sort
+    # would pick 1,2,3)
+    got = {
+        (r["query_vec_id"], r["rank"]): r["vec_id"]
+        for r in simsearch.mmr_rerank(cand, emb, k=3, lam=0.5).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] not in (2, 3)
+    # lam=1.0 degenerates to pure relevance order
+    got1 = {
+        (r["query_vec_id"], r["rank"]): r["vec_id"]
+        for r in simsearch.mmr_rerank(cand, emb, k=3, lam=1.0).collect()
+    }
+    assert [got1[(0, i)] for i in (1, 2, 3)] == [1, 2, 3]
+    with pytest.raises(ValueError):
+        simsearch.mmr_rerank(cand, emb, k=0)
+    with pytest.raises(ValueError):
+        simsearch.mmr_rerank(cand, emb, lam=1.5)

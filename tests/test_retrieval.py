@@ -294,3 +294,36 @@ def test_facet_counts(spark):
     assert {r["facet"] for r in one.collect()} == {"lang"}
     with pytest.raises(ValueError):
         retrieval.facet_counts(results, meta, [])
+
+
+def test_collapse_results(spark):
+    results = spark.createDataFrame(
+        [
+            (0, 10, 5.0), (0, 11, 4.0), (0, 12, 3.0), (0, 13, 2.0), (0, 14, 1.5),
+            (1, 10, 2.0), (1, 13, 2.0),    # score tie: doc_id breaks it
+        ],
+        "query_id long, doc_id long, bm25 double",
+    )
+    meta = spark.createDataFrame(
+        [
+            (10, "web"), (11, "web"),      # same group: 11 collapses under 10
+            (12, "book"),
+            (13, None),                     # NULL group: singleton
+            # 14 missing from meta entirely: singleton, still returned
+        ],
+        "doc_id long, source string",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["group_value"], r["doc_id"], r["bm25"])
+        for r in retrieval.collapse_results(results, meta, "source", k=10).collect()
+    }
+    assert got[(0, 1)] == ("web", 10, 5.0)
+    assert got[(0, 2)] == ("book", 12, 3.0)
+    assert got[(0, 3)] == ("(doc:13)", 13, 2.0)
+    assert got[(0, 4)] == ("(doc:14)", 14, 1.5)
+    assert len([q for q, _ in got if q == 0]) == 4          # 11 collapsed away
+    # tie on score -> lower doc_id wins rank 1
+    assert got[(1, 1)][1] == 10 and got[(1, 2)][1] == 13
+    # k truncates after collapsing
+    k2 = retrieval.collapse_results(results, meta, "source", k=2)
+    assert k2.filter("query_id = 0").count() == 2

@@ -507,3 +507,52 @@ def facet_counts(
         .groupBy(query_col, "facet", "value")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def collapse_results(
+    results: DataFrame,
+    meta: DataFrame,
+    group_col: str,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "bm25",
+) -> DataFrame:
+    """Field collapsing (Lucene/Solr "collapse", ES field_collapse): keep
+    only the best-scoring result per (query, group) — e.g. one hit per
+    site/source/cluster — then re-rank the survivors to top-k. The
+    standard same-site-spam guard the reference's bare ranked list lacks.
+
+    Docs whose metadata is missing or whose group value is NULL each form
+    their own singleton group (keyed by their own doc id), so they are
+    never collapsed together. Returns (query, rank, group, id, score).
+
+    Scale shape: like facet_counts, the top-k-per-query result set is
+    tiny, so it BROADCASTS into the metadata scan (corpus never
+    shuffled); both windows then run over result-set-sized data with
+    deterministic (score desc, id asc) tie-breaks.
+    """
+    m = meta.select(F.col(id_col), F.col(group_col).alias("_grp"))
+    joined = (
+        m.join(F.broadcast(results.select(query_col, id_col, score_col)), id_col)
+        .withColumn(
+            "_grp",
+            F.coalesce(F.col("_grp").cast("string"), F.concat(F.lit("(doc:"), id_col, F.lit(")"))),
+        )
+    )
+    # results rows with no metadata at all: keep them, singleton-grouped
+    missing = (
+        results.select(query_col, id_col, score_col)
+        .join(m.select(id_col), id_col, "left_anti")
+        .withColumn("_grp", F.concat(F.lit("(doc:"), id_col, F.lit(")")))
+    )
+    joined = joined.unionByName(missing.select(*joined.columns))
+    wg = Window.partitionBy(query_col, "_grp").orderBy(F.desc(score_col), F.asc(id_col))
+    wq = Window.partitionBy(query_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        joined.withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") == 1)
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(query_col, "rank", F.col("_grp").alias("group_value"), id_col, score_col)
+    )

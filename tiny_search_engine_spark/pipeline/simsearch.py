@@ -640,3 +640,94 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    emb: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_vec_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    of a per-query candidate set: greedily pick the item maximizing
+    ``lam·rel − (1−lam)·max_{s∈selected} cos(item, s)`` — the standard
+    result-diversification layer over an ANN / hybrid ranking (the
+    reference's funnel re-sorts by relevance only, table.cpp:600-667;
+    diversity is the missing axis).
+
+    ``candidates`` is a bounded top-N-per-query set (query, id, rel) —
+    e.g. ``knn_cosine``/``rrf_fuse`` output; ``emb`` supplies vectors for
+    the pairwise-similarity term. The first pick's score is
+    ``round(lam·rel, 6)`` (empty selected set ⇒ zero penalty term).
+
+    Determinism/oracle: every arithmetic step mirrors the DuckDB unroll —
+    6-dp-rounded cosines (the engine's proven `_dot`+round path), inlined
+    ``lam``/``1−lam`` doubles, argmax via (score desc, id asc)
+    row_number — so the driver value-hash is exact, like `doc_pagerank`.
+
+    Scale shape: this never touches the corpus — it loops k times over
+    the RESULT-SET-sized candidate slice (≤ N·|queries| rows; the emb
+    join semi-joins the corpus once via a broadcast of the candidate
+    ids). Each step is one equi-join on query_col + one windowed argmax;
+    selected-set lineage is localCheckpoint-truncated per step (the
+    resolve_clusters discipline), so plans stay flat for any k.
+    """
+    if k < 1:
+        raise ValueError("mmr_rerank: k must be >= 1")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError("mmr_rerank: lam must be in [0, 1]")
+    lam_lit = F.lit(float(lam))
+    pen_lit = F.lit(1.0 - float(lam))
+
+    vecs = emb.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_n")
+    )
+    cand = (
+        vecs.join(
+            F.broadcast(candidates.select(query_col, id_col, F.col(rel_col).alias("_rel"))),
+            id_col,
+        )
+        .select(query_col, id_col, "_rel", "_v", "_n")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("_mmr"), F.asc(id_col))
+    first = (
+        cand.withColumn("_mmr", F.round(lam_lit * F.col("_rel"), 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(query_col, id_col, "_v", "_n", F.col("_mmr"), F.lit(1).alias("rank"))
+        .localCheckpoint()
+    )
+    selected = first
+    for step in range(2, k + 1):
+        rem = cand.join(selected.select(query_col, id_col), [query_col, id_col], "left_anti")
+        s = selected.select(
+            F.col(query_col),
+            F.col("_v").alias("_sv"),
+            F.col("_n").alias("_sn"),
+        )
+        sim = F.round(_dot(F.col("_v"), F.col("_sv")) / (F.col("_n") * F.col("_sn")), 6)
+        picked = (
+            rem.join(s, query_col)
+            .withColumn("_sim", sim)
+            .groupBy(query_col, id_col)
+            .agg(
+                F.max("_sim").alias("_maxsim"),
+                # constant within the (query, id) group — first() is exact
+                F.first("_rel").alias("_rel"),
+                F.first("_v").alias("_v"),
+                F.first("_n").alias("_n"),
+            )
+            .withColumn("_mmr", F.round(lam_lit * F.col("_rel") - pen_lit * F.col("_maxsim"), 6))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(query_col, id_col, "_v", "_n", "_mmr", F.lit(step).alias("rank"))
+        )
+        selected = selected.unionByName(picked).localCheckpoint()
+    return selected.select(
+        query_col, "rank", id_col, F.col("_mmr").alias("mmr_score")
+    )
