@@ -1227,6 +1227,33 @@ def _q_trigram_regex(spark, sf_dir):
     return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
 
 
+def _q_event_transitions(spark, sf_dir):
+    """First-order Markov transition census (pipeline.events
+    .transition_counts): one user-keyed lag window, then two
+    dictionary-sized aggs; prev of each user's first event is '(start)'."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    return ev.transition_counts(_events(spark, sf_dir))
+
+
+def _q_event_bursts(spark, sf_dir):
+    """Volume burst detection (pipeline.events.burst_windows): hourly
+    counts per type vs the trailing-24-window mean/std (explicit
+    integer-sum variance — bit-reproducible in SQL), z >= 3 flags."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    return ev.burst_windows(_events(spark, sf_dir), "1 hour", trailing=24, min_history=6)
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (pipeline.events
+    .cohort_retention): epoch-second period keys + integer offsets, no
+    engine-specific date diffing."""
+    from tiny_search_engine_spark.pipeline import events as ev
+
+    return ev.cohort_retention(_events(spark, sf_dir), "week")
+
+
 def _q_collapse_results(spark, sf_dir):
     """Field collapsing over the BM25 top-k (pipeline.retrieval
     .collapse_results): best hit per (query, source), survivors re-ranked
@@ -1430,6 +1457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet_counts,
         "mmr_rerank": _q_mmr_rerank,
         "collapse_results": _q_collapse_results,
+        "event_transitions": _q_event_transitions,
+        "event_bursts": _q_event_bursts,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -2721,5 +2751,56 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, group_value, doc_id, bm25,
                      row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
               FROM best) WHERE rank <= 5
+        """,
+        "event_transitions": """
+            WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            tr AS (SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                                   '(start)') AS prev_type,
+                          event_type
+                   FROM ev),
+            cnt AS (SELECT prev_type, event_type, count(*) AS n_trans FROM tr GROUP BY 1, 2),
+            tot AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS tot FROM cnt GROUP BY 1)
+            SELECT c.prev_type, c.event_type, c.n_trans,
+                   round(CAST(c.n_trans AS DOUBLE) / t.tot, 6) AS prob
+            FROM cnt c JOIN tot t USING (prev_type)
+        """,
+        "event_bursts": """
+            WITH cnt AS (
+              SELECT event_type, epoch_us(date_trunc('hour', ts)) AS window_start,
+                     count(*) AS n_events
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            framed AS (
+              SELECT event_type, window_start, n_events,
+                     count(n_events) OVER w AS n,
+                     CAST(sum(n_events) OVER w AS BIGINT) AS s,
+                     CAST(sum(n_events * n_events) OVER w AS BIGINT) AS ss
+              FROM cnt
+              WINDOW w AS (PARTITION BY event_type ORDER BY window_start ASC
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            scored AS (
+              SELECT event_type, window_start, n_events, n AS n_prior,
+                     round(s / n, 6) AS mean_prior,
+                     CASE WHEN n >= 6 AND ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) > 0
+                          THEN round((n_events - s / n)
+                               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 6)
+                     END AS z_score
+              FROM framed)
+            SELECT event_type, window_start, n_events, n_prior, mean_prior, z_score,
+                   coalesce(z_score >= CAST(3.0 AS DOUBLE), false) AS is_burst
+            FROM scored
+        """,
+        "cohort_retention": """
+            WITH up AS (SELECT DISTINCT user_id,
+                               epoch_us(date_trunc('week', ts)) // 1000000 AS p
+                        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            coh AS (SELECT user_id, min(p) AS cohort_period FROM up GROUP BY 1),
+            sizes AS (SELECT cohort_period, count(DISTINCT user_id) AS cohort_size FROM coh GROUP BY 1),
+            act AS (SELECT c.cohort_period,
+                           CAST((up.p - c.cohort_period) / 604800 AS INT) AS period_offset,
+                           count(DISTINCT up.user_id) AS n_active
+                    FROM up JOIN coh c USING (user_id) GROUP BY 1, 2)
+            SELECT a.cohort_period, a.period_offset, a.n_active, s.cohort_size,
+                   round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+            FROM act a JOIN sizes s USING (cohort_period)
         """,
     }

@@ -234,6 +234,12 @@ def main() -> None:
         # steps) and field collapsing (two windows over top-k rows)
         timed("mmr_rerank", lambda: entrymod._q_mmr_rerank(spark, sf_dir).count())
         timed("collapse_results", lambda: entrymod._q_collapse_results(spark, sf_dir).count())
+        # event analytics: one user-keyed window + dictionary-sized aggs
+        # (transitions), dictionary-sized trailing-frame stats (bursts),
+        # two user-keyed aggs + broadcast census (cohorts)
+        timed("event_transitions", lambda: entrymod._q_event_transitions(spark, sf_dir).count())
+        timed("event_bursts", lambda: entrymod._q_event_bursts(spark, sf_dir).count())
+        timed("cohort_retention", lambda: entrymod._q_cohort_retention(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -511,3 +511,128 @@ def test_range_join_guards(spark):
     with _pt.raises(Exception, match="max_bins"):
         ev.range_join(pts, ivl, bin_minutes=60, max_bins=10).collect()
     assert ev.range_join(pts, ivl, bin_minutes=60, max_bins=11).count() == 1
+
+
+def test_transition_counts_brute(spark):
+    rows = [
+        (0, datetime(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),
+        (1, datetime(2024, 1, 1, 10, 1), 1, "click", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 2), 1, "view", 0.0, "{}"),
+        # user 2: ts tie broken by event_id
+        (3, datetime(2024, 1, 1, 11, 0), 2, "view", 0.0, "{}"),
+        (4, datetime(2024, 1, 1, 11, 0), 2, "buy", 0.0, "{}"),
+        # user 3: single event -> only a (start) transition
+        (5, datetime(2024, 1, 1, 12, 0), 3, "view", 0.0, "{}"),
+        # NULL user dropped
+        (6, datetime(2024, 1, 1, 12, 0), None, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r["prev_type"], r["event_type"]): (r["n_trans"], r["prob"])
+        for r in ev.transition_counts(df).collect()
+    }
+    assert got == {
+        ("(start)", "view"): (3, 1.0),
+        ("view", "click"): (1, 0.5),
+        ("view", "buy"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
+    # min_count prunes, probs renormalize over the SURVIVORS' total? no —
+    # prob is computed before... assert current contract: filter happens
+    # before totals, so probs stay consistent within the kept rows
+    got2 = ev.transition_counts(df, min_count=2).collect()
+    assert [(r["prev_type"], r["n_trans"], r["prob"]) for r in got2] == [("(start)", 3, 1.0)]
+
+
+def _brute_bursts(counts, trailing, min_history, z_thr):
+    """counts: ordered [(ws, n)] for ONE type -> [(ws, n, n_prior, mean, z, burst)]"""
+    import math
+
+    out = []
+    for i, (ws, cnt) in enumerate(counts):
+        prior = [c for _, c in counts[max(0, i - trailing) : i]]
+        n = len(prior)
+        if n == 0:
+            out.append((ws, cnt, 0, None, None, False))
+            continue
+        s, ss = sum(prior), sum(c * c for c in prior)
+        mean = s / n
+        var = (float(ss) - float(s) * s / n) / (n - 1) if n > 1 else None
+        z = None
+        if n >= min_history and var is not None and var > 0:
+            z = round((cnt - mean) / math.sqrt(var), 6)
+        out.append((ws, cnt, n, round(mean, 6), z, bool(z is not None and z >= z_thr)))
+    return out
+
+
+def test_burst_windows_brute(spark):
+    # type A: 8 calm hours then a spike; type B: too little history
+    rows = []
+    eid = 0
+    calm = [5, 6, 5, 7, 6, 5, 6, 5]
+    for h, c in enumerate(calm + [40]):
+        for j in range(c):
+            rows.append((eid, datetime(2024, 1, 1, h, j % 60), 1, "A", 0.0, "{}"))
+            eid += 1
+    for h in range(3):
+        rows.append((eid, datetime(2024, 1, 1, h, 0), 2, "B", 0.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r["event_type"], r["window_start"]): r
+        for r in ev.burst_windows(df, "1 hour", trailing=24, min_history=6, z_threshold=3.0).collect()
+    }
+    base = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    exp_counts = [(base + h * 3_600_000_000, c) for h, c in enumerate(calm + [40])]
+    for ws, cnt, n_prior, mean, z, burst in _brute_bursts(exp_counts, 24, 6, 3.0):
+        r = got[("A", ws)]
+        assert (r["n_events"], r["n_prior"]) == (cnt, n_prior), ws
+        assert r["mean_prior"] == pytest.approx(mean) if mean is not None else r["mean_prior"] is None
+        if z is None:
+            assert r["z_score"] is None
+        else:
+            assert r["z_score"] == pytest.approx(z, abs=1e-6)
+        assert r["is_burst"] == burst
+    # the spike IS flagged; nothing else is
+    bursts = [(t, ws) for (t, ws), r in got.items() if r["is_burst"]]
+    assert bursts == [("A", exp_counts[-1][0])]
+    # type B never has enough history
+    assert all(r["z_score"] is None for (t, _), r in got.items() if t == "B")
+
+
+def test_cohort_retention_brute(spark):
+    # weeks: 2024-01-01, 01-08, 01-15 (Mondays)
+    rows = [
+        # u1: cohort w0, active w0, w1, w2
+        (0, datetime(2024, 1, 2), 1, "view", 0.0, "{}"),
+        (1, datetime(2024, 1, 9), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 16), 1, "view", 0.0, "{}"),
+        # u2: cohort w0, active w0 only (two events same week count once)
+        (3, datetime(2024, 1, 3), 2, "view", 0.0, "{}"),
+        (4, datetime(2024, 1, 5), 2, "view", 0.0, "{}"),
+        # u3: cohort w1, active w1, w2
+        (5, datetime(2024, 1, 10), 3, "view", 0.0, "{}"),
+        (6, datetime(2024, 1, 17), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r["cohort_period"], r["period_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in ev.cohort_retention(df, "week").collect()
+    }
+    w0 = int(datetime(2024, 1, 1).timestamp())
+    w1 = w0 + 7 * 86400
+    assert got == {
+        (w0, 0): (2, 2, 1.0),
+        (w0, 1): (1, 2, 0.5),
+        (w0, 2): (1, 2, 0.5),
+        (w1, 0): (1, 1, 1.0),
+        (w1, 1): (1, 1, 1.0),
+    }
+    with pytest.raises(ValueError):
+        ev.cohort_retention(df, "month")

@@ -420,3 +420,144 @@ def type_hour_rollup(df: DataFrame) -> DataFrame:
             F.grouping_id().alias("level"),
         )
     )
+
+
+def transition_counts(df: DataFrame, min_count: int = 1) -> DataFrame:
+    """First-order Markov transition census over the event stream: how
+    often does a user's ``prev_type`` event get followed by ``event_type``
+    — the path-analysis primitive behind "what do users do after signup".
+    Each user's first event transitions from the literal '(start)' state.
+
+    Returns (prev_type, event_type, n_trans, prob) with prob =
+    round(n_trans / Σ n_trans per prev_type, 6).
+
+    Scale shape: ONE shuffle keyed by user_id (the lag window partition —
+    same key sessionize already uses, so co-scheduled pipelines reuse the
+    exchange), then two dictionary-sized aggregations (|types|² keys at
+    most) with map-side partials. Ties on ts are broken by event_id, so
+    the transition sequence — and the oracle — is deterministic."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    trans = (
+        df.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("prev_type", F.coalesce(F.lag("event_type").over(w), F.lit("(start)")))
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_trans"))
+        .filter(F.col("n_trans") >= min_count)
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("_tot"))
+    return (
+        trans.join(F.broadcast(totals), "prev_type")
+        .withColumn("prob", F.round(F.col("n_trans") / F.col("_tot"), 6))
+        .select("prev_type", "event_type", "n_trans", "prob")
+    )
+
+
+def burst_windows(
+    df: DataFrame,
+    window: str = "1 hour",
+    trailing: int = 24,
+    min_history: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Burst / anomaly detection on event volume: per (event_type,
+    tumbling window) counts compared against the TRAILING ``trailing``
+    windows' mean and sample stddev; a window is a burst when its z-score
+    ≥ ``z_threshold`` (given ≥ ``min_history`` prior windows and nonzero
+    variance). The ops-telemetry layer over the same tumbling windows
+    ``windowed_stats`` aggregates.
+
+    Mean/std come from explicit integer sums over the frame
+    (Σcnt, Σcnt² are exact BIGINTs; variance = (ss − s²/n)/(n−1) in
+    doubles) — NOT stddev_samp — so the float path is reproducible
+    bit-for-bit in the SQL oracle. Missing (zero-count) windows are not
+    materialized; the frame is over OBSERVED windows per type.
+
+    Returns (event_type, window_start µs, n_events, n_prior, mean_prior,
+    z_score, is_burst).
+
+    Scale shape: the corpus-sized pass is ONE map-side-combined count
+    keyed by (type, window) — cardinality |types| × |windows|, tiny even
+    at 100 TB; the trailing-frame window then runs over that dictionary-
+    sized table partitioned by type."""
+    cnt = (
+        df.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("window_start"),
+            "n_events",
+        )
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("window_start").asc())
+        .rowsBetween(-trailing, -1)
+    )
+    n = F.count("n_events").over(frame)
+    s = F.sum("n_events").over(frame)
+    ss = F.sum(F.col("n_events") * F.col("n_events")).over(frame)
+    mean = s / n
+    # all-double arithmetic past the exact integer sums: s² would overflow
+    # BIGINT at ~3e9 events/window; the double path is identical (and
+    # bit-reproducible) in the SQL oracle
+    var = (ss.cast("double") - s.cast("double") * s / n) / (n - 1)
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        cnt.withColumn("n_prior", F.coalesce(n, F.lit(0)))
+        .withColumn("mean_prior", F.round(mean, 6))
+        .withColumn(
+            "z_score",
+            F.when((F.col("n_prior") >= min_history) & (var > 0), F.round(z, 6)),
+        )
+        .withColumn(
+            "is_burst",
+            F.coalesce(F.col("z_score") >= z_threshold, F.lit(False)),
+        )
+        .select(
+            "event_type", "window_start", "n_events", "n_prior",
+            "mean_prior", "z_score", "is_burst",
+        )
+    )
+
+
+def cohort_retention(df: DataFrame, period: str = "week") -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event (the cohort); for each later period, what fraction of
+    the cohort was active. The classic growth-analytics triangle.
+
+    Period keys are emitted as exact epoch seconds of the
+    ``date_trunc(period)`` boundary and offsets as integer period counts
+    derived from epoch arithmetic — no engine-specific date diffing, so
+    the DuckDB oracle matches bit-for-bit. Returns (cohort_period s,
+    period_offset, n_active, cohort_size, retention).
+
+    Scale shape: one user-keyed aggregation for first-seen (map-side
+    combined), one distinct over (user, period) — both shuffles keyed by
+    user_id — then a broadcast of the dictionary-sized cohort census;
+    the output is |periods|²/2 rows regardless of corpus size."""
+    secs = {"week": 7 * 86400, "day": 86400}
+    if period not in secs:
+        raise ValueError(f"cohort_retention: unsupported period {period!r}")
+    plen = secs[period]
+    ev = df.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    pcol = F.unix_seconds(F.date_trunc(period, F.col("ts")).cast("timestamp"))
+    user_periods = ev.select("user_id", pcol.alias("p")).distinct()
+    cohorts = user_periods.groupBy("user_id").agg(F.min("p").alias("cohort_period"))
+    sizes = cohorts.groupBy("cohort_period").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    active = (
+        user_periods.join(cohorts, "user_id")
+        .withColumn(
+            "period_offset",
+            ((F.col("p") - F.col("cohort_period")) / F.lit(plen)).cast("int"),
+        )
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_period")
+        .withColumn("retention", F.round(F.col("n_active") / F.col("cohort_size"), 6))
+        .select("cohort_period", "period_offset", "n_active", "cohort_size", "retention")
+    )
