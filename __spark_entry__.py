@@ -1227,6 +1227,13 @@ def _q_trigram_regex(spark, sf_dir):
     return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
 
 
+def _q_group_keyterms(spark, sf_dir):
+    """Significant terms per language (pipeline.textstats.group_keyterms,
+    the ES significant_terms / log-lift aggregation): one corpus pass,
+    then dictionary-sized algebra + a WindowGroupLimit-pruned top-k."""
+    return textstats.group_keyterms(_docs(spark, sf_dir), group_col="lang", k=5, min_tf=2)
+
+
 def _q_event_transitions(spark, sf_dir):
     """First-order Markov transition census (pipeline.events
     .transition_counts): one user-keyed lag window, then two
@@ -1460,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
+        "group_keyterms": _q_group_keyterms,
     }
 
 
@@ -2802,5 +2810,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.cohort_period, a.period_offset, a.n_active, s.cohort_size,
                    round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
             FROM act a JOIN sizes s USING (cohort_period)
+        """,
+        "group_keyterms": f"""
+            WITH gt AS (
+              SELECT lang AS grp, term, count(*) AS tf FROM (
+                SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+                FROM documents)
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            tot_g AS (SELECT grp, CAST(sum(tf) AS BIGINT) AS tot_g FROM gt GROUP BY 1),
+            bg AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf_bg FROM gt GROUP BY 1),
+            grand AS (SELECT CAST(sum(tf) AS BIGINT) AS tot_bg FROM gt),
+            scored AS (
+              SELECT gt.grp, gt.term, gt.tf,
+                     round(ln((CAST(gt.tf AS DOUBLE) / t.tot_g) / (CAST(b.tf_bg AS DOUBLE) / g.tot_bg)), 6) AS score
+              FROM gt JOIN tot_g t USING (grp) JOIN bg b USING (term), grand g)
+            SELECT grp AS lang, rank, term, tf, score FROM (
+              SELECT grp, term, tf, score,
+                     row_number() OVER (PARTITION BY grp ORDER BY score DESC, term ASC) AS rank
+              FROM scored) WHERE rank <= 5
         """,
     }

@@ -240,6 +240,7 @@ def main() -> None:
         timed("event_transitions", lambda: entrymod._q_event_transitions(spark, sf_dir).count())
         timed("event_bursts", lambda: entrymod._q_event_bursts(spark, sf_dir).count())
         timed("cohort_retention", lambda: entrymod._q_cohort_retention(spark, sf_dir).count())
+        timed("group_keyterms", lambda: entrymod._q_group_keyterms(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

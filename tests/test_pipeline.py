@@ -1163,3 +1163,46 @@ def test_mmr_rerank_brute(spark):
         simsearch.mmr_rerank(cand, emb, k=0)
     with pytest.raises(ValueError):
         simsearch.mmr_rerank(cand, emb, lam=1.5)
+
+
+def test_group_keyterms_brute(spark):
+    import math
+
+    rows = [
+        (1, "en", "apple apple banana shared shared"),
+        (2, "en", "apple cherry shared rare"),
+        (3, "de", "apfel apfel birne shared shared"),
+        (4, "de", "apfel kirsche shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {}
+    for r in textstats.group_keyterms(df, group_col="lang", k=3, min_tf=2).collect():
+        got.setdefault(r["lang"], []).append((r["rank"], r["term"], r["tf"], r["score"]))
+    # brute replica
+    from collections import Counter
+
+    gt = Counter()
+    for _, lang, text in rows:
+        for t in text.split():
+            gt[(lang, t)] += 1
+    gt = {kv: c for kv, c in gt.items() if c >= 2}
+    tot_g = Counter()
+    bg = Counter()
+    grand = 0
+    for (lang, t), c in gt.items():
+        tot_g[lang] += c
+        bg[t] += c
+        grand += c
+    exp = {}
+    for (lang, t), c in gt.items():
+        score = round(math.log((c / tot_g[lang]) / (bg[t] / grand)), 6)
+        exp.setdefault(lang, []).append((score, t, c))
+    for lang in exp:
+        ranked = sorted(exp[lang], key=lambda x: (-x[0], x[1]))[:3]
+        expected = [(i + 1, t, c, s) for i, (s, t, c) in enumerate(ranked)]
+        assert sorted(got[lang]) == expected, lang
+    # group-exclusive terms outrank the everywhere-term 'shared'
+    assert got["en"][0][1] != "shared" and got["de"][0][1] != "shared"
+    # min_tf pruned the hapaxes (cherry, rare, birne, kirsche)
+    all_terms = {t for v in got.values() for _, t, _, _ in v}
+    assert "rare" not in all_terms and "kirsche" not in all_terms

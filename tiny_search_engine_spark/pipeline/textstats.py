@@ -775,3 +775,65 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def group_keyterms(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = 5,
+    min_tf: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Significant terms per group (the Elasticsearch
+    ``significant_terms`` aggregation / corpus-linguistics "weirdness"
+    score): for each group value, the k terms most over-represented vs
+    the whole corpus, scored by log-lift
+    ``ln((tf_g / tot_g) / (tf_bg / tot_bg))`` — the group-level twin of
+    ``doc_keyterms`` (per-document tf-idf). Background includes the
+    group itself (standard lift-vs-corpus), so scores are ≥ ln of the
+    group's token share and never divide by zero.
+
+    Returns (group, rank, term, tf, score) with score rounded to 6 dp
+    and rank over (rounded score desc, term asc) — engine-reproducible.
+    ``min_tf`` prunes hapax noise per group.
+
+    Scale shape: ONE corpus pass — a map-side-combined count keyed by
+    (group, term); everything after (group totals, background census,
+    the top-k window) runs over that dictionary-sized table, with
+    Catalyst's WindowGroupLimit pruning each map task to ≤ k rows per
+    group before the final exchange."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.filter(F.split(F.col(text_col), WS_SPLIT), lambda x: x != "")).alias(
+            "term"
+        ),
+    )
+    gt = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    if min_tf > 1:
+        gt = gt.filter(F.col("tf") >= min_tf)
+    # totals from the UNPRUNED pass would differ from the oracle if min_tf
+    # filtered first on one side only — both engines prune, then total
+    tot_g = gt.groupBy("grp").agg(F.sum("tf").alias("tot_g"))
+    bg = gt.groupBy("term").agg(F.sum("tf").alias("tf_bg"))
+    grand = gt.agg(F.sum("tf").alias("tot_bg"))
+    from pyspark.sql import Window
+
+    scored = (
+        gt.join(F.broadcast(tot_g), "grp")
+        .join(F.broadcast(bg), "term")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "score",
+            F.round(
+                F.log((F.col("tf") / F.col("tot_g")) / (F.col("tf_bg") / F.col("tot_bg"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "rank", "term", "tf", "score")
+    )
