@@ -1227,6 +1227,68 @@ def _q_trigram_regex(spark, sf_dir):
     return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
 
 
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII injected IN-QUERY (the
+    corpus is clean word soup): every doc gets a phone; even ids get an
+    email; ids % 3 == 0 get an IPv4 — identical CASE logic in the SQL
+    oracle, so extraction/redaction parity is non-trivial."""
+    did = F.col("doc_id").cast("string")
+    email = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("u"), did, F.lit("@ex.com "))
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("10.0.0."), (F.col("doc_id") % 250).cast("string"), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    phone = F.concat(F.lit("+1-555-"), did, F.lit("00 "))
+    return _docs(spark, sf_dir).withColumn(
+        "text", F.concat(email, ip, phone, F.col("text"))
+    )
+
+
+_PII_MANGLE_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'u' || doc_id || '@ex.com ' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '10.0.0.' || (doc_id % 250) || ' ' ELSE '' END"
+    " || '+1-555-' || doc_id || '00 ' || text AS text FROM documents"
+)
+
+
+def _q_pii_stats(spark, sf_dir):
+    """PII census (pipeline.textstats.pii_stats) over the PII-injected
+    corpus: per-doc email/IPv4/phone counts — map-only regexp algebra."""
+    return textstats.pii_stats(_pii_docs(spark, sf_dir))
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII redaction (pipeline.textstats.redact_pii): every match
+    replaced by its <KIND> tag, fixed pattern order."""
+    return textstats.redact_pii(_pii_docs(spark, sf_dir))
+
+
+def _sql_pii_stats() -> str:
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{kind}"
+        for kind, pat in textstats.PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in textstats.PII_PATTERNS.values()
+    )
+    return f"SELECT doc_id, {cols}, CAST({total} AS INT) AS n_pii FROM ({_PII_MANGLE_SQL})"
+
+
+def _sql_pii_redact() -> str:
+    out = "text"
+    for kind, pat in textstats.PII_PATTERNS.items():
+        out = f"regexp_replace({out}, '{pat}', '<{kind.upper()}>', 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in textstats.PII_PATTERNS.values()
+    )
+    return (
+        f"SELECT doc_id, {out} AS redacted_text, CAST({total} AS INT) AS n_redacted "
+        f"FROM ({_PII_MANGLE_SQL})"
+    )
+
+
 def _q_group_keyterms(spark, sf_dir):
     """Significant terms per language (pipeline.textstats.group_keyterms,
     the ES significant_terms / log-lift aggregation): one corpus pass,
@@ -1468,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_bursts": _q_event_bursts,
         "cohort_retention": _q_cohort_retention,
         "group_keyterms": _q_group_keyterms,
+        "pii_stats": _q_pii_stats,
+        "pii_redact": _q_pii_redact,
     }
 
 
@@ -2829,4 +2893,6 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY grp ORDER BY score DESC, term ASC) AS rank
               FROM scored) WHERE rank <= 5
         """,
+        "pii_stats": _sql_pii_stats(),
+        "pii_redact": _sql_pii_redact(),
     }

@@ -241,6 +241,8 @@ def main() -> None:
         timed("event_bursts", lambda: entrymod._q_event_bursts(spark, sf_dir).count())
         timed("cohort_retention", lambda: entrymod._q_cohort_retention(spark, sf_dir).count())
         timed("group_keyterms", lambda: entrymod._q_group_keyterms(spark, sf_dir).count())
+        # privacy pass: map-only regexp census + redaction rewrite
+        timed("pii_redact", lambda: entrymod._q_pii_redact(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

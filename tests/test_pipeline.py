@@ -1206,3 +1206,34 @@ def test_group_keyterms_brute(spark):
     # min_tf pruned the hapaxes (cherry, rare, birne, kirsche)
     all_terms = {t for v in got.values() for _, t, _, _ in v}
     assert "rare" not in all_terms and "kirsche" not in all_terms
+
+
+def test_pii_stats_and_redact_brute(spark):
+    import re
+
+    rows = [
+        (1, "mail me at a.b+c@foo-bar.co.uk or x@y.io thanks"),
+        (2, "server 192.168.1.254 and 8.8.8.8 up"),
+        (3, "call +1-555-123-4567 now"),
+        (4, "no pii here at all"),
+        (5, "mixed: u@v.com 10.0.0.7 +49-89-1234567 end"),
+        (6, ""),
+        (7, "not-an-ip 999.999 and bare @ sign and + plus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["doc_id"]: r.asDict() for r in textstats.pii_stats(df).collect()}
+    red = {r["doc_id"]: r.asDict() for r in textstats.redact_pii(df).collect()}
+    for doc_id, t in rows:
+        exp_total = 0
+        out = t
+        for kind, pat in textstats.PII_PATTERNS.items():
+            n = len(re.findall(pat, t))
+            assert stats[doc_id][f"n_{kind}"] == n, (doc_id, kind)
+            exp_total += n
+            out = re.sub(pat, f"<{kind.upper()}>", out)
+        assert stats[doc_id]["n_pii"] == exp_total
+        assert red[doc_id]["redacted_text"] == out, doc_id
+        assert red[doc_id]["n_redacted"] == exp_total
+    assert stats[1]["n_email"] == 2 and stats[2]["n_ipv4"] == 2
+    assert stats[3]["n_phone"] == 1 and stats[4]["n_pii"] == 0
+    assert "<EMAIL>" in red[5]["redacted_text"] and "<IPV4>" in red[5]["redacted_text"]

@@ -837,3 +837,49 @@ def group_keyterms(
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "rank", "term", "tf", "score")
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no alternation ambiguity, no backreferences. Keys are the
+# redaction tag names.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d-]{7,}\d",
+}
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document PII census: occurrence counts for each pattern in
+    ``PII_PATTERNS`` (emails, IPv4 addresses, international phone
+    numbers) plus the total — the audit half of the standard
+    pre-training privacy pass (Dolma / RedPajama ship the same stage).
+    Pure JVM-side ``regexp_extract_all`` column algebra: map-only,
+    shuffle-free, one streaming pass at 100 TB."""
+    cols = [F.col(id_col)]
+    total = F.lit(0)
+    for kind, pat in PII_PATTERNS.items():
+        c = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        cols.append(c.alias(f"n_{kind}"))
+        total = total + c
+    cols.append(total.alias("n_pii"))
+    return df.select(*cols)
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redaction half of the privacy pass: every ``PII_PATTERNS`` match
+    is replaced with its ``<KIND>`` tag (``<EMAIL>``, ``<IPV4>``,
+    ``<PHONE>``), applied in the dict's fixed order so engines agree
+    when patterns could overlap. Returns (id, redacted_text, n_redacted).
+    Map-only/shuffle-free like ``pii_stats``."""
+    out = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    n = F.lit(0)
+    for kind, pat in PII_PATTERNS.items():
+        n = n + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+    return df.select(
+        id_col,
+        out.alias("redacted_text"),
+        n.alias("n_redacted"),
+    )
