@@ -1227,6 +1227,120 @@ def _q_trigram_regex(spark, sf_dir):
     return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
 
 
+def _q_hash_embed(spark, sf_dir):
+    """Feature-hashing embeddings (simsearch.hash_embed, Weinberger et
+    al. hashing trick) over documents, emitted exploded as (doc_id, j,
+    val) so the value hash checks every component. One (id, bucket)
+    shuffle; md5 bucket/sign replayed bit-for-bit in SQL."""
+    emb = simsearch.hash_embed(_docs(spark, sf_dir), dim=16)
+    return emb.select("doc_id", F.posexplode("embedding").alias("j", "val"))
+
+
+def _sql_hash_embed_comps(src: str, id_expr: str, text_expr: str, dim: int) -> str:
+    """CTE body producing the dense (id, j, val) component rows of
+    hash_embed over ``src`` — every hash/round step mirrors the engine."""
+    return f"""
+        SELECT g.id, CAST(g.j AS INT) AS j,
+               CASE WHEN n.nrm > 0 THEN round(coalesce(b.v, 0) / n.nrm, 6) ELSE 0.0 END AS val
+        FROM (SELECT s.id, t.j FROM (SELECT {id_expr} AS id FROM ({src})) s, range({dim}) t(j)) g
+        LEFT JOIN (
+          SELECT id, CAST(hv % {dim} AS INT) AS j,
+                 CAST(sum(CASE WHEN sbit = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+          FROM (SELECT {id_expr} AS id,
+                       CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS hv,
+                       CAST(('0x' || substr(md5(term), 9, 1)) AS BIGINT) % 2 AS sbit
+                FROM (SELECT *, unnest(list_filter(string_split_regex({text_expr}, '\\s+'), x -> x <> '')) AS term
+                      FROM ({src})))
+          GROUP BY 1, 2) b ON b.id = g.id AND b.j = g.j
+        LEFT JOIN (
+          SELECT id, sqrt(CAST(sum(v * v) AS BIGINT)) AS nrm FROM (
+            SELECT id, CAST(hv % {dim} AS INT) AS j,
+                   CAST(sum(CASE WHEN sbit = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+            FROM (SELECT {id_expr} AS id,
+                         CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS hv,
+                         CAST(('0x' || substr(md5(term), 9, 1)) AS BIGINT) % 2 AS sbit
+                  FROM (SELECT *, unnest(list_filter(string_split_regex({text_expr}, '\\s+'), x -> x <> '')) AS term
+                        FROM ({src})))
+            GROUP BY 1, 2) GROUP BY 1) n ON n.id = g.id
+    """
+
+
+def _q_chunked_search(spark, sf_dir):
+    """Chunked dense retrieval — the end-to-end RAG serving path composed
+    from this round's operators: chunk_documents (16-token windows,
+    stride 8) → hash_embed chunks AND the query strings → exact cosine
+    top-20 chunks per query → collapse to the best chunk per document →
+    top-5 docs. Chunk key = doc_id·1000 + chunk_id (test corpora stay
+    far under 1000 chunks/doc). Every stage is relational + the proven
+    _dot path, so the whole composition value-hashes against one SQL
+    oracle."""
+    chunks = textstats.chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, stride=8)
+    chunks = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"), "chunk_text"
+    )
+    cemb = simsearch.hash_embed(chunks, dim=16, id_col="cid", text_col="chunk_text")
+    qemb = simsearch.hash_embed(
+        _queries_df(spark), dim=16, id_col="query_id", text_col="query"
+    ).select(F.col("query_id").alias("query_vec_id"), "embedding")
+    hits = simsearch.knn_cosine(cemb, qemb, k=20, id_col="cid")
+    per_doc = (
+        hits.withColumn("doc_id", (F.col("cid") / 1000).cast("long"))
+        .groupBy("query_vec_id", "doc_id")
+        .agg(F.max("cosine").alias("best_cos"))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(F.desc("best_cos"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(F.col("query_vec_id").alias("query_id"), "rank", "doc_id", "best_cos")
+    )
+
+
+def _sql_chunked_search(dim: int = 16) -> str:
+    chunks_src = """
+        SELECT b.doc_id * 1000 + row_number() OVER (PARTITION BY b.doc_id ORDER BY s.start_token) - 1 AS cid,
+               array_to_string(b.toks[s.start_token + 1 : s.start_token + 16], ' ') AS chunk_text
+        FROM (SELECT doc_id, CAST(s AS INT) AS start_token
+              FROM (SELECT doc_id, toks, greatest(len(toks) - 16, 0) AS last
+                    FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                          FROM documents) WHERE len(toks) > 0) b0, unnest(generate_series(0, last, 8)) AS t(s)
+              UNION
+              SELECT doc_id, CAST(last AS INT)
+              FROM (SELECT doc_id, greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) - 16, 0) AS last
+                    FROM documents WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0)) s
+        JOIN (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+              FROM documents) b USING (doc_id)
+    """
+    ccomp = _sql_hash_embed_comps(chunks_src, "cid", "chunk_text", dim)
+    qcomp = _sql_hash_embed_comps(
+        f"SELECT query_id, query FROM (VALUES {_QUERIES_SQL_VALUES}) AS q(query_id, query)",
+        "query_id",
+        "query",
+        dim,
+    )
+    return f"""
+        WITH carr AS MATERIALIZED (
+          SELECT id AS cid, list(val ORDER BY j) AS v FROM ({ccomp}) GROUP BY id),
+        qarr AS MATERIALIZED (
+          SELECT id AS query_id, list(val ORDER BY j) AS v FROM ({qcomp}) GROUP BY id),
+        scored AS MATERIALIZED (
+          SELECT q.query_id, c.cid,
+                 round(list_dot_product(c.v, q.v)
+                       / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+          FROM carr c, qarr q),
+        hits AS (SELECT query_id, cid, cosine FROM (
+                   SELECT query_id, cid, cosine,
+                          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cid ASC) AS rn
+                   FROM scored) WHERE rn <= 20),
+        per_doc AS (SELECT query_id, cid // 1000 AS doc_id, max(cosine) AS best_cos
+                    FROM hits GROUP BY 1, 2)
+        SELECT query_id, rank, doc_id, best_cos FROM (
+          SELECT query_id, doc_id, best_cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY best_cos DESC, doc_id ASC) AS rank
+          FROM per_doc) WHERE rank <= 5
+    """
+
+
 def _pii_docs(spark, sf_dir):
     """documents with deterministic synthetic PII injected IN-QUERY (the
     corpus is clean word soup): every doc gets a phone; even ids get an
@@ -1532,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_keyterms": _q_group_keyterms,
         "pii_stats": _q_pii_stats,
         "pii_redact": _q_pii_redact,
+        "hash_embed": _q_hash_embed,
+        "chunked_search": _q_chunked_search,
     }
 
 
@@ -2895,4 +3011,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_stats": _sql_pii_stats(),
         "pii_redact": _sql_pii_redact(),
+        "hash_embed": (
+            "SELECT id AS doc_id, j, val FROM ("
+            + _sql_hash_embed_comps("SELECT doc_id, text FROM documents", "doc_id", "text", 16)
+            + ")"
+        ),
+        "chunked_search": _sql_chunked_search(),
     }

@@ -243,6 +243,8 @@ def main() -> None:
         timed("group_keyterms", lambda: entrymod._q_group_keyterms(spark, sf_dir).count())
         # privacy pass: map-only regexp census + redaction rewrite
         timed("pii_redact", lambda: entrymod._q_pii_redact(spark, sf_dir).count())
+        # RAG serving path: chunk -> hash-embed -> cosine top-k -> collapse
+        timed("chunked_search", lambda: entrymod._q_chunked_search(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

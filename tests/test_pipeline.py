@@ -1237,3 +1237,79 @@ def test_pii_stats_and_redact_brute(spark):
     assert stats[1]["n_email"] == 2 and stats[2]["n_ipv4"] == 2
     assert stats[3]["n_phone"] == 1 and stats[4]["n_pii"] == 0
     assert "<EMAIL>" in red[5]["redacted_text"] and "<IPV4>" in red[5]["redacted_text"]
+
+
+def _brute_hash_embed(text, dim):
+    import hashlib
+    import math
+
+    vec = [0] * dim
+    for term in text.split():
+        h = hashlib.md5(term.encode()).hexdigest()
+        hv = int(h[:8], 16)
+        sign = 1 if int(h[8], 16) % 2 == 0 else -1
+        vec[hv % dim] += sign
+    nrm = math.sqrt(sum(v * v for v in vec))
+    if nrm == 0:
+        return [0.0] * dim
+    return [round(v / nrm, 6) for v in vec]
+
+
+def test_hash_embed_brute(spark):
+    rows = [
+        (1, "hello world hello"),
+        (2, "hello world"),
+        (3, "alpha beta gamma delta"),
+        (4, ""),                      # zero vector
+        (5, "zebra zebra zebra zebra"),  # single bucket (5), no collision with doc 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["embedding"]) for r in simsearch.hash_embed(df, dim=8).collect()}
+    for doc_id, t in rows:
+        assert got[doc_id] == _brute_hash_embed(t, 8), doc_id
+    # similar token multisets -> high cosine; disjoint -> ~0
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    assert cos(got[1], got[2]) > 0.85
+    assert abs(cos(got[2], got[5])) < 1e-9  # disjoint buckets -> orthogonal
+    # unnormalized = raw signed counts
+    raw = {r["doc_id"]: list(r["embedding"]) for r in simsearch.hash_embed(df, dim=8, normalize=False).collect()}
+    assert all(float(x) == int(x) for x in raw[1])
+    assert sum(abs(x) for x in raw[5]) == 4.0
+    with pytest.raises(ValueError):
+        simsearch.hash_embed(df, dim=0)
+
+
+def test_chunked_dense_retrieval_composition(spark):
+    """chunk -> hash_embed -> knn -> collapse finds the doc containing
+    the query's exact token window even when the doc's OTHER chunks are
+    noise (the reason to chunk at all)."""
+    needle = "spark shuffle partition tuning guide"
+    noise = " ".join(f"filler{i}" for i in range(40))
+    rows = [
+        (1, noise + " " + needle + " " + noise),   # needle buried mid-doc
+        (2, noise),                                 # pure noise
+        (3, needle),                                # needle-only doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = textstats.chunk_documents(docs, chunk_tokens=8, stride=4).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"), "chunk_text"
+    )
+    cemb = simsearch.hash_embed(chunks, dim=32, id_col="cid", text_col="chunk_text")
+    q = spark.createDataFrame([(0, needle)], "query_vec_id long, query string")
+    qemb = simsearch.hash_embed(q, dim=32, id_col="query_vec_id", text_col="query")
+    hits = simsearch.knn_cosine(cemb, qemb, k=10, id_col="cid")
+    best = (
+        hits.withColumn("doc_id", (F.col("cid") / 1000).cast("long"))
+        .groupBy("doc_id").agg(F.max("cosine").alias("c"))
+        .orderBy(F.desc("c")).collect()
+    )
+    top_docs = [r["doc_id"] for r in best[:2]]
+    assert set(top_docs) == {1, 3}          # both needle docs beat pure noise
+    assert best[0]["c"] > 0.8               # a chunk aligned on the needle
+    assert best[-1]["doc_id"] == 2 or len(best) == 2

@@ -731,3 +731,63 @@ def mmr_rerank(
     return selected.select(
         query_col, "rank", id_col, F.col("_mmr").alias("mmr_score")
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Model-free text embeddings via the feature-hashing trick
+    (Weinberger et al. 2009): each token hashes to a bucket (md5 bits
+    0-31 mod dim) with a ±1 sign (md5 bit 32-35 parity), vectors are the
+    per-bucket signed counts, L2-normalized. Similar token multisets ⇒
+    similar vectors, no trained model — the embedder that makes the
+    chunk → embed → ANN RAG path (`textstats.chunk_documents` →
+    `knn_cosine`/`knn_lsh`) runnable anywhere, and the stand-in seam a
+    real encoder later replaces (same (id, array<double>) contract).
+
+    md5 was chosen over xxhash64 because BOTH engines compute it
+    natively — the DuckDB oracle replays every bit (hex-substring
+    bucket, sign parity, integer bucket sums, 6-dp-rounded normalized
+    components). Empty docs yield the zero vector.
+
+    Scale shape: one corpus pass exploding tokens, ONE shuffle keyed by
+    (id, bucket) with map-side partial sums, then a per-id map assembly —
+    no dim² work, no Python."""
+    if dim < 1:
+        raise ValueError("hash_embed: dim must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+    sbit = F.conv(F.substring(F.md5(F.col("term")), 9, 1), 16, 10).cast("long") % 2
+    buckets = (
+        toks.withColumn("bucket", (h % dim).cast("int"))
+        .withColumn("s", F.when(sbit == 0, F.lit(1)).otherwise(F.lit(-1)))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("s").alias("v"))
+    )
+    per_id = buckets.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("_m"),
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("_nrm"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    if normalize:
+        comp = lambda j: F.when(  # noqa: E731
+            F.col("_nrm") > 0,
+            F.round(F.coalesce(F.col("_m")[j], F.lit(0)) / F.col("_nrm"), 6),
+        ).otherwise(F.lit(0.0))
+    else:
+        comp = lambda j: F.coalesce(F.col("_m")[j], F.lit(0)).cast("double")  # noqa: E731
+    # docs with no tokens: keep as zero vectors (left join back)
+    out = df.select(id_col).join(per_id, id_col, "left").select(
+        id_col,
+        F.transform(idx, comp).alias("embedding"),
+    )
+    return out
