@@ -1227,6 +1227,35 @@ def _q_trigram_regex(spark, sf_dir):
     return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
 
 
+def _q_eval_rbo(spark, sf_dir):
+    """Truncated rank-biased overlap (eval.rbo_at_k, Webber et al. 2010)
+    between the BM25 and VSM top-10 rankings — the label-free ranking
+    comparator; depth weights inlined as identical double literals on
+    both sides."""
+    from tiny_search_engine_spark import eval as ev
+
+    a = _q_bm25_topk(spark, sf_dir)
+    b = _q_vsm_topk(spark, sf_dir)
+    return ev.rbo_at_k(a, b, k=10, p=0.9)
+
+
+def _sql_eval_rbo(n: str, qterms: str, k: int = 10, p: float = 0.9) -> str:
+    weights = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    wlist = "[" + ", ".join(repr(w) for w in weights) + "]"
+    return f"""
+        WITH a AS MATERIALIZED ({_sql_bm25_topk(n, qterms)}),
+        b AS MATERIALIZED ({_sql_vsm_topk()}),
+        pairs AS (SELECT a.query_id, greatest(a.rank, b.rank) AS d0
+                  FROM a JOIN b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+                  WHERE a.rank <= {k} AND b.rank <= {k}),
+        contrib AS (SELECT query_id, ({wlist})[CAST(d AS INT)] AS w
+                    FROM pairs, unnest(generate_series(d0, {k})) AS t(d)),
+        perq AS (SELECT query_id, round(sum(w), 6) AS rbo FROM contrib GROUP BY 1)
+        SELECT u.query_id, coalesce(p.rbo, CAST(0.0 AS DOUBLE)) AS rbo
+        FROM (SELECT DISTINCT query_id FROM a) u LEFT JOIN perq p USING (query_id)
+    """
+
+
 def _q_hash_embed(spark, sf_dir):
     """Feature-hashing embeddings (simsearch.hash_embed, Weinberger et
     al. hashing trick) over documents, emitted exploded as (doc_id, j,
@@ -1648,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "hash_embed": _q_hash_embed,
         "chunked_search": _q_chunked_search,
+        "eval_rbo": _q_eval_rbo,
     }
 
 
@@ -3017,4 +3047,5 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "chunked_search": _sql_chunked_search(),
+        "eval_rbo": _sql_eval_rbo(n, qterms),
     }

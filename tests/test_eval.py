@@ -203,3 +203,47 @@ def test_mrr_recall_hand_crafted(spark):
     # k cuts the window: at k=1 nothing relevant is inside it
     mrr1 = {r.query_id: r.mrr for r in ev.mrr_at_k(ranked, labels, k=1).collect()}
     assert mrr1 == {1: 0.0, 2: 0.0}
+
+
+def test_rbo_at_k_brute(spark):
+    from tiny_search_engine_spark.eval import rbo_at_k
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "query_id long, rank int, doc_id long")
+
+    a = mk([(0, 1, 10), (0, 2, 11), (0, 3, 12),
+            (1, 1, 20), (1, 2, 21),
+            (2, 1, 30), (2, 2, 31)])
+    b_same = mk([(0, 1, 10), (0, 2, 11), (0, 3, 12),
+                 (1, 1, 20), (1, 2, 21)])
+    b_disjoint = mk([(2, 1, 90), (2, 2, 91)])
+
+    def brute(ra, rb, k, p):
+        import itertools
+
+        out = 0.0
+        for d in range(1, k + 1):
+            ad = {doc for doc, r in ra.items() if r <= d}
+            bd = {doc for doc, r in rb.items() if r <= d}
+            out += (1 - p) * p ** (d - 1) * len(ad & bd) / d
+        return round(out, 6)
+
+    # identical prefixes: rbo == Σ weights (≈ 1 as k→∞, < 1 truncated)
+    got = {r["query_id"]: r["rbo"] for r in rbo_at_k(a, b_same, k=3, p=0.5).collect()}
+    assert got[0] == brute({10: 1, 11: 2, 12: 3}, {10: 1, 11: 2, 12: 3}, 3, 0.5)
+    assert got[1] == brute({20: 1, 21: 2}, {20: 1, 21: 2}, 3, 0.5)
+    assert got[2] == 0.0  # query 2 absent from b_same
+    # disjoint lists: exact 0; queries only in run_a still emitted
+    got2 = {r["query_id"]: r["rbo"] for r in rbo_at_k(a, b_disjoint, k=3, p=0.5).collect()}
+    assert got2 == {0: 0.0, 1: 0.0, 2: 0.0}
+    # partial overlap with a rank swap scores below identical
+    b_swap = mk([(0, 1, 11), (0, 2, 10), (0, 3, 12)])
+    swap = {r["query_id"]: r["rbo"] for r in rbo_at_k(a, b_swap, k=3, p=0.5).collect()}
+    assert swap[0] == brute({10: 1, 11: 2, 12: 3}, {11: 1, 10: 2, 12: 3}, 3, 0.5)
+    assert 0 < swap[0] < got[0]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rbo_at_k(a, b_same, k=0)
+    with _pt.raises(ValueError):
+        rbo_at_k(a, b_same, p=1.0)

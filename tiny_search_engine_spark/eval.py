@@ -174,3 +174,55 @@ def mean_ndcg_at_k(ranked: DataFrame, labels: DataFrame, k: int = 3, **kw) -> fl
         .collect()[0]
     )
     return float(row["m"]) if row["n"] else 0.0
+
+
+def rbo_at_k(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Truncated Rank-Biased Overlap (Webber et al. 2010) between two
+    per-query rankings: RBO@k = Σ_{d=1..k} (1−p)·p^(d−1)·|A_:d ∩ B_:d|/d
+    — the top-weighted similarity of two result lists that needs NO
+    relevance labels (compare WAND vs exact, vsm vs bm25, yesterday's
+    index vs today's). 1.0 = identical prefixes, 0.0 = disjoint.
+
+    The per-depth weights (1−p)·p^(d−1)/d are precomputed in Python and
+    inlined as full-precision double literals on BOTH engine and oracle
+    sides, so no pow() implementation difference can leak in; the final
+    per-query sum is 6-dp rounded. Queries present in ``run_a`` always
+    emit a row (0.0 when the lists are disjoint).
+
+    Scale shape: both runs are top-k-per-query slices, so every join and
+    the depth explode are result-set-sized (≤ k²·|queries| rows) —
+    corpus-independent, like the other post-rankers."""
+    if k < 1:
+        raise ValueError("rbo_at_k: k must be >= 1")
+    if not (0.0 < p < 1.0):
+        raise ValueError("rbo_at_k: p must be in (0, 1)")
+    weights = [(1.0 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    warr = F.array(*[F.lit(w) for w in weights])
+    a = run_a.filter(F.col(rank_col) <= k).select(
+        query_col, id_col, F.col(rank_col).alias("_ra")
+    )
+    b = run_b.filter(F.col(rank_col) <= k).select(
+        query_col, id_col, F.col(rank_col).alias("_rb")
+    )
+    pairs = a.join(b, [query_col, id_col]).withColumn(
+        "_d0", F.greatest("_ra", "_rb")
+    )
+    # a pair first counts at depth max(ra, rb); its total contribution is
+    # Σ_{d=_d0..k} w_d — explode the tail depths and sum the inlined weights
+    contrib = pairs.select(
+        query_col,
+        F.explode(F.sequence(F.col("_d0"), F.lit(k))).alias("_d"),
+    ).select(query_col, F.element_at(warr, F.col("_d")).alias("_w"))
+    per_q = contrib.groupBy(query_col).agg(F.round(F.sum("_w"), 6).alias("rbo"))
+    universe = run_a.select(query_col).distinct()
+    return universe.join(per_q, query_col, "left").select(
+        query_col, F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo")
+    )
