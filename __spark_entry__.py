@@ -1227,6 +1227,51 @@ def _q_trigram_regex(spark, sf_dir):
     return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
 
 
+def _q_result_snippets(spark, sf_dir):
+    """Multi-term highlighted snippets for the BM25 top-k results
+    (pipeline.retrieval.result_snippets): best 10-token window per
+    (query, doc) by hit count, query terms wrapped in ** — anchor-based
+    exact window selection over hit-sized data only."""
+    from tiny_search_engine_spark.pipeline import retrieval as rt
+
+    ranked = _q_bm25_topk(spark, sf_dir)
+    return rt.result_snippets(ranked, _docs(spark, sf_dir), QUERY_SET, window=10)
+
+
+def _sql_result_snippets(n: str, qterms_values: str, window: int = 10) -> str:
+    return f"""
+        WITH ranked AS MATERIALIZED ({_sql_bm25_topk(n, _QTERMS_SQL)}),
+        r AS (SELECT DISTINCT query_id, doc_id FROM ranked),
+        qt AS (SELECT DISTINCT query_id, term FROM (
+                 SELECT query_id, unnest(string_split_regex(query, '\\s+')) AS term
+                 FROM (VALUES {qterms_values}) AS q(query_id, query)) WHERE term <> ''),
+        toksarr AS MATERIALIZED (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents WHERE doc_id IN (SELECT doc_id FROM r)),
+        tk AS (SELECT r.query_id, t.doc_id, t.pos, t.term FROM (
+                 SELECT doc_id, toks[i] AS term, CAST(i - 1 AS INT) AS pos
+                 FROM toksarr, unnest(generate_series(1, len(toks))) AS u(i)) t
+               JOIN r ON r.doc_id = t.doc_id),
+        hits AS MATERIALIZED (
+          SELECT tk.query_id, tk.doc_id, tk.pos
+          FROM tk JOIN qt ON qt.query_id = tk.query_id AND qt.term = tk.term),
+        scored AS (SELECT h1.query_id, h1.doc_id, h1.pos AS snippet_start, count(*) AS n_hits
+                   FROM hits h1 JOIN hits h2
+                     ON h2.query_id = h1.query_id AND h2.doc_id = h1.doc_id
+                    AND h2.pos >= h1.pos AND h2.pos < h1.pos + {window}
+                   GROUP BY 1, 2, 3),
+        best AS (SELECT query_id, doc_id, snippet_start, n_hits FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                                                ORDER BY n_hits DESC, snippet_start ASC) AS rn
+                   FROM scored) WHERE rn = 1),
+        qarr AS (SELECT query_id, list(term) AS qts FROM qt GROUP BY 1)
+        SELECT b.query_id, b.doc_id, b.snippet_start, CAST(b.n_hits AS BIGINT) AS n_hits,
+               array_to_string(list_transform(t.toks[b.snippet_start + 1 : b.snippet_start + {window}],
+                               x -> CASE WHEN list_contains(q.qts, x) THEN '**' || x || '**' ELSE x END), ' ') AS snippet
+        FROM best b JOIN toksarr t USING (doc_id) JOIN qarr q USING (query_id)
+    """
+
+
 def _q_eval_rbo(spark, sf_dir):
     """Truncated rank-biased overlap (eval.rbo_at_k, Webber et al. 2010)
     between the BM25 and VSM top-10 rankings — the label-free ranking
@@ -1678,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": _q_hash_embed,
         "chunked_search": _q_chunked_search,
         "eval_rbo": _q_eval_rbo,
+        "result_snippets": _q_result_snippets,
     }
 
 
@@ -3048,4 +3094,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunked_search": _sql_chunked_search(),
         "eval_rbo": _sql_eval_rbo(n, qterms),
+        "result_snippets": _sql_result_snippets(n, _QUERIES_SQL_VALUES),
     }

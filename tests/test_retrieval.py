@@ -327,3 +327,36 @@ def test_collapse_results(spark):
     # k truncates after collapsing
     k2 = retrieval.collapse_results(results, meta, "source", k=2)
     assert k2.filter("query_id = 0").count() == 2
+
+
+def test_result_snippets(spark):
+    docs = spark.createDataFrame(
+        [
+            # best window: positions 6..8 hold both terms twice
+            (1, "x x x alpha x x alpha beta alpha x x x"),
+            (2, "beta y y y y y y y y y y y y y y alpha"),  # far apart: single-hit window
+            (3, "no hits here"),
+        ],
+        "doc_id long, text string",
+    )
+    results = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "query_id long, doc_id long"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in retrieval.result_snippets(
+            results, docs, [(0, "alpha beta")], window=4
+        ).collect()
+    }
+    # doc 1: anchor at pos 6 covers alpha(6), beta(7), alpha(8) = 3 hits
+    assert got[1]["snippet_start"] == 6 and got[1]["n_hits"] == 3
+    assert got[1]["snippet"] == "**alpha** **beta** **alpha** x"
+    # doc 2: both terms too far apart for one window -> earliest 1-hit anchor
+    assert got[2]["snippet_start"] == 0 and got[2]["n_hits"] == 1
+    assert got[2]["snippet"].startswith("**beta**")
+    # doc 3: zero hits -> no row
+    assert 3 not in got
+    # snippet clipped at doc end
+    assert len(got[2]["snippet"].split()) == 4
+    with pytest.raises(ValueError):
+        retrieval.result_snippets(results, docs, [(0, "alpha")], window=0)

@@ -556,3 +556,95 @@ def collapse_results(
         .filter(F.col("rank") <= k)
         .select(query_col, "rank", F.col("_grp").alias("group_value"), id_col, score_col)
     )
+
+
+def result_snippets(
+    results: DataFrame,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    window: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Result snippets with multi-term highlighting: for each (query,
+    doc) in a result set, the ``window``-token span containing the MOST
+    query-term hits (ties → earliest), with every query term wrapped in
+    ``**``. The search-results page surface the reference lacks (its
+    highlight, query.py:824-841, marks the whole title only).
+
+    Window selection is anchor-based: every hit position p is a
+    candidate start; its score is the number of hits in [p, p+window) —
+    an optimal window always exists that starts at a hit, so this is
+    exact, and the self-join is bounded by hits-per-doc (query terms
+    only), never doc length. Docs with zero hits emit no row (they
+    shouldn't be in a term-based result set anyway).
+
+    Returns (query, id, snippet_start, n_hits, snippet).
+
+    Scale shape: the result set broadcasts into the docs scan
+    (corpus never shuffled); tokens are exploded only for result docs;
+    the anchor self-join and windows run on hit-sized data."""
+    if window < 1:
+        raise ValueError("result_snippets: window must be >= 1")
+    spark = results.sparkSession
+    qdf = spark.createDataFrame(queries, f"{query_col} long, query string")
+    qterms = qdf.select(
+        query_col, F.explode(F.split("query", r"\s+")).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    qarrs = qterms.groupBy(query_col).agg(F.collect_set("term").alias("_qt"))
+
+    r = results.select(query_col, id_col).distinct()
+    rdocs = docs.select(
+        id_col,
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("_toks"),
+    ).join(F.broadcast(r), id_col)
+    toks = rdocs.select(
+        query_col, id_col, F.posexplode("_toks").alias("_pos", "_term")
+    )
+    hits = toks.join(
+        F.broadcast(qterms),
+        (toks[query_col] == qterms[query_col]) & (toks["_term"] == qterms["term"]),
+    ).select(toks[query_col], id_col, "_pos")
+    h1 = hits.alias("h1")
+    h2 = hits.alias("h2")
+    scored = (
+        h1.join(
+            h2,
+            (F.col(f"h1.{query_col}") == F.col(f"h2.{query_col}"))
+            & (F.col(f"h1.{id_col}") == F.col(f"h2.{id_col}"))
+            & (F.col("h2._pos") >= F.col("h1._pos"))
+            & (F.col("h2._pos") < F.col("h1._pos") + window),
+        )
+        .groupBy(
+            F.col(f"h1.{query_col}").alias(query_col),
+            F.col(f"h1.{id_col}").alias(id_col),
+            F.col("h1._pos").alias("snippet_start"),
+        )
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy(query_col, id_col).orderBy(
+        F.desc("n_hits"), F.asc("snippet_start")
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    out = (
+        best.join(rdocs, [query_col, id_col])
+        .join(F.broadcast(qarrs), query_col)
+        .select(
+            query_col,
+            id_col,
+            "snippet_start",
+            "n_hits",
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("_toks"), F.col("snippet_start") + 1, window),
+                    lambda t: F.when(
+                        F.array_contains(F.col("_qt"), t),
+                        F.concat(F.lit("**"), t, F.lit("**")),
+                    ).otherwise(t),
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+    return out
