@@ -1227,6 +1227,39 @@ def _q_trigram_regex(spark, sf_dir):
     return cs.search_regex(_docs(spark, sf_dir), TRIGRAM_PATTERNS)
 
 
+_PROFILE_COLS = ["event_type", "user_id", "value", "props"]
+
+
+def _q_profile_table(spark, sf_dir):
+    """Deequ-style table profile of the events table
+    (pipeline.profile.profile_table): per-column null/distinct counts +
+    top-5 values from ONE stacked census pass (exact flavor; approx=True
+    is the HLL path, pinned in tests)."""
+    from tiny_search_engine_spark.pipeline import profile as pr
+
+    return pr.profile_table(_events(spark, sf_dir), columns=_PROFILE_COLS, k=5)
+
+
+def _sql_profile_table(k: int = 5) -> str:
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM events"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+        WITH census AS (SELECT col_name, value, count(*) AS n FROM ({stacked}) GROUP BY 1, 2),
+        summary AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS n_rows,
+                           CAST(sum(CASE WHEN value IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_nulls,
+                           count(DISTINCT value) AS n_distinct
+                    FROM census GROUP BY 1),
+        top AS (SELECT col_name, rank, coalesce(value, '(null)') AS value, n FROM (
+                  SELECT col_name, value, n,
+                         row_number() OVER (PARTITION BY col_name ORDER BY n DESC, value ASC NULLS LAST) AS rank
+                  FROM census) WHERE rank <= {k})
+        SELECT t.col_name, s.n_rows, s.n_nulls, s.n_distinct, t.rank, t.value, t.n
+        FROM top t JOIN summary s USING (col_name)
+    """
+
+
 def _q_result_snippets(spark, sf_dir):
     """Multi-term highlighted snippets for the BM25 top-k results
     (pipeline.retrieval.result_snippets): best 10-token window per
@@ -1724,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_search": _q_chunked_search,
         "eval_rbo": _q_eval_rbo,
         "result_snippets": _q_result_snippets,
+        "profile_table": _q_profile_table,
     }
 
 
@@ -3095,4 +3129,5 @@ def oracle_sql() -> dict[str, str]:
         "chunked_search": _sql_chunked_search(),
         "eval_rbo": _sql_eval_rbo(n, qterms),
         "result_snippets": _sql_result_snippets(n, _QUERIES_SQL_VALUES),
+        "profile_table": _sql_profile_table(),
     }

@@ -245,6 +245,8 @@ def main() -> None:
         timed("pii_redact", lambda: entrymod._q_pii_redact(spark, sf_dir).count())
         # RAG serving path: chunk -> hash-embed -> cosine top-k -> collapse
         timed("chunked_search", lambda: entrymod._q_chunked_search(spark, sf_dir).count())
+        # one-pass stacked data-quality census over the events table
+        timed("profile_table", lambda: entrymod._q_profile_table(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

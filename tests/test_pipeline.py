@@ -1313,3 +1313,34 @@ def test_chunked_dense_retrieval_composition(spark):
     assert set(top_docs) == {1, 3}          # both needle docs beat pure noise
     assert best[0]["c"] > 0.8               # a chunk aligned on the needle
     assert best[-1]["doc_id"] == 2 or len(best) == 2
+
+
+def test_profile_table_brute(spark):
+    from tiny_search_engine_spark.pipeline import profile as pr
+
+    rows = [
+        (1, "a", None),
+        (2, "a", 1.5),
+        (3, "b", 1.5),
+        (4, "a", 2.0),
+        (5, None, 1.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, x double")
+    got = {}
+    for r in pr.profile_table(df, columns=["cat", "x"], k=2).collect():
+        got.setdefault(r["col_name"], {})[r["rank"]] = r.asDict()
+    cat = got["cat"]
+    assert cat[1]["value"] == "a" and cat[1]["n"] == 3
+    assert cat[2]["value"] == "b" and cat[2]["n"] == 1  # ties n=1: 'b' < '(null)'? value asc nulls last -> 'b' before null
+    assert cat[1]["n_rows"] == 5 and cat[1]["n_nulls"] == 1 and cat[1]["n_distinct"] == 2
+    x = got["x"]
+    assert x[1]["value"] == "1.5" and x[1]["n"] == 3
+    assert x[1]["n_nulls"] == 1 and x[1]["n_distinct"] == 2
+    # approx flavor: HLL distinct within small-cardinality exactness
+    ap = {r["col_name"]: r for r in pr.profile_table(df, columns=["cat"], k=1, approx=True).collect()}
+    assert abs(ap["cat"]["n_distinct"] - 2) <= 1
+    # unknown column refuses; k validated
+    with pytest.raises(ValueError):
+        pr.profile_table(df, columns=["nope"])
+    with pytest.raises(ValueError):
+        pr.profile_table(df, k=0)
