@@ -1377,13 +1377,13 @@ def _q_chunked_search(spark, sf_dir):
     from this round's operators: chunk_documents (16-token windows,
     stride 8) → hash_embed chunks AND the query strings → exact cosine
     top-20 chunks per query → collapse to the best chunk per document →
-    top-5 docs. Chunk key = doc_id·1000 + chunk_id (test corpora stay
-    far under 1000 chunks/doc). Every stage is relational + the proven
+    top-5 docs. Chunk key = doc_id·10⁶ + chunk_id (a doc would need >10⁶
+    chunks — ~8M tokens at stride 8 — to collide). Every stage is relational + the proven
     _dot path, so the whole composition value-hashes against one SQL
     oracle."""
     chunks = textstats.chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, stride=8)
     chunks = chunks.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"), "chunk_text"
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias("cid"), "chunk_text"
     )
     cemb = simsearch.hash_embed(chunks, dim=16, id_col="cid", text_col="chunk_text")
     qemb = simsearch.hash_embed(
@@ -1391,7 +1391,7 @@ def _q_chunked_search(spark, sf_dir):
     ).select(F.col("query_id").alias("query_vec_id"), "embedding")
     hits = simsearch.knn_cosine(cemb, qemb, k=20, id_col="cid")
     per_doc = (
-        hits.withColumn("doc_id", (F.col("cid") / 1000).cast("long"))
+        hits.withColumn("doc_id", F.expr("cid div 1000000"))
         .groupBy("query_vec_id", "doc_id")
         .agg(F.max("cosine").alias("best_cos"))
     )
@@ -1405,7 +1405,7 @@ def _q_chunked_search(spark, sf_dir):
 
 def _sql_chunked_search(dim: int = 16) -> str:
     chunks_src = """
-        SELECT b.doc_id * 1000 + row_number() OVER (PARTITION BY b.doc_id ORDER BY s.start_token) - 1 AS cid,
+        SELECT b.doc_id * 1000000 + row_number() OVER (PARTITION BY b.doc_id ORDER BY s.start_token) - 1 AS cid,
                array_to_string(b.toks[s.start_token + 1 : s.start_token + 16], ' ') AS chunk_text
         FROM (SELECT doc_id, CAST(s AS INT) AS start_token
               FROM (SELECT doc_id, toks, greatest(len(toks) - 16, 0) AS last
@@ -1439,7 +1439,7 @@ def _sql_chunked_search(dim: int = 16) -> str:
                    SELECT query_id, cid, cosine,
                           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cid ASC) AS rn
                    FROM scored) WHERE rn <= 20),
-        per_doc AS (SELECT query_id, cid // 1000 AS doc_id, max(cosine) AS best_cos
+        per_doc AS (SELECT query_id, cid // 1000000 AS doc_id, max(cosine) AS best_cos
                     FROM hits GROUP BY 1, 2)
         SELECT query_id, rank, doc_id, best_cos FROM (
           SELECT query_id, doc_id, best_cos,
@@ -1498,12 +1498,15 @@ def _sql_pii_stats() -> str:
 
 
 def _sql_pii_redact() -> str:
+    # counts are staged like the engine: each pattern counts on the text
+    # AFTER the previous patterns' replacements, so overlapping matches
+    # are never double-counted
     out = "text"
+    counts = []
     for kind, pat in textstats.PII_PATTERNS.items():
+        counts.append(f"len(regexp_extract_all({out}, '{pat}'))")
         out = f"regexp_replace({out}, '{pat}', '<{kind.upper()}>', 'g')"
-    total = " + ".join(
-        f"len(regexp_extract_all(text, '{pat}'))" for pat in textstats.PII_PATTERNS.values()
-    )
+    total = " + ".join(counts)
     return (
         f"SELECT doc_id, {out} AS redacted_text, CAST({total} AS INT) AS n_redacted "
         f"FROM ({_PII_MANGLE_SQL})"

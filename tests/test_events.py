@@ -539,9 +539,8 @@ def test_transition_counts_brute(spark):
         ("view", "buy"): (1, 0.5),
         ("click", "view"): (1, 1.0),
     }
-    # min_count prunes, probs renormalize over the SURVIVORS' total? no —
-    # prob is computed before... assert current contract: filter happens
-    # before totals, so probs stay consistent within the kept rows
+    # min_count prunes the LISTING only — totals (and so probs) are over
+    # ALL transitions, keeping prob a true Markov probability
     got2 = ev.transition_counts(df, min_count=2).collect()
     assert [(r["prev_type"], r["n_trans"], r["prob"]) for r in got2] == [("(start)", 3, 1.0)]
 
@@ -636,3 +635,25 @@ def test_cohort_retention_brute(spark):
     }
     with pytest.raises(ValueError):
         ev.cohort_retention(df, "month")
+
+
+def test_transition_counts_min_count_keeps_true_probs(spark):
+    rows = []
+    eid = 0
+    for i in range(3):  # three users: view -> click
+        rows += [(eid, datetime(2024, 1, 1, 10, 0), 10 + i, "view", 0.0, "{}"),
+                 (eid + 1, datetime(2024, 1, 1, 10, 1), 10 + i, "click", 0.0, "{}")]
+        eid += 2
+    rows += [(eid, datetime(2024, 1, 1, 10, 0), 99, "view", 0.0, "{}"),
+             (eid + 1, datetime(2024, 1, 1, 10, 1), 99, "buy", 0.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r["prev_type"], r["event_type"]): r["prob"]
+        for r in ev.transition_counts(df, min_count=2).collect()
+    }
+    # buy row (n=1) pruned from the LISTING, but click's prob is still
+    # normalized over all 4 'view' transitions: 3/4, not 3/3
+    assert ("view", "buy") not in got
+    assert got[("view", "click")] == 0.75

@@ -1344,3 +1344,46 @@ def test_profile_table_brute(spark):
         pr.profile_table(df, columns=["nope"])
     with pytest.raises(ValueError):
         pr.profile_table(df, k=0)
+
+
+def test_knn_cosine_zero_vector_never_ranks_first(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),   # zero vector: cosine must be 0.0, not NaN
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    got = {r["rank"]: (r["vec_id"], r["cosine"]) for r in simsearch.knn_cosine(emb, q, k=3).collect()}
+    assert got[1][0] == 0 and got[1][1] == 1.0
+    assert got[3] == (2, 0.0)          # zero vector last with score 0.0
+    import math
+    assert not any(math.isnan(c) for _, c in got.values())
+
+
+def test_redact_pii_overlap_counts_match_tags(spark):
+    df = spark.createDataFrame(
+        [(1, "reach me: a@10.0.0.7.com now")], "doc_id long, text string"
+    )
+    r = textstats.redact_pii(df).collect()[0]
+    # the email pattern consumes the IP-looking domain; only ONE tag is
+    # inserted and n_redacted must agree
+    assert r["redacted_text"].count("<EMAIL>") == 1
+    assert "<IPV4>" not in r["redacted_text"]
+    assert r["n_redacted"] == 1
+
+
+def test_profile_table_min_count(spark):
+    from tiny_search_engine_spark.pipeline import profile as pr
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, cat string"
+    )
+    got = {r["rank"]: r for r in pr.profile_table(df, columns=["cat"], k=5, min_count=2).collect()}
+    assert len(got) == 1 and got[1]["value"] == "a" and got[1]["n"] == 2
+    # summary unskewed by the prune
+    assert got[1]["n_rows"] == 3 and got[1]["n_distinct"] == 2
+    with pytest.raises(ValueError):
+        pr.profile_table(df, min_count=0)

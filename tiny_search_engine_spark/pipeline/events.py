@@ -442,11 +442,13 @@ def transition_counts(df: DataFrame, min_count: int = 1) -> DataFrame:
         .withColumn("prev_type", F.coalesce(F.lag("event_type").over(w), F.lit("(start)")))
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("n_trans"))
-        .filter(F.col("n_trans") >= min_count)
     )
+    # totals over ALL transitions (before the min_count prune), so prob
+    # stays a true Markov probability — pruned tails just aren't listed
     totals = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("_tot"))
     return (
-        trans.join(F.broadcast(totals), "prev_type")
+        trans.filter(F.col("n_trans") >= min_count)
+        .join(F.broadcast(totals), "prev_type")
         .withColumn("prob", F.round(F.col("n_trans") / F.col("_tot"), 6))
         .select("prev_type", "event_type", "n_trans", "prob")
     )
@@ -529,7 +531,11 @@ def cohort_retention(df: DataFrame, period: str = "week") -> DataFrame:
     Period keys are emitted as exact epoch seconds of the
     ``date_trunc(period)`` boundary and offsets as integer period counts
     derived from epoch arithmetic — no engine-specific date diffing, so
-    the DuckDB oracle matches bit-for-bit. Returns (cohort_period s,
+    the DuckDB oracle matches bit-for-bit. The offset division assumes
+    fixed-length periods, which holds under the UTC session timezone
+    this repo pins (session.py); under a DST timezone, week boundaries
+    straddling a transition are not 604800 s apart and the truncating
+    cast would misassign that week's offset. Returns (cohort_period s,
     period_offset, n_active, cohort_size, retention).
 
     Scale shape: one user-keyed aggregation for first-seen (map-side

@@ -9,9 +9,10 @@ keyed by (column, value); nulls and distincts derive from that census,
 the top-k is a WindowGroupLimit-pruned window over it. Shuffle volume is
 Σ per-column cardinality — for unique-ish columns that is corpus-sized,
 which is the honest cost of an exact census; ``approx=True`` swaps the
-distinct side to HLL sketches and prunes the census to values seen more
-than ``min_count`` times via the same partial-agg collapse
-``paragraph_dedup`` uses, which bounds the exchange for top-k purposes.
+distinct side to HLL sketches (computed straight off the stacked rows,
+no census dependency), and ``min_count`` prunes the top-k census to
+values surviving the map-side partial agg — together they bound the
+exchange the way ``paragraph_dedup``'s boilerplate collapse does.
 
 Values are compared AS STRINGS (one stable cast per engine — the DuckDB
 oracle casts identically), with ``(null)`` tracked separately, so the
@@ -30,13 +31,20 @@ def profile_table(
     columns: list[str] | None = None,
     k: int = 5,
     approx: bool = False,
+    min_count: int = 1,
 ) -> DataFrame:
     """Per-column profile: (col_name, n_rows, n_nulls, n_distinct, rank,
     value, n) — one row per top-k value, summary stats repeated.
     ``approx`` uses HLL (approx_count_distinct) for n_distinct — the
-    mergeable-sketch path for 100 TB tables."""
+    mergeable-sketch path for 100 TB tables. ``min_count`` prunes the
+    top-k census to values seen at least that often (the summary is
+    computed directly from the stacked rows, so pruning never skews
+    n_rows/n_nulls/n_distinct); with min_count > 1 the census exchange
+    carries only the post-partial-agg survivors."""
     if k < 1:
         raise ValueError("profile_table: k must be >= 1")
+    if min_count < 1:
+        raise ValueError("profile_table: min_count must be >= 1")
     cols = columns or df.columns
     missing = [c for c in cols if c not in df.columns]
     if missing:
@@ -54,17 +62,22 @@ def profile_table(
             )
         ).alias("cv")
     ).select(F.col("cv.col_name").alias("col_name"), F.col("cv.value").alias("value"))
-    census = stacked.groupBy("col_name", "value").agg(F.count("*").alias("n"))
     distinct_agg = (
         F.approx_count_distinct("value")
         if approx
         else F.count_distinct("value")
     )
-    summary = census.groupBy("col_name").agg(
-        F.sum("n").alias("n_rows"),
-        F.sum(F.when(F.col("value").isNull(), F.col("n")).otherwise(0)).alias("n_nulls"),
+    # summary straight from the stacked rows (map-side partials to one row
+    # per column) — it never depends on the census, so min_count pruning
+    # can't skew it
+    summary = stacked.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_nulls"),
         distinct_agg.alias("n_distinct"),  # count(_distinct) skips NULLs on both engines
     )
+    census = stacked.groupBy("col_name", "value").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        census = census.filter(F.col("n") >= min_count)
     w = Window.partitionBy("col_name").orderBy(
         F.desc("n"), F.asc_nulls_last("value")
     )

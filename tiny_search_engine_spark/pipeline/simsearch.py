@@ -37,6 +37,16 @@ def _norm(v):
     )
 
 
+def _safe_cos(dot, na, nb):
+    """6-dp cosine with a zero-norm guard: a zero vector (hash_embed of an
+    empty doc, cancelled buckets) scores 0.0 instead of NaN — Spark sorts
+    NaN ABOVE every real double, so an unguarded division would put
+    zero-vector garbage at rank 1 of every ranking. The guard only fires
+    where the raw division would NOT be a number, so SQL-oracle parity on
+    real vectors is unchanged."""
+    return F.when((na > 0) & (nb > 0), F.round(dot / (na * nb), 6)).otherwise(F.lit(0.0))
+
+
 def knn_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,7 +63,7 @@ def knn_cosine(
         F.col(qid_col), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn")
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", F.round(_dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6)
+        "cosine", _safe_cos(_dot(F.col("cv"), F.col("qv")), F.col("cn"), F.col("qn"))
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -115,9 +125,7 @@ def knn_lsh(
     )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine",
-        F.round(
-            _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
-        ),
+        _safe_cos(_dot(F.col("cv"), F.col("qv")), _norm(F.col("cv")), _norm(F.col("qv"))),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -710,7 +718,7 @@ def mmr_rerank(
             F.col("_v").alias("_sv"),
             F.col("_n").alias("_sn"),
         )
-        sim = F.round(_dot(F.col("_v"), F.col("_sv")) / (F.col("_n") * F.col("_sn")), 6)
+        sim = _safe_cos(_dot(F.col("_v"), F.col("_sv")), F.col("_n"), F.col("_sn"))
         picked = (
             rem.join(s, query_col)
             .withColumn("_sim", sim)

@@ -685,8 +685,8 @@ def gopher_flags(
     n_words = F.size(words)
     sum_len = F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
     mean_wl = F.when(n_words > 0, F.round(sum_len / n_words, 6)).otherwise(F.lit(0.0))
-    n_hash = F.length(t) - F.length(F.expr(f"replace({text_col}, '#', '')"))
-    n_ellipsis = (F.length(t) - F.length(F.expr(f"replace({text_col}, '...', '')"))) / 3
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
     sym_ratio = F.when(n_words > 0, F.round((n_hash + n_ellipsis) / n_words, 6)).otherwise(
         F.lit(0.0)
     )
@@ -872,12 +872,15 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     ``<PHONE>``), applied in the dict's fixed order so engines agree
     when patterns could overlap. Returns (id, redacted_text, n_redacted).
     Map-only/shuffle-free like ``pii_stats``."""
+    # count each pattern on the text AS IT IS when that pattern runs
+    # (post previous replacements), so n_redacted equals the number of
+    # <KIND> tags actually inserted — overlapping matches (an email whose
+    # domain looks like an IP) are not double-counted
     out = F.col(text_col)
-    for kind, pat in PII_PATTERNS.items():
-        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     n = F.lit(0)
     for kind, pat in PII_PATTERNS.items():
-        n = n + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        n = n + F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0)))
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return df.select(
         id_col,
         out.alias("redacted_text"),
