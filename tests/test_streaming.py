@@ -210,3 +210,59 @@ def test_dedup_stream_matches_batch(spark, tmp_path):
     # exactly-once: deltas are disjoint — the plain union has no repeats
     assert allp.count() == len(got)
     assert stream_buckets(spark, store).select("doc_id").distinct().count() == 6
+
+
+def test_percolate_stream_matches_batch(spark, tmp_path):
+    """Saved-search alerting: union of per-epoch alert deltas equals the
+    batch boolean_search over the union corpus (modulo rank, which is
+    per-epoch); deltas are doc-disjoint; checkpoint resume is a no-op;
+    a retried-looking second drain only processes NEW files."""
+    import os
+
+    from tiny_search_engine_spark.pipeline.retrieval import boolean_search
+    from tiny_search_engine_spark.streaming.percolate_stream import (
+        percolate_available_now,
+        stream_alerts,
+    )
+
+    queries = [
+        (0, "+spark +shuffle"),          # MUST both
+        (1, "index -legacy"),            # SHOULD with exclusion
+        (2, "+table scan merge"),        # MUST + SHOULDs
+    ]
+    e0 = [
+        (1, "spark shuffle partition notes"),
+        (2, "spark only no match"),
+        (3, "index tuning legacy doc"),     # excluded by -legacy
+        (4, "index tuning fresh doc"),
+    ]
+    e1 = [
+        (5, "table scan plan"),
+        (6, "table merge strategy"),
+        (7, "spark shuffle again"),
+    ]
+    src, store, ckpt = (str(tmp_path / d) for d in ("psrc", "pstore", "pckpt"))
+    schema = "doc_id long, text string"
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(e0, schema).write.parquet(os.path.join(src, "e0"))
+    n1 = percolate_available_now(spark, src + "/*", store, ckpt, queries)
+    assert n1 >= 1
+    spark.createDataFrame(e1, schema).write.parquet(os.path.join(src, "e1"))
+    n2 = percolate_available_now(spark, src + "/*", store, ckpt, queries)
+    assert n2 >= 1
+
+    got = {(r["query_id"], r["doc_id"]): r["n_matched"] for r in stream_alerts(spark, store).collect()}
+    union = spark.createDataFrame(e0 + e1, schema)
+    want = {
+        (r["query_id"], r["doc_id"]): r["n_matched"]
+        for r in boolean_search(union, queries).collect()
+    }
+    assert got == want
+    assert (0, 1) in got and (0, 7) in got      # MUST pair across epochs
+    assert (1, 3) not in got and (1, 4) in got  # -legacy exclusion
+    # deltas are doc-disjoint (each alert row emitted exactly once)
+    all_rows = stream_alerts(spark, store).collect()
+    assert len(all_rows) == len(got)
+    # re-drain with no new files: no new epochs, alerts unchanged
+    n3 = percolate_available_now(spark, src + "/*", store, ckpt, queries)
+    assert stream_alerts(spark, store).count() == len(all_rows)
