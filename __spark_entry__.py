@@ -1260,6 +1260,47 @@ def _sql_profile_table(k: int = 5) -> str:
     """
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """CDC diff between two deterministic snapshots of documents
+    (pipeline.profile.snapshot_diff): old = ids % 5 != 0, new = ids % 7
+    != 0 with text suffixed ' v2' for ids % 3 == 0 — one id-keyed
+    full-outer join of md5 fingerprints."""
+    from tiny_search_engine_spark.pipeline import profile as pr
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return pr.snapshot_diff(old, new, cmp_cols=["text", "lang", "source"])
+
+
+_SNAPDIFF_SQL = """
+    WITH old AS (
+      SELECT doc_id, md5(concat_ws(chr(31),
+                 coalesce(CAST(text AS VARCHAR), chr(0)),
+                 coalesce(CAST(lang AS VARCHAR), chr(0)),
+                 coalesce(CAST(source AS VARCHAR), chr(0)))) AS old_fp
+      FROM documents WHERE doc_id % 5 <> 0),
+    new AS (
+      SELECT doc_id, md5(concat_ws(chr(31),
+                 coalesce(CAST(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS VARCHAR), chr(0)),
+                 coalesce(CAST(lang AS VARCHAR), chr(0)),
+                 coalesce(CAST(source AS VARCHAR), chr(0)))) AS new_fp
+      FROM documents WHERE doc_id % 7 <> 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp <> n.new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_fp, n.new_fp
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 def _q_result_snippets(spark, sf_dir):
     """Multi-term highlighted snippets for the BM25 top-k results
     (pipeline.retrieval.result_snippets): best 10-token window per
@@ -1761,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_rbo": _q_eval_rbo,
         "result_snippets": _q_result_snippets,
         "profile_table": _q_profile_table,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -3133,4 +3175,5 @@ def oracle_sql() -> dict[str, str]:
         "eval_rbo": _sql_eval_rbo(n, qterms),
         "result_snippets": _sql_result_snippets(n, _QUERIES_SQL_VALUES),
         "profile_table": _sql_profile_table(),
+        "snapshot_diff": _SNAPDIFF_SQL,
     }

@@ -1387,3 +1387,26 @@ def test_profile_table_min_count(spark):
     assert got[1]["n_rows"] == 3 and got[1]["n_distinct"] == 2
     with pytest.raises(ValueError):
         pr.profile_table(df, min_count=0)
+
+
+def test_snapshot_diff_brute(spark):
+    from tiny_search_engine_spark.pipeline import profile as pr
+
+    old = spark.createDataFrame(
+        [(1, "same", "en"), (2, "will change", "en"), (3, "gone", "de"), (5, "null later", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same", "en"), (2, "changed!", "en"), (4, "brand new", "es"), (5, None, "fr")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r["status"] for r in pr.snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added", 5: "changed"}
+    # NULL sentinel: a NULL field differs from the string it would print as
+    r5 = [r for r in pr.snapshot_diff(old, new).collect() if r["doc_id"] == 5][0]
+    assert r5["old_fp"] != r5["new_fp"]
+    # cmp_cols restriction: ignoring text makes 2 unchanged
+    got2 = {r["doc_id"]: r["status"] for r in pr.snapshot_diff(old, new, cmp_cols=["lang"]).collect()}
+    assert got2[2] == "unchanged" and got2[5] == "unchanged"
+    with pytest.raises(ValueError):
+        pr.snapshot_diff(old.select("doc_id"), new.select("doc_id"))

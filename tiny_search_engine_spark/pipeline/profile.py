@@ -89,3 +89,45 @@ def profile_table(
     return top.join(F.broadcast(summary), "col_name").select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "rank", "value", "n"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    cmp_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture diff between two snapshots of a table: every
+    id classified as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by comparing an md5 fingerprint of the compare columns — what an
+    incremental pipeline consults to reprocess ONLY the delta (the batch
+    twin of streaming/ingest.py's upsert/delete path, and the first step
+    of any 100 TB backfill-vs-refresh decision).
+
+    Fingerprints use a 0x1f column separator and a 0x00 NULL sentinel so
+    (\"a\", NULL) and (\"a\\x00\",) cannot collide. Returns (id, status,
+    old_fp, new_fp) for ALL ids in either snapshot; filter
+    ``status != 'unchanged'`` for the work list.
+
+    Scale shape: one select per side, ONE id-keyed full-outer sort-merge
+    join — at 100 TB both sides bucket by id (the segment store's
+    layout) so the join co-locates without a shuffle; no skew (ids are
+    unique per side)."""
+    cmp = cmp_cols or [c for c in new.columns if c != id_col and c in old.columns]
+    if not cmp:
+        raise ValueError("snapshot_diff: no compare columns")
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cmp]
+        return df.select(F.col(id_col), F.md5(F.concat_ws("\x1f", *parts)).alias(alias))
+
+    o = fp(old, "old_fp")
+    n = fp(new, "new_fp")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(id_col, status.alias("status"), "old_fp", "new_fp")
