@@ -1713,57 +1713,14 @@ def _q_facet_counts(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER matters: the round-2 driver hashed exactly the first 50
+    # entries, so round 3 rotates the 39 entries that had no driver row
+    # (phrase_match .. snapshot_diff) to the FRONT of the dict, followed by
+    # the round-3 additions, then the 50 entries that went green in
+    # CORRECTNESS_r02.json (their proof is on record; they rotate back in a
+    # later round).  See COVERAGE.md "Driver-window rotation".
     return {
-        "token_counts": _q_token_counts,
-        "term_stats": _q_term_stats,
-        "doc_stats": _q_doc_stats,
-        "avg_doc_len": _q_avg_doc_len,
-        "bm25_topk": _q_bm25_topk,
-        "wand_store_topk": _q_wand_store,
-        "term_hits_funnel": _q_term_hits_funnel,
-        "stopword_stats": _q_stopword_stats,
-        "dup_exact": _q_dup_exact,
-        "minhash_sigs": _q_minhash_sigs,
-        "lsh_pairs": _q_lsh_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "ngram_jaccard_capped": _q_ngram_jaccard_capped,
-        "simhash_sigs": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "knn_cosine": _q_knn_cosine,
-        "knn_ivf": _q_knn_ivf,
-        "synonym_expand": _q_synonym_expand,
-        "vsm_topk": _q_vsm_topk,
-        "edit_distance": _q_edit_distance,
-        "embedding_neardup": _q_embedding_neardup,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "lang_id": _q_lang_id,
-        "quality_score": _q_quality,
-        "token_count": _q_token_count,
-        "fingerprint": _q_fingerprint,
-        "repetition_stats": _q_repetition_stats,
-        "decontaminate": _q_decontaminate,
-        "lm_perplexity": _q_lm_perplexity,
-        "dup_spans": _q_dup_spans,
-        "dup_spans_removed": _q_dup_spans_removed,
-        "pack_sequences": _q_pack_sequences,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "training_chunks": _q_training_chunks,
-        "bpe_merges": _q_bpe_merges,
-        "dup_clusters": _q_dup_clusters,
-        "corpus_curate": _q_corpus_curate,
-        "event_sessions": _q_event_sessions,
-        "event_sessions_native": _q_event_sessions_native,
-        "event_asof": _q_event_asof,
-        "event_range_join": _q_event_range_join,
-        "event_funnel": _q_event_funnel,
-        "event_windowed": _q_event_windowed,
-        "event_rollup": _q_event_rollup,
-        "knn_lsh": _q_knn_lsh,
-        "knn_pq": _q_knn_pq,
-        "dup_set_ops": _q_dup_set_ops,
-        "eval_ndcg": _q_eval_ndcg,
-        "eval_mrr_recall": _q_eval_mrr_recall,
-        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
+        # -- round-2 additions that missed the round-2 driver window (39) --
         "phrase_match": _q_phrase_match,
         "more_like_this": _q_more_like_this,
         "doc_sample": _q_doc_sample,
@@ -1803,6 +1760,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "result_snippets": _q_result_snippets,
         "profile_table": _q_profile_table,
         "snapshot_diff": _q_snapshot_diff,
+        # -- round-3 additions / upgraded oracles (need a driver row) --
+        "bpe_merges": _q_bpe_merges,
+        # -- green in CORRECTNESS_r02.json; rotate back in a later round --
+        "token_counts": _q_token_counts,
+        "term_stats": _q_term_stats,
+        "doc_stats": _q_doc_stats,
+        "avg_doc_len": _q_avg_doc_len,
+        "bm25_topk": _q_bm25_topk,
+        "wand_store_topk": _q_wand_store,
+        "term_hits_funnel": _q_term_hits_funnel,
+        "stopword_stats": _q_stopword_stats,
+        "dup_exact": _q_dup_exact,
+        "minhash_sigs": _q_minhash_sigs,
+        "lsh_pairs": _q_lsh_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_jaccard_capped": _q_ngram_jaccard_capped,
+        "simhash_sigs": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "knn_cosine": _q_knn_cosine,
+        "knn_ivf": _q_knn_ivf,
+        "synonym_expand": _q_synonym_expand,
+        "vsm_topk": _q_vsm_topk,
+        "edit_distance": _q_edit_distance,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "token_count": _q_token_count,
+        "fingerprint": _q_fingerprint,
+        "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
+        "lm_perplexity": _q_lm_perplexity,
+        "dup_spans": _q_dup_spans,
+        "dup_spans_removed": _q_dup_spans_removed,
+        "pack_sequences": _q_pack_sequences,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "training_chunks": _q_training_chunks,
+        "dup_clusters": _q_dup_clusters,
+        "corpus_curate": _q_corpus_curate,
+        "event_sessions": _q_event_sessions,
+        "event_sessions_native": _q_event_sessions_native,
+        "event_asof": _q_event_asof,
+        "event_range_join": _q_event_range_join,
+        "event_funnel": _q_event_funnel,
+        "event_windowed": _q_event_windowed,
+        "event_rollup": _q_event_rollup,
+        "knn_lsh": _q_knn_lsh,
+        "knn_pq": _q_knn_pq,
+        "dup_set_ops": _q_dup_set_ops,
+        "eval_ndcg": _q_eval_ndcg,
+        "eval_mrr_recall": _q_eval_mrr_recall,
+        "knn_ivf_kmeans": _q_knn_ivf_kmeans,
     }
 
 
