@@ -1281,15 +1281,15 @@ def _q_snapshot_diff(spark, sf_dir):
 _SNAPDIFF_SQL = """
     WITH old AS (
       SELECT doc_id, md5(concat_ws(chr(31),
-                 coalesce(CAST(text AS VARCHAR), chr(0)),
-                 coalesce(CAST(lang AS VARCHAR), chr(0)),
-                 coalesce(CAST(source AS VARCHAR), chr(0)))) AS old_fp
+                 CASE WHEN text IS NULL THEN '0' ELSE '1' || CAST(text AS VARCHAR) END,
+                 CASE WHEN lang IS NULL THEN '0' ELSE '1' || CAST(lang AS VARCHAR) END,
+                 CASE WHEN source IS NULL THEN '0' ELSE '1' || CAST(source AS VARCHAR) END)) AS old_fp
       FROM documents WHERE doc_id % 5 <> 0),
     new AS (
       SELECT doc_id, md5(concat_ws(chr(31),
-                 coalesce(CAST(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS VARCHAR), chr(0)),
-                 coalesce(CAST(lang AS VARCHAR), chr(0)),
-                 coalesce(CAST(source AS VARCHAR), chr(0)))) AS new_fp
+                 CASE WHEN text IS NULL THEN '0' ELSE '1' || CAST(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS VARCHAR) END,
+                 CASE WHEN lang IS NULL THEN '0' ELSE '1' || CAST(lang AS VARCHAR) END,
+                 CASE WHEN source IS NULL THEN '0' ELSE '1' || CAST(source AS VARCHAR) END)) AS new_fp
       FROM documents WHERE doc_id % 7 <> 0)
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
            CASE WHEN o.old_fp IS NULL THEN 'added'

@@ -513,6 +513,28 @@ def test_range_join_guards(spark):
     assert ev.range_join(pts, ivl, bin_minutes=60, max_bins=11).count() == 1
 
 
+def test_range_join_null_bounds_dropped(spark):
+    """A NULL start/end interval matches nothing (theta-join oracle
+    semantics) instead of tripping the max_bins raise_error guard — one
+    dirty row must not crash the job."""
+    from datetime import datetime as dt
+
+    pts = spark.createDataFrame(
+        [(0, dt(2024, 1, 1, 10, 0), 1)], "event_id long, ts timestamp, user_id long"
+    )
+    ivl = spark.createDataFrame(
+        [
+            (10, dt(2024, 1, 1, 9, 30), dt(2024, 1, 1, 10, 30), 1),
+            (11, None, dt(2024, 1, 1, 10, 30), 1),
+            (12, dt(2024, 1, 1, 9, 30), None, 1),
+            (13, None, None, 1),
+        ],
+        "interval_id long, session_start timestamp, session_end timestamp, user_id long",
+    )
+    rows = ev.range_join(pts, ivl, bin_minutes=60, max_bins=100).collect()
+    assert [r["interval_id"] for r in rows] == [10]
+
+
 def test_transition_counts_brute(spark):
     rows = [
         (0, datetime(2024, 1, 1, 10, 0), 1, "view", 0.0, "{}"),

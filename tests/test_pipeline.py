@@ -1405,6 +1405,12 @@ def test_snapshot_diff_brute(spark):
     # NULL sentinel: a NULL field differs from the string it would print as
     r5 = [r for r in pr.snapshot_diff(old, new).collect() if r["doc_id"] == 5][0]
     assert r5["old_fp"] != r5["new_fp"]
+    # presence marker: NULL != the literal "\x00" string (old sentinel
+    # collision) and NULL != "0" (the marker itself)
+    o6 = spark.createDataFrame([(6, "\x00", "en"), (7, "0", "en")], "doc_id long, text string, lang string")
+    n6 = spark.createDataFrame([(6, None, "en"), (7, None, "en")], "doc_id long, text string, lang string")
+    got6 = {r["doc_id"]: r["status"] for r in pr.snapshot_diff(o6, n6).collect()}
+    assert got6 == {6: "changed", 7: "changed"}
     # cmp_cols restriction: ignoring text makes 2 unchanged
     got2 = {r["doc_id"]: r["status"] for r in pr.snapshot_diff(old, new, cmp_cols=["lang"]).collect()}
     assert got2[2] == "unchanged" and got2[5] == "unchanged"

@@ -189,7 +189,10 @@ def rbo_at_k(
     per-query rankings: RBO@k = Σ_{d=1..k} (1−p)·p^(d−1)·|A_:d ∩ B_:d|/d
     — the top-weighted similarity of two result lists that needs NO
     relevance labels (compare WAND vs exact, vsm vs bm25, yesterday's
-    index vs today's). 1.0 = identical prefixes, 0.0 = disjoint.
+    index vs today's). This is the TRUNCATED sum (RBO_min, no residual
+    extrapolation): identical prefixes score 1−p^k (≈0.6513 at k=10,
+    p=0.9), NOT 1.0; disjoint lists score 0.0. Compare scores only
+    against the same (k, p).
 
     The per-depth weights (1−p)·p^(d−1)/d are precomputed in Python and
     inlined as full-precision double literals on BOTH engine and oracle

@@ -300,6 +300,14 @@ def range_join(
     p_us = F.unix_micros(F.col(point_col).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    # NULL-bound intervals match nothing under the theta-join oracle's SQL
+    # semantics — drop them BEFORE binning (mirrors asof_join's right-side
+    # filter); without this a single NULL start/end makes the when() guard
+    # condition NULL and falls into the raise_error branch, crashing the
+    # job on one dirty row.  Only end<start / span>max_bins should raise.
+    intervals = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
     bin_us = bin_minutes * 60 * 1_000_000
     # the guard lives INSIDE the sequence bound so Catalyst cannot prune
     # it away as an unused column — a dead raise_error guards nothing.

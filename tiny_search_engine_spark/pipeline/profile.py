@@ -104,9 +104,12 @@ def snapshot_diff(
     twin of streaming/ingest.py's upsert/delete path, and the first step
     of any 100 TB backfill-vs-refresh decision).
 
-    Fingerprints use a 0x1f column separator and a 0x00 NULL sentinel so
-    (\"a\", NULL) and (\"a\\x00\",) cannot collide. Returns (id, status,
-    old_fp, new_fp) for ALL ids in either snapshot; filter
+    Fingerprints use a 0x1f column separator and a presence-marker
+    encoding — NULL → \"0\", value v → \"1\" + v — so NULL is
+    distinguishable from EVERY string value (including one that happens
+    to equal a bare sentinel byte), and (\"a\", NULL) and (\"a\\x1f0\",)
+    still differ via the marker prefix. Returns (id, status, old_fp,
+    new_fp) for ALL ids in either snapshot; filter
     ``status != 'unchanged'`` for the work list.
 
     Scale shape: one select per side, ONE id-keyed full-outer sort-merge
@@ -118,7 +121,12 @@ def snapshot_diff(
         raise ValueError("snapshot_diff: no compare columns")
 
     def fp(df: DataFrame, alias: str) -> DataFrame:
-        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cmp]
+        parts = [
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+                F.concat(F.lit("1"), F.col(c).cast("string"))
+            )
+            for c in cmp
+        ]
         return df.select(F.col(id_col), F.md5(F.concat_ws("\x1f", *parts)).alias(alias))
 
     o = fp(old, "old_fp")

@@ -414,7 +414,10 @@ def pq_codebooks(
             for c in range(n_codes):
                 members = S[assign == c]
                 if len(members) == 0:
-                    newC[c] = S[int(next(far_order))]
+                    # default guards the (guarded-against, but cheap to
+                    # survive) exhausted-iterator case by duplicating the
+                    # farthest point instead of raising StopIteration
+                    newC[c] = S[int(next(far_order, c % len(S)))]
                 else:
                     newC[c] = members.mean(axis=0)
             if np.allclose(newC, C, atol=1e-12):
