@@ -153,15 +153,30 @@ def test_coverage_ranker_parity_with_golden(spark, tiny_store, tiny_golden):
             assert hd == wd and hs == pytest.approx(ws, abs=1e-9), f"q{qid}"
 
 
-def test_search_emit_features_matches_golden(spark, tiny_store, tiny_golden):
+@pytest.mark.parametrize(
+    "use_syn,compat",
+    [(False, "fixed"), (True, "fixed"), (True, "reference")],
+    ids=["nosyn-fixed", "syn-fixed", "syn-reference"],
+)
+def test_search_emit_features_matches_golden(
+    spark, tiny_store, tiny_golden, synonyms, use_syn, compat
+):
     """D11 export surfaced from the pipeline: the features map emitted by
     search(emit_features=True) equals the golden model's FeatureMgr dump
-    (both 3-significant-digit rounded) for every returned (query, doc)."""
-    cfg = QueryConfig(profile="standard", compat="fixed", emit_features=True)
-    eng = QueryEngine(spark, tiny_store, cfg)
+    (both 3-significant-digit rounded) for every returned (query, doc).
+
+    Parameterized over a synonym dict: a synonym match's D8 q_offsets
+    inherit the ORIGINAL query term's offsets under fixed semantics
+    (golden fill_match in_q_idx_term, table.cpp:450-455) and the
+    arg-order-bug donors (term 0 / term 1) under compat=reference."""
+    syn = synonyms if use_syn else None
+    cfg = QueryConfig(profile="standard", compat=compat, emit_features=True)
+    eng = QueryEngine(spark, tiny_store, cfg, synonyms=syn)
     rows = eng.search(QUERIES[:6], k=5).collect()
     assert rows and "features" in rows[0].asDict()
-    g = GoldenQueryEngine(tiny_golden, cfg=QueryConfig(profile="standard", compat="fixed"))
+    g = GoldenQueryEngine(
+        tiny_golden, synonyms=syn, cfg=QueryConfig(profile="standard", compat=compat)
+    )
     golden_maps = {}
     for qid, q in QUERIES[:6]:
         for r in g.search(q, k=None):

@@ -151,6 +151,7 @@ def compute_features_pdf(
     avg_doc_len: float,
     ranker: str = "vsm",
     emit_features: bool = False,
+    compat_ref: bool = False,
 ) -> pd.DataFrame:
     """One query group: pdf rows = funnel-surviving candidates with
     columns (doc_id, term_hits, matches, toks, doc_len, vec_module,
@@ -224,6 +225,19 @@ def compute_features_pdf(
             fm_matches = []
             for m in matches:
                 s = int(m["term_sign"])
+                # D8 q_offsets donor mirrors fill_match_term_info
+                # (table.cpp:443-471, golden model.py fill_match): a
+                # synonym match inherits the ORIGINAL query term's
+                # offsets (fixed), or the arg-order-bug donors term 0 /
+                # term 1 (reference compat); everything else looks up
+                # its own sign (operator[] default-insert → empty).
+                if compat_ref:
+                    if bool(m["is_disc"]) and int(m["disc_i"]) != 0:
+                        donor = q_signs[0] if int(m["kind"]) == 0 else q_signs[1]
+                    else:
+                        donor = s
+                else:
+                    donor = q_signs[int(m["i"])] if int(m["kind"]) == 1 else s
                 fm_matches.append(
                     {
                         "term_sign": s,
@@ -231,7 +245,7 @@ def compute_features_pdf(
                         "tf_d": int(m["tf_d"]),
                         "idf": float(m["idf"]),
                         "term_len": int(m["term_len"]),
-                        "q_offsets": tuple(term_map[s][2]) if s in term_map else (),
+                        "q_offsets": tuple(term_map[donor][2]) if donor in term_map else (),
                         "d_offsets": tuple(d_off_by_sign.get(s, ())),
                     }
                 )

@@ -188,9 +188,13 @@ class QueryEngine:
         (kind=0), then its synonym events (kind=1, j capped at 10,
         table.cpp:377, identical-sign syn skipped table.cpp:379-380).
 
-        Row: (query_id, sign, i, kind, j, tf_q_own, tf_q0, tf_q1)
+        Row: (query_id, sign, i, kind, j, tf_q_own, tf_q0, tf_q1, tf_q_ori)
         where tf_q_own is the term's own in-query tf, tf_q0/tf_q1 the
-        tf of query tokens 0 / 1 (C4-bug donors; table.cpp:457-459)."""
+        tf of query tokens 0 / 1 (C4-bug donors; table.cpp:457-459), and
+        tf_q_ori the tf of the ORIGINAL query term i — what a synonym
+        match inherits under the bug-corrected fixed semantics
+        (fill_match_term_info with is_syn_match=true reads query term
+        in_q_idx_term, table.cpp:450-455; == tf_q_own for kind=0)."""
         rows = []
         for qi in qis:
             if not qi.signs:
@@ -200,13 +204,14 @@ class QueryEngine:
             for i, s in enumerate(qi.signs):
                 if qi.dups[i] > 1:
                     continue
-                rows.append((qi.query_id, s, i, 0, 0, qi.term_map[s][0], tf_q0, tf_q1))
+                tf_ori = qi.term_map[s][0]
+                rows.append((qi.query_id, s, i, 0, 0, tf_ori, tf_q0, tf_q1, tf_ori))
                 for j, syn in enumerate(qi.syns[i][: self.cfg.max_syn_recall]):
                     ss = term_sign(syn)
                     if ss == s:
                         continue
                     tf_own = qi.term_map.get(ss, [0])[0]  # default-insert → 0
-                    rows.append((qi.query_id, ss, i, 1, j + 1, tf_own, tf_q0, tf_q1))
+                    rows.append((qi.query_id, ss, i, 1, j + 1, tf_own, tf_q0, tf_q1, tf_ori))
         return rows
 
     # ------------------------------------------------------------------
@@ -227,7 +232,7 @@ class QueryEngine:
         ev = spark.createDataFrame(
             self._event_rows(qis),
             "query_id long, term_sign long, i int, kind int, j int, "
-            "tf_q_own int, tf_q0 int, tf_q1 int",
+            "tf_q_own int, tf_q0 int, tf_q1 int, tf_q_ori int",
         )
         # non-stopword per-(doc,term) table (the uncompressed posting view);
         # stop terms never entered term_stats, so an inner join on it both
@@ -291,7 +296,10 @@ class QueryEngine:
                 .otherwise(F.col("tf_q_own"))  # incl. syn i==0 → default-insert 0
             )
         else:
-            tf_q = F.col("tf_q_own")
+            # fixed semantics: a synonym match inherits the ORIGINAL query
+            # term's stats (fill_match is_syn_match=true, table.cpp:450-455);
+            # tf_q_ori == tf_q_own for kind=0 rows
+            tf_q = F.col("tf_q_ori")
         m = m.withColumn("tf_q", tf_q)
         m = m.withColumn("hit_freq", F.least("tf_q", "tf_d"))
         m = m.withColumn("is_syn_disc", is_disc & (F.col("kind") == 1))
@@ -299,6 +307,7 @@ class QueryEngine:
             "query_id", "doc_id", "term_sign", "i", "kind", "j",
             "tf_q", "tf_d", "hit_freq", "idf", "term_len",
             "recall_by_syn", "is_syn_disc", "disc_i",
+            is_disc.alias("is_disc"),
         )
 
     # ------------------------------------------------------------------
@@ -371,7 +380,10 @@ class QueryEngine:
             F.sum("hit_freq").alias("term_hits"),
             F.max(F.col("recall_by_syn").cast("int")).cast("boolean").alias("recall_by_syn"),
             F.collect_list(
-                F.struct("term_sign", "i", "kind", "tf_q", "tf_d", "idf", "term_len", "is_syn_disc")
+                F.struct(
+                    "term_sign", "i", "kind", "tf_q", "tf_d", "idf",
+                    "term_len", "is_syn_disc", "is_disc", "disc_i",
+                )
             ).alias("matches"),
         )
         # 1st sort funnel: pinned refinement of table.cpp:404-414
@@ -445,16 +457,9 @@ class QueryEngine:
             "vsm double, bm25 double"
         )
         if self.cfg.emit_features:
-            if self.syn.clusters:
-                raise ValueError(
-                    "emit_features with synonyms is not supported yet: the "
-                    "D8 q_offsets of a synonym match belong to the ORIGINAL "
-                    "query term (golden model.py _make_match), and the "
-                    "exported map does not carry that mapping — rank output "
-                    "is unaffected; drop emit_features or the synonym dict"
-                )
             out_schema += ", features map<string,double>"
         ranker, emit = self.cfg.ranker, self.cfg.emit_features
+        compat_ref_flag = self.cfg.compat == "reference"
 
         def feat_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(key[0])
@@ -462,6 +467,7 @@ class QueryEngine:
             return compute_features_pdf(
                 qi, pdf, stop_signs, prof, avg_dl,
                 ranker=ranker, emit_features=emit,
+                compat_ref=compat_ref_flag,
             )
 
         # cap the feature-stage shuffle at the distinct-query count: the
