@@ -867,6 +867,25 @@ def _q_knn_pq(spark, sf_dir):
     )
 
 
+def _q_knn_ivfpq(spark, sf_dir):
+    """IVF-routed PQ ANN (simsearch.knn_ivfpq, the IVFADC composition):
+    vectors carry (centroid_id, PQ codes); each query ADC-scans only its
+    IVF_PROBE nearest lists (equi-join on centroid_id — the scale path
+    knn_pq's per-query full-corpus crossJoin cannot be), then exact
+    cosine rerank of the refine·k shortlist. lowest_id codebooks for
+    both stages = the SQL-oracle-reproducible variant; kmeans recall is
+    pinned in test_pipeline.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return simsearch.knn_ivfpq(
+        emb, queries, dim=dim, k=PQ_K, m=PQ_M, n_codes=PQ_CODES,
+        n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE, refine=PQ_REFINE,
+    )
+
+
 def _q_event_rollup(spark, sf_dir):
     """ROLLUP(event_type, hour) lattice in one pass (pipeline.events) —
     the grouping-sets surface the reference lacks (SURVEY.md §F)."""
@@ -1762,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         # -- round-3 additions / upgraded oracles (need a driver row) --
         "bpe_merges": _q_bpe_merges,
+        "knn_ivfpq": _q_knn_ivfpq,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -2143,6 +2163,80 @@ def _sql_knn_pq(dim: int = 64) -> str:
     """
 
 
+def _sql_knn_ivfpq(dim: int = 64) -> str:
+    """Oracle for knn_ivfpq (lowest_id codebooks): the _sql_knn_ivf
+    routing CTEs (assign / qp) composed with the _sql_knn_pq encode/ADC
+    CTEs — the ADC sum is computed ONLY for (query, vector) pairs whose
+    vector sits in one of the query's probed lists, exactly the engine's
+    equi-join on centroid_id."""
+    m, n_codes, refine, k = PQ_M, PQ_CODES, PQ_REFINE, PQ_K
+    dsub = dim // m
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id, v,
+                     list_transform(v, x -> x / (CASE WHEN n > 0 THEN n ELSE 1 END)) AS uv
+              FROM (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+                    FROM e)),
+        c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+        ec AS (SELECT e.vec_id, c.cid,
+                      round(list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+               FROM e, c),
+        assign AS (SELECT vec_id, cid AS centroid_id FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+            FROM ec) WHERE rn = 1),
+        qp AS (SELECT query_vec_id, cid AS centroid_id FROM (
+            SELECT ec.vec_id AS query_vec_id, ec.cid,
+                   row_number() OVER (PARTITION BY ec.vec_id ORDER BY ec.cos DESC, ec.cid ASC) AS rn
+            FROM ec WHERE ec.vec_id < 5) WHERE rn <= {IVF_PROBE}),
+        cand0 AS (SELECT qp.query_vec_id AS qid, a.vec_id
+                  FROM qp JOIN assign a USING (centroid_id)),
+        cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, uv AS cbv
+               FROM (SELECT vec_id, uv FROM u ORDER BY vec_id LIMIT {n_codes})),
+        d AS (SELECT u.vec_id, j.j, cb.c,
+                     round(list_sum(list_transform(range(1, {dsub + 1}),
+                           t -> (u.uv[j.j * {dsub} + t] - cb.cbv[j.j * {dsub} + t])
+                              * (u.uv[j.j * {dsub} + t] - cb.cbv[j.j * {dsub} + t]))), 6) AS dist
+              FROM u, range(0, {m}) AS j(j), cb),
+        codes AS (SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist ASC, c ASC) AS rn
+            FROM d) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
+        adc AS (SELECT cand0.vec_id, cand0.qid,
+                       round(sum(list_sum(list_transform(range(1, {dsub + 1}),
+                             t -> (q.quv[codes.j * {dsub} + t] - cb.cbv[codes.j * {dsub} + t])
+                                * (q.quv[codes.j * {dsub} + t] - cb.cbv[codes.j * {dsub} + t])))), 6) AS adc
+                FROM cand0
+                JOIN codes ON codes.vec_id = cand0.vec_id
+                JOIN cb USING (c)
+                JOIN q ON q.qid = cand0.qid
+                GROUP BY cand0.vec_id, cand0.qid),
+        short AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc ASC, vec_id ASC) AS rn
+            FROM adc) WHERE rn <= {refine * k}),
+        scored AS (SELECT s.qid AS query_vec_id, s.vec_id,
+                          round(list_dot_product(ce.v, qe.v)
+                                / (sqrt(list_dot_product(ce.v, ce.v))
+                                   * sqrt(list_dot_product(qe.v, qe.v))), 6) AS cosine
+                   FROM short s
+                   JOIN e ce ON ce.vec_id = s.vec_id
+                   JOIN e qe ON qe.vec_id = s.qid)
+        SELECT query_vec_id, rank, vec_id, cosine FROM (
+            SELECT query_vec_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_vec_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) WHERE rank <= {k}
+    """
+
+
 def _sql_synonym_expand() -> str:
     cl_values = ", ".join(
         f"({cid}, {pos}, '{t}')"
@@ -2459,6 +2553,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _sql_embedding_lsh(dim=_emb_dim()),
         "knn_lsh": _sql_knn_lsh(dim=_emb_dim()),
         "knn_pq": _sql_knn_pq(dim=_emb_dim()),
+        "knn_ivfpq": _sql_knn_ivfpq(dim=_emb_dim()),
         "dup_set_ops": f"""
             WITH lshp AS ({_sql_lsh_pairs()}),
             jacp AS ({_sql_ngram_jaccard()}),

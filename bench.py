@@ -217,6 +217,31 @@ def main() -> None:
         timed("lm_perplexity", lambda: entrymod._q_lm_perplexity(spark, sf_dir).count())
         timed("dup_spans_removed", lambda: entrymod._q_dup_spans_removed(spark, sf_dir).count())
         timed("knn_pq", lambda: entrymod._q_knn_pq(spark, sf_dir).count())
+        # IVF-routed PQ (IVFADC): same codebooks/ADC/rerank as knn_pq but
+        # each query equi-joins its n_probe lists instead of scanning the
+        # whole code table. The 5-query oracle shape is overhead-bound, so
+        # the A/B that shows the routed scan is a 500-query serving batch:
+        # flat ADC touches n_queries × corpus rows, routed touches
+        # n_probe/n_centroids of that (1/4 here) — the gap widens linearly
+        # with corpus size.
+        timed("knn_ivfpq", lambda: entrymod._q_knn_ivfpq(spark, sf_dir).count())
+        pq_batch = emb.filter(F.col("vec_id") < 500).select(
+            F.col("vec_id").alias("query_vec_id"), "embedding"
+        )
+        pq_dim = len(emb.select("embedding").first()[0])
+        timed(
+            "knn_pq_500q_flat",
+            lambda: simsearch.knn_pq(
+                emb, pq_batch, dim=pq_dim, k=10, m=8, n_codes=8, refine=3
+            ).count(),
+        )
+        timed(
+            "knn_ivfpq_500q",
+            lambda: simsearch.knn_ivfpq(
+                emb, pq_batch, dim=pq_dim, k=10, m=8, n_codes=8,
+                n_centroids=16, n_probe=4, refine=3,
+            ).count(),
+        )
         # cluster-bounded embedding dedup + dictionary-sized fuzzy correction
         timed("semantic_dedup", lambda: entrymod._q_semantic_dedup(spark, sf_dir).count())
         timed("spell_correct", lambda: entrymod._q_spell_correct(spark, sf_dir).count())

@@ -560,6 +560,121 @@ def knn_pq(
     )
 
 
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine: int = 3,
+    codebook: str = "lowest_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-routed PQ ANN (the IVFADC serving architecture, Jégou et al.
+    2011 §V): the composition knn_pq's flat scan cannot scale to — each
+    vector is assigned to its nearest IVF centroid AND PQ-encoded in one
+    map pass; each query probes only its ``n_probe`` nearest lists, so
+    the ADC scan becomes an EQUI-join on centroid_id touching
+    ~n_probe/n_centroids of the code table instead of a per-query
+    full-corpus crossJoin. Shortlist (refine·k per query by rounded ADC
+    asc, id asc, rank-limit pushed down map-side) then exact cosine
+    rerank, as in knn_pq — output precision exact, recall approximate
+    and bounded below by the probed-list candidate set.
+
+    Simplification vs the paper, for value-exact SQL oracle coverage:
+    codes quantize the unit vector itself, not the residual
+    (x − centroid) — residual encoding needs per-list codebooks whose
+    training is iterative (the knn_ivf_kmeans rows-only situation);
+    structure-wise the routing, storage and scan shape are IVFADC's.
+
+    Scale shape: at rest each vector is (id, centroid_id, m codes) —
+    centroid_id is the partition key of the code table (the posting-list
+    analog); a 1000-query batch against 100 TB scans n_probe lists per
+    query rather than 1000 full passes, and the broadcast side is just
+    n_queries × n_probe LUT rows. ``codebook`` picks lowest_id
+    (SQL-reproducible; the driver oracle ``knn_ivfpq``) or kmeans (real
+    codebooks for both IVF and PQ; rows-only, recall pinned in tests)."""
+    if codebook == "kmeans":
+        centroids = ivf_centroids_kmeans(
+            corpus, n_centroids, id_col, vec_col, seed=seed
+        )
+    else:
+        centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cbs = pq_codebooks(
+        corpus, dim, m=m, n_codes=n_codes, method=codebook,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    dsub = dim // m
+    top1 = _top_centroids_udf(centroids, 1)
+    # one map pass: PQ codes (column algebra) + IVF list id (Arrow matmul)
+    enc = pq_encode(corpus, cbs, id_col, vec_col).select(
+        F.col(id_col),
+        F.col("codes"),
+        top1(F.col(vec_col))[0].alias("centroid_id"),
+    )
+    qu = queries.select(
+        F.col(qid_col), F.col(vec_col).alias("_qv"), _unit(F.col(vec_col)).alias("_qu")
+    )
+
+    def _lut_fn(j: int):
+        # unary on purpose — a second lambda param would bind the index
+        return lambda code: _l2sq(_sub(F.col("_qu"), j, dsub), code)
+
+    luts = F.array(*[F.transform(_cb_lit(cbs[j]), _lut_fn(j)) for j in range(m)])
+    topn = _top_centroids_udf(centroids, n_probe)
+    qlut = qu.select(
+        F.col(qid_col),
+        luts.alias("_luts"),
+        F.explode(topn(F.col("_qv"))).alias("centroid_id"),
+    )
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("_luts"), lambda c, l: F.element_at(l, c + 1)
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        6,
+    )
+    # the routed scan: equi-join on the list id replaces knn_pq's crossJoin
+    cand = enc.join(F.broadcast(qlut), "centroid_id").select(
+        F.col(qid_col), F.col(id_col), adc.alias("_adc")
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.asc("_adc"), F.asc(id_col))
+    short = (
+        cand.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= refine * k)
+        .select(qid_col, id_col)
+    )
+    rer = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
+        .join(F.broadcast(short), id_col)
+        .join(
+            F.broadcast(queries.select(F.col(qid_col), F.col(vec_col).alias("qv"))),
+            qid_col,
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "cosine")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_clusters: int = 16,
