@@ -225,11 +225,78 @@ def test_trigram_store_incremental_matches_rebuild(spark, tmp_path):
     import json as _json, os as _os
 
     meta = _json.load(open(_os.path.join(store, "_trigram_meta.json")))
-    assert meta["delta_seq"] == 0 and meta["tombstones"] == {}
+    assert meta["delta_seq"] == 0 and meta.get("tombstones", {}) == {}
     assert not _os.path.isdir(_os.path.join(store, "_deltas"))
+    assert not _os.path.isdir(_os.path.join(store, "_tombstones"))
     assert postings(store) == postings(want_store) - {
         (d, g) for d, g in postings(want_store) if d == 1
     }
+
+
+def test_trigram_update_never_materializes_delta_ids(spark, tmp_path, monkeypatch):
+    """The tombstone set of an epoch lives in the parquet side table, not
+    driver memory: update_trigram_store on a large delta must not call
+    any driver-materializing DataFrame method (a 100 TB store replaces
+    millions of docs per epoch — O(delta) driver memory would choke).
+    Results still match a fresh rebuild, before and after compaction."""
+    import pyspark.sql.classic.dataframe as _cdf
+
+    store = str(tmp_path / "tg_big")
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cs.write_trigram_store(base, store, n_buckets=8)
+
+    delta = spark.range(100, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("delta body number "), F.col("id").cast("string")).alias("text"),
+    )
+
+    def _boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver materialization inside update_trigram_store")
+
+    for name in ("collect", "toPandas", "toLocalIterator", "take", "head"):
+        monkeypatch.setattr(_cdf.DataFrame, name, _boom)
+    cs.update_trigram_store(delta, store, deleted_ids=[3])
+    monkeypatch.undo()
+
+    final_rows = [(d, t) for d, t in DOCS if d != 3] + [
+        (i, f"delta body number {i}") for i in range(100, 400)
+    ]
+    final = spark.createDataFrame(final_rows, "doc_id long, text string")
+    want_store = str(tmp_path / "tg_big_rebuild")
+    cs.write_trigram_store(final, want_store, n_buckets=8)
+
+    def postings(path):
+        return {
+            (r.doc_id, r.gram)
+            for r in cs.load_trigram_postings(spark, path).collect()
+        }
+
+    want = postings(want_store)
+    assert postings(store) == want
+    cs.compact_trigram_store(spark, store)
+    assert postings(store) == want
+
+
+def test_trigram_legacy_meta_tombstones_still_read(spark, tmp_path):
+    """A format-1 store (tombstone id lists in the meta JSON, as written
+    before the parquet side table) masks segments identically."""
+    import json as _json, os as _os
+
+    store = str(tmp_path / "tg_legacy")
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cs.write_trigram_store(base, store, n_buckets=8)
+    meta_path = _os.path.join(store, "_trigram_meta.json")
+    meta = _json.load(open(meta_path))
+    meta["format"] = 1
+    meta["delta_seq"] = 1
+    meta["tombstones"] = {"1": [3]}
+    _json.dump(meta, open(meta_path, "w"))
+    got_ids = {
+        r.doc_id for r in cs.load_trigram_postings(spark, store).collect()
+    }
+    # docs 5 ("x") and 8 ("") are shorter than a trigram -> no postings
+    assert 3 not in got_ids
+    assert got_ids == {d for d, t in DOCS if d != 3 and len(t) >= 3}
 
 
 def test_trigram_stream_ingest(spark, tmp_path):

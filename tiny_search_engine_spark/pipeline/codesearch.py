@@ -105,7 +105,9 @@ def write_trigram_store(
         .parquet(path)
     )
     with open(os.path.join(path, "_trigram_meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "format": 1}, f)
+        # format 2 = tombstones in the _tombstones/ parquet side table
+        # (format-1 stores carried them in this JSON; readers accept both)
+        json.dump({"n_buckets": n_buckets, "format": 2}, f)
 
 
 def load_trigram_postings(
@@ -118,8 +120,12 @@ def load_trigram_postings(
 
     Delta segments (update_trigram_store) are unioned in; each segment is
     masked by the tombstones of strictly later seqs via a broadcast
-    anti-join (at 100 TB the tombstone lists would live in a parquet side
-    table; the masking join is identical)."""
+    anti-join. Tombstones live in a parquet SIDE TABLE
+    (``_tombstones/<seq>``), never in driver memory or the JSON meta —
+    the meta file holds only counters, so a store replacing millions of
+    docs per epoch grows its metadata by bytes, not id lists. Stores
+    written before this layout (tombstone lists in the meta JSON) are
+    still read."""
     with open(os.path.join(path, "_trigram_meta.json")) as f:
         meta = json.load(f)
     segs: list[tuple[int, DataFrame]] = [(0, spark.read.parquet(path))]
@@ -129,15 +135,36 @@ def load_trigram_postings(
             segs.append(
                 (int(name), spark.read.parquet(os.path.join(delta_root, name)))
             )
-    tombs = {int(k): v for k, v in meta.get("tombstones", {}).items()}
+    # (seq, doc_id DataFrame) tombstone parts: parquet side table (the
+    # explicit schema makes an all-deletes epoch's empty dir readable),
+    # plus legacy meta-JSON lists from pre-format-2 stores
+    tomb_parts: list[tuple[int, DataFrame]] = []
+    tomb_root = os.path.join(path, "_tombstones")
+    if os.path.isdir(tomb_root):
+        for name in sorted(os.listdir(tomb_root)):
+            tomb_parts.append(
+                (
+                    int(name),
+                    spark.read.schema("doc_id long").parquet(
+                        os.path.join(tomb_root, name)
+                    ),
+                )
+            )
+    for s, ids in meta.get("tombstones", {}).items():
+        if ids:
+            tomb_parts.append(
+                (int(s), spark.createDataFrame([(int(i),) for i in ids], "doc_id long"))
+            )
     parts: list[DataFrame] = []
     for seq, df in segs:
-        later = sorted(
-            {int(i) for s, ids in tombs.items() if s > seq for i in ids}
-        )
+        later = [t for s, t in tomb_parts if s > seq]
         if later:
-            t = spark.createDataFrame([(i,) for i in later], "doc_id long")
-            df = df.join(F.broadcast(t), "doc_id", "left_anti")
+            t = later[0]
+            for more in later[1:]:
+                t = t.unionByName(more)
+            df = df.join(
+                F.broadcast(t.select("doc_id").distinct()), "doc_id", "left_anti"
+            )
         parts.append(df.select("doc_id", "gram", "bucket"))
     out = parts[0]
     for p in parts[1:]:
@@ -185,9 +212,13 @@ def update_trigram_store(
             f"(stale or reset checkpoint?) — refuse instead of silently "
             f"masking the new postings"
         )
-    new_ids = [r[0] for r in docs_delta.select(id_col).distinct().collect()]
-    tomb = sorted(set(int(i) for i in (deleted_ids or [])) | set(int(i) for i in new_ids))
-    if new_ids:
+    spark = docs_delta.sparkSession
+    # O(1) emptiness probe — the delta's doc ids themselves NEVER reach
+    # the driver (a 100 TB store replacing millions of docs per epoch
+    # must keep both the tombstone set and the metadata file O(1) on the
+    # driver; the ids flow executor-side into the parquet side table)
+    has_new = docs_delta.select(id_col).limit(1).count() > 0
+    if has_new:
         post = trigram_postings(docs_delta, id_col=id_col, text_col=text_col)
         (
             post.withColumn(
@@ -198,13 +229,25 @@ def update_trigram_store(
             .partitionBy("bucket")
             .parquet(os.path.join(delta_root, f"{seq:06d}"))
         )
-    meta["delta_seq"] = max(int(meta.get("delta_seq", 0)), seq)
     # tombstones are keyed by the seq at which they happened: a segment is
     # only masked by tombstones from STRICTLY LATER seqs, so a replaced
     # doc's fresh postings (written at this seq) survive their own
-    # tombstone while every older copy dies
-    meta.setdefault("tombstones", {})
-    meta["tombstones"][str(seq)] = tomb
+    # tombstone while every older copy dies. They live in a parquet side
+    # table (one dir per seq, overwrite => idempotent retries), distinct
+    # executor-side; deleted_ids is an API argument and may stay a small
+    # driver list.
+    tomb_df = docs_delta.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    if deleted_ids:
+        dd = spark.createDataFrame(
+            [(int(i),) for i in sorted(set(deleted_ids))], "doc_id long"
+        )
+        tomb_df = tomb_df.unionByName(dd).distinct()
+    (
+        tomb_df.repartition(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_tombstones", f"{seq:06d}"))
+    )
+    meta["delta_seq"] = max(int(meta.get("delta_seq", 0)), seq)
     with open(os.path.join(path, "_trigram_meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -235,7 +278,9 @@ def compact_trigram_store(
     # is touched: a crash between rmtree and rename then loses at most the
     # old dir, never the meta (n_buckets would be unrecoverable)
     meta["delta_seq"] = 0
-    meta["tombstones"] = {}
+    # drop any legacy meta-JSON tombstone lists; the parquet side table
+    # (_tombstones/) simply isn't copied into the fresh base
+    meta.pop("tombstones", None)
     with open(os.path.join(tmp, "_trigram_meta.json"), "w") as f:
         json.dump(meta, f)
     shutil.rmtree(path)
