@@ -581,10 +581,13 @@ def _q_training_chunks(spark, sf_dir):
 
 
 def _q_bpe_merges(spark, sf_dir):
-    """Distributed BPE vocab induction (rows-only: the merge loop is
-    iterative argmax, not SQL; golden parity vs the pure-Python Sennrich
-    twin is pinned in tests/test_bpe.py). Returns the rank-ordered merge
-    table learned from the documents corpus."""
+    """Distributed BPE vocab induction. Value-exact oracle since round 3:
+    the 30-iteration merge loop unrolls into MATERIALIZED CTEs
+    (_sql_bpe_merges — pair census, argmax, run-parity merge per
+    iteration), upgrading this from the rows-only check; golden parity
+    vs the pure-Python Sennrich twin stays pinned in tests/test_bpe.py.
+    Returns the rank-ordered merge table learned from the documents
+    corpus."""
     from tiny_search_engine_spark.pipeline import bpe
 
     merges = bpe.learn_bpe(_docs(spark, sf_dir), n_merges=30, min_freq=2)
@@ -2163,6 +2166,68 @@ def _sql_knn_pq(dim: int = 64) -> str:
     """
 
 
+def _sql_bpe_merges(n_merges: int = 30, min_freq: int = 2) -> str:
+    """Unrolled oracle for learn_bpe — the mmr_rerank MATERIALIZED-CTE
+    trick applied to Sennrich BPE: each of the ``n_merges`` iterations is
+    one CTE block (pair census → argmax by count desc / pair asc → merge
+    applied to every word's symbol array). The left-to-right
+    NON-OVERLAPPING merge (a merged symbol never re-pairs in the same
+    pass) is the one sequential-looking part; it unrolls to window
+    algebra because overlapping matches only chain at CONSECUTIVE
+    positions (s[j]=a,s[j+1]=b and a match at j+1 forces b=a), so the
+    fold is exactly "keep odd ranks within each consecutive run of match
+    positions". Early stop (first pair under min_freq, or no pairs)
+    becomes a running-min validity flag over the per-iteration argmax
+    rows."""
+    blocks = [
+        """v0 AS MATERIALIZED (
+          SELECT word, count(*)::BIGINT AS freq,
+                 list_append(string_split(word, ''), '</w>') AS syms
+          FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> '')) AS word
+                FROM documents)
+          GROUP BY word)"""
+    ]
+    for i in range(n_merges):
+        blocks.append(f"""p{i} AS MATERIALIZED (
+          SELECT syms[j] AS a, syms[j + 1] AS b, sum(freq)::BIGINT AS c
+          FROM v{i}, unnest(generate_series(1, len(syms) - 1)) AS t(j)
+          GROUP BY 1, 2),
+        m{i} AS MATERIALIZED (
+          SELECT a, b, c FROM p{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+        e{i} AS (
+          SELECT v.word, v.freq, t.j, v.syms[t.j] AS s,
+                 coalesce(v.syms[t.j] = m.a AND v.syms[t.j + 1] = m.b, FALSE) AS mt
+          FROM v{i} v, unnest(generate_series(1, len(v.syms))) AS t(j), m{i} m),
+        r{i} AS (
+          SELECT word, j, row_number() OVER (PARTITION BY word, j - rnk ORDER BY j) AS rr
+          FROM (SELECT word, j, row_number() OVER (PARTITION BY word ORDER BY j) AS rnk
+                FROM e{i} WHERE mt)),
+        v{i + 1} AS MATERIALIZED (
+          SELECT word, any_value(freq) AS freq,
+                 list(CASE WHEN m THEN ab ELSE s END ORDER BY j) AS syms
+          FROM (SELECT g.word, g.freq, g.j, g.s, g.m,
+                       (SELECT a || b FROM m{i}) AS ab,
+                       coalesce(lag(g.m) OVER (PARTITION BY g.word ORDER BY g.j), FALSE) AS prev
+                FROM (SELECT e.word, e.freq, e.j, e.s,
+                             coalesce(r.rr % 2 = 1, FALSE) AS m
+                      FROM e{i} e LEFT JOIN r{i} r USING (word, j)) g)
+          WHERE NOT prev
+          GROUP BY word)""")
+    allm = "\n          UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, a, b, c FROM m{i}" for i in range(n_merges)
+    )
+    return f"""
+        WITH {', '.join(blocks)},
+        allm AS ({allm})
+        SELECT rank, a AS "left", b AS "right" FROM (
+          SELECT rank, a, b,
+                 min(CASE WHEN c >= {min_freq} THEN 1 ELSE 0 END)
+                   OVER (ORDER BY rank) AS ok
+          FROM allm) WHERE ok = 1
+    """
+
+
 def _sql_knn_ivfpq(dim: int = 64) -> str:
     """Oracle for knn_ivfpq (lowest_id codebooks): the _sql_knn_ivf
     routing CTEs (assign / qp) composed with the _sql_knn_pq encode/ADC
@@ -2554,6 +2619,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _sql_knn_lsh(dim=_emb_dim()),
         "knn_pq": _sql_knn_pq(dim=_emb_dim()),
         "knn_ivfpq": _sql_knn_ivfpq(dim=_emb_dim()),
+        "bpe_merges": _sql_bpe_merges(n_merges=30, min_freq=2),
         "dup_set_ops": f"""
             WITH lshp AS ({_sql_lsh_pairs()}),
             jacp AS ({_sql_ngram_jaccard()}),
