@@ -828,10 +828,13 @@ def _q_dup_set_ops(spark, sf_dir):
     jac = dedup.ngram_jaccard_pairs(docs, shingle=1, threshold=0.3)
 
     def members(pairs):
+        # one explode instead of a two-projection union: the pair subtree
+        # is read once, and the tiny member set is materialized because
+        # intersect + exceptAll each consume it twice
         return (
-            pairs.select(F.col("id_a").alias("doc_id"))
-            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
             .distinct()
+            .localCheckpoint()
         )
 
     m_lsh, m_jac = members(lsh), members(jac)
@@ -1330,7 +1333,10 @@ def _q_result_snippets(spark, sf_dir):
     exact window selection over hit-sized data only."""
     from tiny_search_engine_spark.pipeline import retrieval as rt
 
-    ranked = _q_bm25_topk(spark, sf_dir)
+    # the ranked slice feeds several consumers inside result_snippets;
+    # materialize the (tiny) top-k once instead of re-deriving bm25_topk
+    # per reference
+    ranked = _q_bm25_topk(spark, sf_dir).localCheckpoint()
     return rt.result_snippets(ranked, _docs(spark, sf_dir), QUERY_SET, window=10)
 
 
@@ -1375,8 +1381,11 @@ def _q_eval_rbo(spark, sf_dir):
     both sides."""
     from tiny_search_engine_spark import eval as ev
 
-    a = _q_bm25_topk(spark, sf_dir)
-    b = _q_vsm_topk(spark, sf_dir)
+    # both rankings are consumed more than once inside rbo_at_k (pair
+    # join + per-query universe); materialize each top-k once instead of
+    # inlining the whole ranking subtree per reference
+    a = _q_bm25_topk(spark, sf_dir).localCheckpoint()
+    b = _q_vsm_topk(spark, sf_dir).localCheckpoint()
     return ev.rbo_at_k(a, b, k=10, p=0.9)
 
 
@@ -1616,7 +1625,9 @@ def _q_collapse_results(spark, sf_dir):
     to top-5 — result-set-sized windows, corpus never shuffled."""
     from tiny_search_engine_spark.pipeline import retrieval as rt
 
-    ranked = _q_bm25_topk(spark, sf_dir)
+    # collapse windows re-read the ranked slice; materialize the tiny
+    # top-k once (same discipline as result_snippets / eval_rbo)
+    ranked = _q_bm25_topk(spark, sf_dir).localCheckpoint()
     return rt.collapse_results(ranked, _docs(spark, sf_dir), "source", k=5)
 
 

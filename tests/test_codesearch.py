@@ -351,6 +351,71 @@ def test_trigram_stream_ingest(spark, tmp_path):
     assert got() == rebuild(state1 + [(21, "second wave")])
 
 
+def test_trigram_stream_kill_between_write_and_commit(spark, tmp_path):
+    """Exactly-once under FAILURE, not just replay: simulate a drain that
+    wrote its epoch's delta segment + tombstone slot and died BEFORE the
+    checkpoint commit. The restarted drain replays the same batch id →
+    the same seq → update_trigram_store's idempotent-seq contract
+    overwrites both, so the store equals a fresh rebuild of the final
+    corpus with no ghost postings from the crashed attempt."""
+    from tiny_search_engine_spark.streaming.trigram_stream import (
+        trigram_ingest_available_now,
+    )
+
+    store = str(tmp_path / "tgk")
+    src = str(tmp_path / "tgk_src")
+    ckpt = str(tmp_path / "tgk_ck")
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cs.write_trigram_store(base, store, n_buckets=8)
+
+    spark.createDataFrame(
+        [(20, "streamed new doc", False)], "doc_id long, text string, deleted boolean"
+    ).write.parquet(src)
+    assert trigram_ingest_available_now(spark, src, store, ckpt) == 1
+
+    # the crashed attempt: batch 1's files landed in the inbox AND its
+    # half-state is on disk — a seq=2 delta with WRONG content (a ghost
+    # doc) plus seq=2 tombstones — but the checkpoint never committed
+    spark.createDataFrame(
+        [(21, "second wave", False), (1, "replaced via stream", False)],
+        "doc_id long, text string, deleted boolean",
+    ).write.mode("append").parquet(src)
+    ghost = spark.createDataFrame(
+        [(777, "ghost postings from the crashed attempt")],
+        "doc_id long, text string",
+    )
+    cs.update_trigram_store(ghost, store, deleted_ids=[4], seq=2)
+    assert 777 in {
+        r.doc_id for r in cs.load_trigram_postings(spark, store).collect()
+    }
+
+    # restart: the same batch replays into seq=2, overwriting the ghost
+    # delta and the bogus tombstone slot byte-identically
+    assert trigram_ingest_available_now(spark, src, store, ckpt) == 1
+    got = {
+        (r.doc_id, r.gram)
+        for r in cs.load_trigram_postings(spark, store).collect()
+    }
+    final_rows = [(d, t) for d, t in DOCS if d != 1] + [
+        (20, "streamed new doc"),
+        (21, "second wave"),
+        (1, "replaced via stream"),
+    ]
+    want_store = str(tmp_path / "tgk_want")
+    cs.write_trigram_store(
+        spark.createDataFrame(final_rows, "doc_id long, text string"),
+        want_store,
+        n_buckets=8,
+    )
+    want = {
+        (r.doc_id, r.gram)
+        for r in cs.load_trigram_postings(spark, want_store).collect()
+    }
+    assert got == want
+    assert 777 not in {d for d, _ in got}  # ghost postings gone
+    assert (4, "aaa") in got  # the crashed attempt's bogus tombstone gone too
+
+
 def test_grep_cli_in_process(spark, tmp_path, capsys):
     """jobs.py `grep` subcommand: store build + literal and regex search
     over an input_hint-shaped parquet source, doc ids = build.with_doc_id

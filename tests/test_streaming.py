@@ -266,3 +266,56 @@ def test_percolate_stream_matches_batch(spark, tmp_path):
     # re-drain with no new files: no new epochs, alerts unchanged
     n3 = percolate_available_now(spark, src + "/*", store, ckpt, queries)
     assert stream_alerts(spark, store).count() == len(all_rows)
+
+
+def test_percolate_kill_between_write_and_commit(spark, tmp_path):
+    """Exactly-once under FAILURE, not just replay: simulate a drain that
+    wrote its epoch's alert delta and died BEFORE the checkpoint commit
+    (the dangerous half-state). The restarted drain replays the same
+    batch id → the same seq dir → mode=overwrite discards the orphan, so
+    the final alerts equal the batch oracle with no duplicate rows."""
+    import os
+
+    from tiny_search_engine_spark.pipeline.retrieval import boolean_search
+    from tiny_search_engine_spark.streaming.percolate_stream import (
+        _alerts_root,
+        percolate_available_now,
+        stream_alerts,
+    )
+
+    queries = [(0, "+spark +shuffle"), (1, "index -legacy")]
+    e0 = [(1, "spark shuffle partition notes"), (3, "index tuning legacy doc")]
+    e1 = [(7, "spark shuffle again"), (4, "index tuning fresh doc")]
+    src, store, ckpt = (str(tmp_path / d) for d in ("ksrc", "kstore", "kckpt"))
+    schema = "doc_id long, text string"
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(e0, schema).write.parquet(os.path.join(src, "e0"))
+    assert percolate_available_now(spark, src + "/*", store, ckpt, queries) == 1
+
+    # the crashed attempt: epoch 2's files are in the inbox and its alert
+    # delta exists on disk (with garbage: duplicated rows + a bogus hit),
+    # but the checkpoint never committed the batch
+    spark.createDataFrame(e1, schema).write.parquet(os.path.join(src, "e1"))
+    garbage = spark.createDataFrame(
+        [(0, 1, 999, 9), (0, 1, 999, 9), (1, 1, 3, 1)],
+        "query_id long, rank int, doc_id long, n_matched int",
+    )
+    garbage.write.mode("overwrite").parquet(
+        os.path.join(_alerts_root(store), "seq=2")
+    )
+    assert {r.doc_id for r in stream_alerts(spark, store).collect()} >= {999}
+
+    # restart: the same batch replays into seq=2 and overwrites the orphan
+    assert percolate_available_now(spark, src + "/*", store, ckpt, queries) == 1
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matched"]
+        for r in stream_alerts(spark, store).collect()
+    }
+    union = spark.createDataFrame(e0 + e1, schema)
+    want = {
+        (r["query_id"], r["doc_id"]): r["n_matched"]
+        for r in boolean_search(union, queries).collect()
+    }
+    assert got == want
+    assert 999 not in {d for _, d in got}
+    assert stream_alerts(spark, store).count() == len(got)  # no dup rows

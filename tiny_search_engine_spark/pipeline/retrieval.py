@@ -307,6 +307,11 @@ def more_like_this(
         .withColumn("wei", F.col("tf") * F.col("idf"))
         .select(id_col, "term", "wei")
     )
+    # the tf-idf table feeds three consumers (norms, the seed slice, the
+    # similarity join); materialize it once instead of inlining the
+    # corpus-sized subtree into each — at scale this is the "build the
+    # weighted index once, serve many lookups" discipline
+    wei = wei.localCheckpoint()
     norms = wei.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("wei") * F.col("wei"))).alias("norm")
     )
