@@ -1745,6 +1745,60 @@ def _q_facet_counts(spark, sf_dir):
     return rt.facet_counts(ranked, _docs(spark, sf_dir), ["lang", "source"])
 
 
+DSIR_BUCKETS, DSIR_K = 4096, 50
+HH_THRESHOLD, HH_DEPTH, HH_WIDTH = 800, 4, 512
+PAIRS_PLANES, PAIRS_ANCHORS, PAIRS_KPOS, PAIRS_KNEG = 4, 8, 3, 5
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-ngram importance log-weights (selection.dsir_logweights,
+    Xie et al. 2023): target = the lang='en' slice, raw = all documents.
+    Bounded bucket tables, md5 hashing shared with the oracle."""
+    from tiny_search_engine_spark.pipeline import selection
+
+    docs = _docs(spark, sf_dir)
+    return selection.dsir_logweights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel-top-k resampling (selection.dsir_select): k documents
+    drawn without replacement ∝ importance weight, md5-derived Gumbel
+    noise — deterministic on any engine."""
+    from tiny_search_engine_spark.pipeline import selection
+
+    docs = _docs(spark, sf_dir)
+    return selection.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), k=DSIR_K, n_buckets=DSIR_BUCKETS
+    )
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """Count-min-narrowed exact heavy hitters (selection.heavy_hitters):
+    terms with total count >= threshold. The sketch (depth x width) only
+    prunes the long tail map-side; the output is exactly the oracle's
+    HAVING count(*) >= threshold."""
+    from tiny_search_engine_spark.pipeline import selection
+
+    return selection.heavy_hitters(
+        _docs(spark, sf_dir), threshold=HH_THRESHOLD, depth=HH_DEPTH, width=HH_WIDTH
+    )
+
+
+def _q_contrastive_pairs(spark, sf_dir):
+    """LSH-mined contrastive training pairs (simsearch.mine_contrastive_pairs,
+    ANCE-style): hardest positives + hardest negatives per anchor inside
+    the anchor's hyperplane bucket."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < PAIRS_ANCHORS)
+    dim = len(emb.select("embedding").first()[0])
+    return simsearch.mine_contrastive_pairs(
+        emb, anchors, dim=dim, k_pos=PAIRS_KPOS, k_neg=PAIRS_KNEG,
+        n_planes=PAIRS_PLANES,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER matters: the round-2 driver hashed exactly the first 50
     # entries, so round 3 rotates the 39 entries that had no driver row
@@ -1796,6 +1850,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3 additions / upgraded oracles (need a driver row) --
         "bpe_merges": _q_bpe_merges,
         "knn_ivfpq": _q_knn_ivfpq,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "heavy_hitters": _q_heavy_hitters,
+        "contrastive_pairs": _q_contrastive_pairs,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -2442,6 +2500,103 @@ def _emb_dim(default: int = 64) -> int:
             except Exception:
                 break
     return default
+
+
+def _sql_dsir_grams(extra_cols: str = "") -> str:
+    """CTE body: exploded lowercase unigram+bigram rows over documents
+    (the DSIR feature set), mirroring selection._gram_rows."""
+    return f"""
+        SELECT doc_id{extra_cols}, unnest(list_concat(toks,
+               CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                    ELSE [] END)) AS gram
+        FROM (SELECT doc_id{extra_cols},
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents)
+    """
+
+
+def _sql_dsir_weights_body(n_buckets: int) -> str:
+    """Shared CTE chain computing (doc_id, n_grams, log_weight) — the
+    dsir_logweights formula replayed hash-for-hash (target = lang='en')."""
+    return f"""
+        g AS ({_sql_dsir_grams(", lang")}),
+        b AS (SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(gram || ':dsir'), 1, 8)) AS BIGINT)
+                         % {n_buckets} AS bucket
+              FROM g),
+        tb AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+        qb AS (SELECT bucket, count(*) AS cq FROM b GROUP BY 1),
+        tt AS (SELECT sum(ct) AS t_total FROM tb),
+        qt AS (SELECT sum(cq) AS q_total FROM qb),
+        db AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        sc AS (SELECT doc_id, sum(c) AS n_grams,
+                      sum(c * (ln(coalesce(ct, 0) + 1.0) - ln(coalesce(cq, 0) + 1.0))) AS s
+               FROM db LEFT JOIN tb USING (bucket) LEFT JOIN qb USING (bucket)
+               GROUP BY 1),
+        w AS (SELECT d.doc_id,
+                     CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+                     round(coalesce(sc.s + sc.n_grams
+                           * (ln(q_total + 1.0 * {n_buckets})
+                              - ln(t_total + 1.0 * {n_buckets})), 0.0), 6) AS log_weight
+              FROM (SELECT doc_id FROM documents) d
+              LEFT JOIN sc USING (doc_id) CROSS JOIN tt CROSS JOIN qt)
+    """
+
+
+def _sql_dsir_weights(n_buckets: int) -> str:
+    return f"WITH {_sql_dsir_weights_body(n_buckets)} SELECT * FROM w"
+
+
+def _sql_dsir_select(n_buckets: int, k: int) -> str:
+    return f"""
+        WITH {_sql_dsir_weights_body(n_buckets)},
+        keyed AS (SELECT doc_id, log_weight,
+                         round(-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 8)) AS BIGINT)
+                                        + 0.5) / 4294967296.0)), 6) AS gumbel
+                  FROM w),
+        sk AS (SELECT doc_id, log_weight, gumbel,
+                      round(log_weight + gumbel, 6) AS sel_key
+               FROM keyed)
+        SELECT row_number() OVER (ORDER BY sel_key DESC, doc_id ASC) AS rank,
+               doc_id, log_weight, gumbel, sel_key
+        FROM sk ORDER BY sel_key DESC, doc_id ASC LIMIT {k}
+    """
+
+
+def _sql_contrastive_pairs(
+    dim: int, n_planes: int, n_anchors: int, k_pos: int, k_neg: int, seed: int = 42
+) -> str:
+    """Oracle for contrastive_pairs: planes inlined as literals (the
+    _sql_knn_lsh pattern) + label-split roles and per-role hardness order."""
+    from tiny_search_engine_spark.pipeline.simsearch import hyperplanes
+
+    bits = []
+    for p, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+        lit = "[" + ", ".join(repr(c) for c in plane) + "]::DOUBLE[]"
+        bits.append(f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, label, v, {bucket} AS bucket FROM e),
+        q AS (SELECT vec_id AS anchor_id, label AS al, v AS qv, bucket
+              FROM b WHERE vec_id < {n_anchors}),
+        scored AS (
+          SELECT q.anchor_id, b.vec_id, b.label,
+                 CASE WHEN b.label = q.al THEN 'positive' ELSE 'negative' END AS role,
+                 round(list_dot_product(b.v, q.qv)
+                       / (sqrt(list_dot_product(b.v, b.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+          FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.anchor_id)
+        SELECT anchor_id, role, rank, vec_id, cosine, label FROM (
+          SELECT anchor_id, role, vec_id, cosine, label,
+                 row_number() OVER (PARTITION BY anchor_id, role
+                                    ORDER BY (CASE WHEN role = 'positive'
+                                              THEN cosine ELSE -cosine END) ASC,
+                                             vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= (CASE WHEN role = 'positive' THEN {k_pos} ELSE {k_neg} END)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3357,4 +3512,15 @@ def oracle_sql() -> dict[str, str]:
         "result_snippets": _sql_result_snippets(n, _QUERIES_SQL_VALUES),
         "profile_table": _sql_profile_table(),
         "snapshot_diff": _SNAPDIFF_SQL,
+        "dsir_weights": _sql_dsir_weights(DSIR_BUCKETS),
+        "dsir_select": _sql_dsir_select(DSIR_BUCKETS, DSIR_K),
+        "heavy_hitters": (
+            "SELECT term, CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '')) AS term FROM documents) "
+            f"GROUP BY term HAVING count(*) >= {HH_THRESHOLD}"
+        ),
+        "contrastive_pairs": _sql_contrastive_pairs(
+            _emb_dim(), PAIRS_PLANES, PAIRS_ANCHORS, PAIRS_KPOS, PAIRS_KNEG
+        ),
     }

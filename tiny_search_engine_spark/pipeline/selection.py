@@ -1,0 +1,257 @@
+"""Data-selection operators for LLM training pipelines: DSIR hashed-ngram
+importance weights + Gumbel-top-k resampling, and sketch-narrowed exact
+heavy hitters.
+
+The reference engine curates nothing — its corpus is whatever the fixed
+TSV contains (/root/reference/src/table.cpp corpus load); these operators
+are part of the §F "absent from reference" pipeline surface, the step
+BEFORE indexing: choosing which documents a 100 TB raw crawl contributes
+to a training mix (DSIR, Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling") and finding the corpus's dominant
+terms without an unbounded exact census (count-min sketch, Cormode &
+Muthukrishnan 2005).
+
+Engine-reproducibility rule (same as sampling.py): every hash is md5 on
+a string key, so the DuckDB oracles replay each operator bit-identically
+— no engine-private hash, no floats in the selection decision beyond a
+shared 6-dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import _lower_tokens, _ngrams
+
+_HEX_SPACE = float(16 ** 8)  # 8 lowercase-hex chars
+
+
+def _md5_bucket(col: F.Column, salt: str, modulus: int) -> F.Column:
+    """Deterministic bucket in [0, modulus): first 8 md5-hex chars of
+    (value ':' salt) as an integer — the sampling.py idiom, numeric
+    instead of threshold-string; bit-identical on Spark and DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(col, F.lit(":" + salt))), 1, 8), 16, 10)
+        .cast("long")
+        % modulus
+    )
+
+
+def _gram_rows(df: DataFrame, id_col: str | None, text_col: str) -> DataFrame:
+    """Exploded lowercase unigrams + word bigrams (the DSIR feature set)
+    in ONE pass: the token array is materialized once per row and the
+    bigram array concatenated onto it before a single explode — no
+    second scan, no per-gram re-tokenization (the staged-projection rule
+    from dedup.minhash_signatures)."""
+    cols = [F.col(id_col)] if id_col else []
+    toks = df.select(*cols, _lower_tokens(text_col).alias("_toks"))
+    grams = F.explode(F.concat(F.col("_toks"), _ngrams(F.col("_toks"), 2)))
+    return toks.select(*cols, grams.alias("gram"))
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR log importance weight (Xie et al. 2023): fit
+    add-k-smoothed hashed-ngram (unigram+bigram) bag distributions on the
+    TARGET corpus (p, what we want more of) and the RAW corpus (q, what
+    we have), then score every raw document by
+
+        log w(x) = Σ_b c_b(x) · (ln(t_b + k) − ln(q_b + k))
+                   + n(x) · (ln(Q + k·B) − ln(T + k·B))
+
+    where c_b(x) is the doc's count in hash bucket b, t_b/q_b the target/
+    raw bucket counts, T/Q their totals, B the bucket count, n(x) = Σ c_b.
+    The second term folds both smoothing denominators into one scalar so
+    buckets unseen in BOTH corpora contribute exactly 0 and never need a
+    row. Docs with no grams score 0.0 (log w = 0 ⇔ "no evidence").
+
+    Scale shape (100 TB): the two bucket tables are B-sized (BOUNDED, a
+    hyperparameter — not corpus-cardinality like a vocabulary), each built
+    by one census pass with map-side partial aggregation; the doc side
+    collapses to (doc, bucket) partials before its only shuffle, then
+    joins many-to-one against the bounded bucket table (broadcastable) —
+    a hot bucket cannot multiply rows. Totals ride the plan as broadcast
+    1-row aggregates; no driver collect, no Python. Oracle ``dsir_weights``
+    replays every hash and ln value-exact at 6 dp.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not add_k > 0:
+        # k=0 would make a target-unseen bucket ln(0) = -inf; smoothing is
+        # load-bearing, exactly as in textstats.lm_perplexity.
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    bucket = _md5_bucket(F.col("gram"), "dsir", n_buckets)
+    tgt = _gram_rows(target_df, None, text_col).select(bucket.alias("bucket"))
+    raw = _gram_rows(df, None, text_col).select(bucket.alias("bucket"))
+    tgt_b = tgt.groupBy("bucket").agg(F.count("*").alias("ct"))
+    raw_b = raw.groupBy("bucket").agg(F.count("*").alias("cq"))
+    tot_t = tgt_b.agg(F.sum("ct").alias("_T"))
+    tot_q = raw_b.agg(F.sum("cq").alias("_Q"))
+
+    doc_b = (
+        _gram_rows(df, id_col, text_col)
+        .select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    k = F.lit(float(add_k))
+    contrib = F.col("c") * (
+        F.log(F.coalesce(F.col("ct"), F.lit(0)) + k)
+        - F.log(F.coalesce(F.col("cq"), F.lit(0)) + k)
+    )
+    kb = k * F.lit(float(n_buckets))
+    scored = (
+        doc_b.join(tgt_b, "bucket", "left")
+        .join(raw_b, "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_grams"), F.sum(contrib).alias("_s"))
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_q))
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            (
+                F.col("_s")
+                + F.col("n_grams") * (F.log(F.col("_Q") + kb) - F.log(F.col("_T") + kb))
+            ).alias("_lw"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.coalesce(F.col("_lw"), F.lit(0.0)), 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    add_k: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR's selection step: sample k documents WITHOUT replacement,
+    proportionally to their importance weights, via the Gumbel-top-k
+    trick — key(x) = log w(x) + Gumbel(x), take the k largest. The Gumbel
+    noise is derived from md5(doc_id ':' salt) (u = (h + 0.5) / 16⁸,
+    g = −ln(−ln u)), so the draw is deterministic, reproducible on any
+    engine, and stable under repartitioning — ``df.sample``'s
+    per-partition RNG gives none of that (see sampling.py). A salted
+    re-run is the only way to "reseed", exactly like hash_sample.
+
+    Keys are rounded to 6 dp BEFORE ranking (ties then broken by id
+    ascending) so the engine and the oracle order identically even if
+    their libm ln differs in the last ulp.
+
+    Scale shape: the scoring plan is dsir_logweights'; the selection is a
+    global top-k = TakeOrderedAndProject (per-partition heaps + one
+    k-row merge), NEVER a global row_number window — rank is assigned
+    after the k-row cut, on driver-sized data.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = dsir_logweights(df, target_df, id_col, text_col, n_buckets, add_k)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv + F.lit(0.5)) / F.lit(_HEX_SPACE)  # (0, 1) exclusive
+    keyed = w.select(
+        F.col(id_col),
+        F.col("log_weight"),
+        F.round(-F.log(-F.log(u)), 6).alias("gumbel"),
+    ).withColumn("sel_key", F.round(F.col("log_weight") + F.col("gumbel"), 6))
+    top = keyed.orderBy(F.desc("sel_key"), F.asc(id_col)).limit(k)
+    rw = Window.orderBy(F.desc("sel_key"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(rw)).select(
+        "rank", id_col, "log_weight", "gumbel", "sel_key"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    threshold: int,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Exact heavy hitters (terms with total count ≥ threshold) found
+    WITHOUT an unbounded exact term census — the count-min-sketch
+    narrowing (Cormode & Muthukrishnan 2005):
+
+    1. ONE stacked census builds the d×w sketch: every token occurrence
+       emits d (row, md5-bucket) pairs, aggregated with map-side partials
+       — the only wide shuffle carries at most depth·width distinct keys
+       regardless of term cardinality.
+    2. A map-side pass re-hashes each occurrence, broadcast-joins the
+       d sketch rows, and keeps occurrences whose estimate
+       min_r(sketch[r][h_r(term)]) ≥ threshold. CMS never underestimates,
+       so every true heavy hitter's occurrences ALL survive.
+    3. An exact groupBy over the survivors (a tiny fraction of the
+       corpus) recounts candidates and drops the sketch's false
+       positives.
+
+    The output is therefore EXACTLY ``HAVING count(*) >= threshold`` —
+    invariant to depth/width (they trade pass-2 selectivity, never
+    correctness), which is what lets a plain exact-SQL oracle
+    (``heavy_hitters``) verify the sketched plan. The naive alternative
+    — groupBy(term) over 100 TB — shuffles the full long tail of
+    term cardinality to count it once and throw it away; here the tail
+    dies map-side in step 2.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    tok = df.select(F.explode(_lower_tokens(text_col)).alias("term"))
+    stacked = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _md5_bucket(F.col("term"), f"cms{r}", width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    ).select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    # materialize the (<= depth*width)-row sketch once — the d broadcast
+    # joins below would otherwise each re-run the census (the shared-
+    # subtree rule; cf. mmr_rerank's localCheckpoint discipline)
+    cms = stacked.groupBy("r", "bucket").agg(F.count("*").alias("c")).localCheckpoint()
+    est_df = tok
+    ests = []
+    for r in range(depth):
+        cr = cms.filter(F.col("r") == r).select(
+            F.col("bucket").alias(f"_b{r}"), F.col("c").alias(f"_c{r}")
+        )
+        est_df = est_df.withColumn(
+            f"_b{r}", _md5_bucket(F.col("term"), f"cms{r}", width)
+        ).join(F.broadcast(cr), f"_b{r}")
+        ests.append(F.col(f"_c{r}"))
+    est = F.least(*ests) if depth > 1 else ests[0]
+    survivors = est_df.filter(est >= threshold)
+    return (
+        survivors.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )

@@ -94,14 +94,18 @@ def lsh_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Sign-bit LSH bucket per vector: bucket = Σ 2^p · [v·plane_p > 0]."""
+    """Sign-bit LSH bucket per vector: bucket = Σ 2^p · [v·plane_p > 0].
+    ``extra_cols`` ride along (e.g. a label column for pair mining) so
+    callers never need an id-keyed self-join to get them back."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(hyperplanes(dim, n_planes, seed)):
         arr = F.array(*[F.lit(x) for x in plane])
         proj = _dot(F.col(vec_col), arr)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    keep = [F.col(c) for c in extra_cols]
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"), *keep)
 
 
 def knn_lsh(
@@ -917,3 +921,82 @@ def hash_embed(
         F.transform(idx, comp).alias("embedding"),
     )
     return out
+
+
+def mine_contrastive_pairs(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    dim: int,
+    k_pos: int = 3,
+    k_neg: int = 3,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_col: str = "anchor_id",
+) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor vector, the
+    hardest positives (same label, LOWEST cosine — the pairs the model
+    most needs pulled together) and hardest negatives (different label,
+    HIGHEST cosine — the pairs it most needs pushed apart), mined within
+    the anchor's sign-bit LSH bucket. LSH collision IS the hardness
+    filter: a different-label vector that lands in the anchor's bucket is
+    geometrically close by construction, which is exactly the in-batch /
+    ANN-mined hard-negative recipe of dense-retriever training (Xiong et
+    al. 2021, ANCE — approximate nearest neighbors as negatives). The
+    reference engine has no training surface at all; this feeds one from
+    the same embedding table its ANN family serves.
+
+    Output: (anchor_id, role 'positive'|'negative', rank, vec_id, cosine,
+    label) — rank 1 = hardest within the role. Self-matches excluded.
+
+    Scale shape: identical to knn_lsh — bucket-equi-join of the corpus
+    against the broadcast anchor set (never a cross join; candidate
+    volume ~ corpus/2^n_planes per anchor), exact cosine only inside the
+    bucket, one window partitioned by (anchor, role). Cosine is rounded
+    to 6 dp BEFORE ranking (id-asc tie-break) so the oracle
+    (``contrastive_pairs``, planes inlined as SQL literals) orders
+    identically."""
+    if k_pos < 0 or k_neg < 0 or k_pos + k_neg == 0:
+        raise ValueError(f"need k_pos/k_neg >= 0 and not both 0, got {k_pos}/{k_neg}")
+    c = lsh_buckets(
+        corpus, dim, n_planes, seed, id_col, vec_col, extra_cols=(label_col,)
+    ).select(id_col, F.col(vec_col).alias("cv"), "bucket", F.col(label_col).alias("_cl"))
+    a = lsh_buckets(
+        anchors, dim, n_planes, seed, id_col, vec_col, extra_cols=(label_col,)
+    ).select(
+        F.col(id_col).alias(anchor_col),
+        F.col(vec_col).alias("qv"),
+        "bucket",
+        F.col(label_col).alias("_al"),
+    )
+    scored = (
+        c.join(F.broadcast(a), "bucket")
+        .filter(F.col(id_col) != F.col(anchor_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                _safe_cos(_dot(F.col("cv"), F.col("qv")), _norm(F.col("cv")), _norm(F.col("qv"))),
+                6,
+            ),
+        )
+        .withColumn(
+            "role",
+            F.when(F.col("_cl") == F.col("_al"), F.lit("positive")).otherwise(
+                F.lit("negative")
+            ),
+        )
+    )
+    # hard positives sort cosine ASC, hard negatives DESC — one window via
+    # a signed key so both roles rank in the same pass
+    ordkey = F.when(F.col("role") == "positive", F.col("cosine")).otherwise(
+        -F.col("cosine")
+    )
+    w = Window.partitionBy(anchor_col, "role").orderBy(ordkey.asc(), F.asc(id_col))
+    kcap = F.when(F.col("role") == "positive", F.lit(k_pos)).otherwise(F.lit(k_neg))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kcap)
+        .select(anchor_col, "role", "rank", id_col, "cosine", F.col("_cl").alias(label_col))
+    )
