@@ -1799,6 +1799,30 @@ def _q_contrastive_pairs(spark, sf_dir):
     )
 
 
+BLOOM_MIN_PURCHASES = 14
+
+
+def _q_bloom_semijoin(spark, sf_dir):
+    """Bloom-pruned exact semi-join (selection.bloom_semijoin): error
+    events of users with >= 14 purchase events. The Bloom stage only
+    narrows map-side (no false negatives); output is exactly the
+    IN-subquery oracle."""
+    from tiny_search_engine_spark.pipeline import selection
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    keys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BLOOM_MIN_PURCHASES)
+        .select("user_id")
+    )
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "value"
+    )
+    return selection.bloom_semijoin(probe, keys, key_col="user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER matters: the round-2 driver hashed exactly the first 50
     # entries, so round 3 rotates the 39 entries that had no driver row
@@ -1854,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "heavy_hitters": _q_heavy_hitters,
         "contrastive_pairs": _q_contrastive_pairs,
+        "bloom_semijoin": _q_bloom_semijoin,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -3522,5 +3547,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contrastive_pairs": _sql_contrastive_pairs(
             _emb_dim(), PAIRS_PLANES, PAIRS_ANCHORS, PAIRS_KPOS, PAIRS_KNEG
+        ),
+        "bloom_semijoin": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'error' AND user_id IN ("
+            "SELECT user_id FROM events WHERE event_type = 'purchase' "
+            f"GROUP BY user_id HAVING count(*) >= {BLOOM_MIN_PURCHASES})"
         ),
     }

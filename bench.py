@@ -272,6 +272,12 @@ def main() -> None:
         timed("chunked_search", lambda: entrymod._q_chunked_search(spark, sf_dir).count())
         # one-pass stacked data-quality census over the events table
         timed("profile_table", lambda: entrymod._q_profile_table(spark, sf_dir).count())
+        # round-3 data selection: DSIR weights+resample (bounded bucket
+        # tables, TakeOrderedAndProject top-k), CMS-narrowed exact heavy
+        # hitters (map-side tail kill), LSH-mined contrastive pairs
+        timed("dsir_select", lambda: entrymod._q_dsir_select(spark, sf_dir).count())
+        timed("heavy_hitters", lambda: entrymod._q_heavy_hitters(spark, sf_dir).count())
+        timed("contrastive_pairs", lambda: entrymod._q_contrastive_pairs(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -266,3 +266,35 @@ def test_contrastive_pairs_roles_and_exclusions(vecs):
         assert r.rank <= (2 if r.role == "positive" else 3)
     with pytest.raises(ValueError):
         simsearch.mine_contrastive_pairs(vecs, anchors, dim=DIM, k_pos=0, k_neg=0)
+
+
+def test_bloom_semijoin_exact_regardless_of_params(docs, spark):
+    """Output == plain semi-join for ANY n_bits/n_hashes — Bloom never
+    false-negatives; tiny n_bits (total collision → everything passes the
+    prune) must still be exact after the confirm join."""
+    keys = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    want = sorted(
+        r.doc_id for r in docs.join(keys, "doc_id", "left_semi").collect()
+    )
+    for n_bits, n_hashes in [(1 << 12, 3), (4, 1), (64, 5)]:
+        got = sorted(
+            r.doc_id
+            for r in selection.bloom_semijoin(
+                docs, keys, key_col="doc_id", n_bits=n_bits, n_hashes=n_hashes
+            ).collect()
+        )
+        assert got == want, (n_bits, n_hashes)
+    assert 0 < len(want) < docs.count()
+
+
+def test_bloom_semijoin_prunes_and_keeps_schema(docs, spark):
+    keys = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("k")
+    )
+    out = selection.bloom_semijoin(
+        docs, keys, key_col="doc_id", keys_key_col="k", n_bits=1 << 14, n_hashes=4
+    )
+    assert out.columns == docs.columns  # semi-join: probe schema untouched
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        selection.bloom_semijoin(docs, keys, key_col="doc_id", n_bits=0)

@@ -88,12 +88,12 @@ def dsir_logweights(
         # load-bearing, exactly as in textstats.lm_perplexity.
         raise ValueError(f"add_k must be > 0, got {add_k}")
     bucket = _md5_bucket(F.col("gram"), "dsir", n_buckets)
+    # both bucket tables are BOUNDED (<= n_buckets rows) and consumed
+    # twice (probability join + totals) — materialize them once so the
+    # corpus-sized censuses beneath never recompute (the heavy_hitters /
+    # mmr_rerank localCheckpoint discipline; checkpointed data is B rows)
     tgt = _gram_rows(target_df, None, text_col).select(bucket.alias("bucket"))
-    raw = _gram_rows(df, None, text_col).select(bucket.alias("bucket"))
-    tgt_b = tgt.groupBy("bucket").agg(F.count("*").alias("ct"))
-    raw_b = raw.groupBy("bucket").agg(F.count("*").alias("cq"))
-    tot_t = tgt_b.agg(F.sum("ct").alias("_T"))
-    tot_q = raw_b.agg(F.sum("cq").alias("_Q"))
+    tgt_b = tgt.groupBy("bucket").agg(F.count("*").alias("ct")).localCheckpoint()
 
     doc_b = (
         _gram_rows(df, id_col, text_col)
@@ -101,6 +101,13 @@ def dsir_logweights(
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("c"))
     )
+    # the raw census is a SECOND-level aggregate of the per-doc partials —
+    # never a second tokenize pass over the corpus (at 100 TB the q_b
+    # rollup costs one bounded shuffle of (doc, bucket) partials, not a
+    # rescan). Rows stay identical to a direct census by construction.
+    raw_b = doc_b.groupBy("bucket").agg(F.sum("c").alias("cq")).localCheckpoint()
+    tot_t = tgt_b.agg(F.sum("ct").alias("_T"))
+    tot_q = raw_b.agg(F.sum("cq").alias("_Q"))
     k = F.lit(float(add_k))
     contrib = F.col("c") * (
         F.log(F.coalesce(F.col("ct"), F.lit(0)) + k)
@@ -254,4 +261,64 @@ def heavy_hitters(
         survivors.groupBy("term")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= threshold)
+    )
+
+
+def bloom_semijoin(
+    df: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    keys_key_col: str | None = None,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join of a huge probe side against a small key set with a
+    relational Bloom-filter pre-prune (Bloom 1970): the key set maps to
+    ≤ n_bits set-bit rows (k md5 hashes per key, distinct), the probe
+    side re-hashes map-side and broadcast-joins the bit table k times —
+    a row survives only if ALL k of its bits are set — and only the
+    survivors reach the exact semi-join. Bloom filters have NO false
+    negatives, so the output is EXACTLY ``WHERE key IN (keys)`` for any
+    n_bits/n_hashes (they tune pass-through selectivity, never
+    correctness) — the same sketch-narrows/exact-confirms contract as
+    :func:`heavy_hitters`, and what lets a plain IN-subquery oracle
+    (``bloom_semijoin``) verify the sketched plan.
+
+    Scale shape (100 TB probe, dictionary-sized keys — the decontaminate
+    / id-lookup / tombstone-check shape): the naive plan shuffles the
+    FULL probe side on the key to meet the key set; here the long tail
+    dies inside the probe-side scan stage (k broadcast hash joins of a
+    bounded ≤ n_bits bit table), and only matching-ish rows pay the
+    exact semi-join's shuffle. The bit table is localCheckpoint'd once.
+    """
+    if n_bits < 1 or n_hashes < 1:
+        raise ValueError(f"n_bits/n_hashes must be >= 1, got {n_bits}/{n_hashes}")
+    kk = keys_key_col or key_col
+    keys = keys_df.select(F.col(kk).cast("string").alias("_k")).distinct()
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        _md5_bucket(F.col("_k"), f"bloom{h}", n_bits)
+                        for h in range(n_hashes)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    probe = df
+    for h in range(n_hashes):
+        bh = bits.select(F.col("bit").alias(f"_bit{h}"))
+        probe = probe.withColumn(
+            f"_bit{h}", _md5_bucket(F.col(key_col).cast("string"), f"bloom{h}", n_bits)
+        ).join(F.broadcast(bh), f"_bit{h}")
+    survivors = probe.drop(*[f"_bit{h}" for h in range(n_hashes)])
+    # exact confirm: false positives die here; semantics == plain semi-join
+    return survivors.join(
+        keys.hint("broadcast"),
+        survivors[key_col].cast("string") == keys["_k"],
+        "left_semi",
     )
