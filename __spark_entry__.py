@@ -1823,6 +1823,23 @@ def _q_bloom_semijoin(spark, sf_dir):
     return selection.bloom_semijoin(probe, keys, key_col="user_id")
 
 
+ZORDER_BOUNDS = [("user_id", 0.0, 200.0), ("value", 0.0, 500.0)]
+ZORDER_BITS = 8
+
+
+def _q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key over events (pipeline.layout.zorder_key):
+    uniform width_bucket bins + round-robin bit interleave — the
+    multi-column min-max-pruning write order (Delta OPTIMIZE ZORDER
+    shape). Key math replayed bit-identically by the oracle."""
+    from tiny_search_engine_spark.pipeline import layout
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.select(
+        "event_id", layout.zorder_key(ZORDER_BOUNDS, ZORDER_BITS).alias("zkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER matters: the round-2 driver hashed exactly the first 50
     # entries, so round 3 rotates the 39 entries that had no driver row
@@ -1879,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "contrastive_pairs": _q_contrastive_pairs,
         "bloom_semijoin": _q_bloom_semijoin,
+        "zorder_key": _q_zorder_key,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -2622,6 +2640,16 @@ def _sql_contrastive_pairs(
           FROM scored)
         WHERE rank <= (CASE WHEN role = 'positive' THEN {k_pos} ELSE {k_neg} END)
     """
+
+
+def _sql_zorder_key() -> str:
+    from tiny_search_engine_spark.pipeline.layout import zorder_key_sql
+
+    return (
+        "SELECT event_id, "
+        f"CAST({zorder_key_sql(ZORDER_BOUNDS, ZORDER_BITS)} AS BIGINT) AS zkey "
+        "FROM events"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3554,4 +3582,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id FROM events WHERE event_type = 'purchase' "
             f"GROUP BY user_id HAVING count(*) >= {BLOOM_MIN_PURCHASES})"
         ),
+        "zorder_key": _sql_zorder_key(),
     }

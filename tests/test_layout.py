@@ -1,0 +1,126 @@
+"""layout.py: Z-order key parity vs a pure-Python twin, clustering
+row-preservation, and the actual pruning win — z-ordered files carry
+tighter two-dimensional min-max boxes than a single-column sort."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiny_search_engine_spark.pipeline import layout
+
+BITS = 6
+BOUNDS = [("x", 0.0, 64.0), ("y", 0.0, 1024.0)]
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    # full 64x64 factorial: every (x, y) cell exactly once — no x-y
+    # correlation, so a single-column sort genuinely cannot prune the
+    # other dimension
+    rows = [
+        (i, float(i % 64), float((i // 64) * 16))
+        for i in range(4096)
+    ]
+    return spark.createDataFrame(rows, "rid long, x double, y double")
+
+
+def _py_bucket(v, lo, hi, n):
+    # clamp(floor(n (v-lo)/(hi-lo)), 0, n-1) — layout.py's explicit
+    # width_bucket-semantics binning
+    return max(0, min(int(math.floor(n * (v - lo) / (hi - lo))), n - 1))
+
+
+def _py_z(vals, bounds, bits):
+    z = 0
+    n = len(bounds)
+    for j, (v, (_, lo, hi)) in enumerate(zip(vals, bounds)):
+        b = _py_bucket(v, lo, hi, 1 << bits)
+        for bit in range(bits):
+            z += ((b >> bit) & 1) << (bit * n + j)
+    return z
+
+
+def test_zorder_key_matches_pure_python(grid):
+    got = {
+        r.rid: r.z
+        for r in grid.select(
+            "rid", layout.zorder_key(BOUNDS, BITS).alias("z")
+        ).collect()
+    }
+    for r in grid.collect():
+        assert got[r.rid] == _py_z((r.x, r.y), BOUNDS, BITS), r.rid
+
+
+def test_zorder_key_clamps_and_validates(spark):
+    df = spark.createDataFrame(
+        [(0, -5.0, 2000.0), (1, 63.9, 0.0)], "rid long, x double, y double"
+    )
+    z = {
+        r.rid: r.z
+        for r in df.select("rid", layout.zorder_key(BOUNDS, BITS).alias("z")).collect()
+    }
+    assert z[0] == _py_z((-5.0, 2000.0), BOUNDS, BITS)  # edge bins, no error
+    with pytest.raises(ValueError):
+        layout.zorder_key([], BITS)
+    with pytest.raises(ValueError):
+        layout.zorder_key(BOUNDS, bits=0)
+    with pytest.raises(ValueError):
+        layout.zorder_key([("x", 1.0, 1.0)], BITS)
+
+
+def _file_spans(path):
+    """Per-parquet-file normalized (x-span, y-span) from footer min-max
+    stats — what a pruning reader sees."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        xmin = ymin = float("inf")
+        xmax = ymax = float("-inf")
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                st = col.statistics
+                if st is None:
+                    continue
+                nm = col.path_in_schema
+                if nm == "x":
+                    xmin, xmax = min(xmin, st.min), max(xmax, st.max)
+                if nm == "y":
+                    ymin, ymax = min(ymin, st.min), max(ymax, st.max)
+        if xmax >= xmin and ymax >= ymin:
+            spans.append(((xmax - xmin) / 63.0, (ymax - ymin) / 1008.0))
+    return spans
+
+
+def test_cluster_by_zorder_prunes_both_dims(grid, tmp_path):
+    """The Z-order claim: min-max pruning works on EVERY bound column.
+    A y-sorted layout is tight on y but every file spans ALL of x (a
+    filter on x scans everything); z-ordered files are small rectangles
+    in BOTH dims."""
+    zdir = str(tmp_path / "zorder")
+    ydir = str(tmp_path / "ysort")
+    layout.cluster_by_zorder(grid, BOUNDS, BITS, n_files=16).write.parquet(zdir)
+    grid.repartitionByRange(16, F.col("y")).sortWithinPartitions("y").write.parquet(ydir)
+
+    # rows preserved exactly
+    got = sorted(
+        (r.rid, r.x, r.y)
+        for r in grid.sparkSession.read.parquet(zdir).collect()
+    )
+    assert got == sorted((r.rid, r.x, r.y) for r in grid.collect())
+
+    zs, ys = _file_spans(zdir), _file_spans(ydir)
+    assert len(zs) >= 8 and len(ys) >= 8
+    z_x = sum(s[0] for s in zs) / len(zs)
+    z_y = sum(s[1] for s in zs) / len(zs)
+    y_x = sum(s[0] for s in ys) / len(ys)
+    assert y_x > 0.9  # single-column sort: no pruning at all on x
+    assert z_x < 0.6 and z_y < 0.6  # z-order: real pruning on BOTH dims

@@ -113,3 +113,44 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     assert set(res.columns) >= {"query_id", "rank", "doc_id", "bm25"}
     assert res.count() > 0
     assert res.select("query_id").distinct().count() == 2
+
+
+def test_select_subcommand(spark, tmp_path, capsys):
+    """`tse_job select`: DSIR-select k docs from a raw source toward a
+    target source; output parquet carries (rank, log_weight); same salt
+    reselects identically, a different salt does not."""
+    from tiny_search_engine_spark.jobs import main_select
+
+    raw_pq = str(tmp_path / "raw.parquet")
+    tgt_pq = str(tmp_path / "tgt.parquet")
+    src = source_files(spark, 120, seed=3)
+    src.write.parquet(raw_pq)
+    # target = a deterministic slice of the corpus (what we want more of)
+    src.limit(30).write.parquet(tgt_pq)
+
+    out1 = str(tmp_path / "sel1")
+    rc = main_select([
+        "--source", raw_pq, "--target", tgt_pq, "--k", "25",
+        "--n-buckets", "4096", "--out", out1,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["selected"] == 25 and summary["k"] == 25
+    got = spark.read.parquet(out1)
+    assert {"repo", "path", "content", "rank", "log_weight"} <= set(got.columns)
+    assert got.count() == 25
+    ids1 = sorted(r.doc_id for r in got.collect())
+
+    out2 = str(tmp_path / "sel2")
+    main_select([
+        "--source", raw_pq, "--target", tgt_pq, "--k", "25",
+        "--n-buckets", "4096", "--out", out2,
+    ])
+    assert sorted(r.doc_id for r in spark.read.parquet(out2).collect()) == ids1
+
+    out3 = str(tmp_path / "sel3")
+    main_select([
+        "--source", raw_pq, "--target", tgt_pq, "--k", "25",
+        "--n-buckets", "4096", "--salt", "fold2", "--out", out3,
+    ])
+    assert sorted(r.doc_id for r in spark.read.parquet(out3).collect()) != ids1

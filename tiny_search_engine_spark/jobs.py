@@ -19,6 +19,10 @@ The package ships as a zip (``python scripts/make_pyfiles.py`` →
         scripts/tse_job.py shards --source iceberg:warehouse.db.repos \
         --bpe-merges 32000 --chunk-len 2048 --out /shards
 
+    spark-submit --py-files dist/tiny_search_engine_spark.zip \
+        scripts/tse_job.py select --source iceberg:warehouse.db.crawl \
+        --target iceberg:warehouse.db.curated --k 1000000000 --out /selected
+
 Under spark-submit the session comes from ``getOrCreate()`` so the
 submitted ``--master`` / ``--conf`` / ``--num-executors`` are respected
 verbatim (that is how the N-vs-4N-executor scaling runs are launched);
@@ -282,6 +286,47 @@ def main_shards(argv: list[str]) -> int:
     return 0
 
 
+def main_select(argv: list[str]) -> int:
+    """DSIR data selection (pipeline/selection.py): score the source
+    corpus against a target-distribution corpus and keep the Gumbel-top-k
+    resample, written as parquet with (rank, log_weight) attached. The
+    selection is reproducible bit-for-bit across clusters and reruns
+    (md5-derived weights and noise) — rerunning with the same salt
+    reselects the same rows. Prints the summary census as JSON."""
+    from pyspark.sql import functions as F
+
+    from .build import with_doc_id
+    from .pipeline import selection
+
+    p = argparse.ArgumentParser(prog="tse_job select")
+    p.add_argument("--source", required=True, help="iceberg:<tbl> | table:<tbl> | tsv:<path> | parquet path")
+    p.add_argument("--target", required=True,
+                   help="target-distribution corpus (same schemes) — what the selection should look like")
+    p.add_argument("--out", required=True, help="output parquet of selected rows")
+    p.add_argument("--k", type=int, required=True, help="number of documents to select")
+    p.add_argument("--n-buckets", type=int, default=1 << 20,
+                   help="hashed-ngram feature buckets (bounded model size)")
+    p.add_argument("--salt", default="dsir", help="resample salt (same salt = same draw)")
+    a = p.parse_args(argv)
+
+    spark = job_session("tse_select")
+    raw = with_doc_id(table_io(spark, a.source))
+    docs = raw.select("doc_id", F.col("content").alias("text"))
+    tgt = with_doc_id(table_io(spark, a.target)).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    sel = selection.dsir_select(
+        docs, tgt, k=a.k, n_buckets=a.n_buckets, salt=a.salt
+    )
+    raw.join(sel.select("doc_id", "rank", "log_weight"), "doc_id").write.mode(
+        "overwrite"
+    ).parquet(a.out)
+    n = spark.read.parquet(a.out).count()
+    print(json.dumps({"selected": n, "k": a.k, "n_buckets": a.n_buckets,
+                      "salt": a.salt, "out": a.out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
@@ -296,7 +341,9 @@ def main(argv: list[str] | None = None) -> int:
         return main_grep(rest)
     if cmd == "shards":
         return main_shards(rest)
-    print(f"unknown command {cmd!r} (expected: build | query | grep | shards)", file=sys.stderr)
+    if cmd == "select":
+        return main_select(rest)
+    print(f"unknown command {cmd!r} (expected: build | query | grep | shards | select)", file=sys.stderr)
     return 2
 
 

@@ -11,8 +11,9 @@ hybrid fusion, facets, collapse, snippets, chunked dense retrieval), event
 analytics (sessionization, windows, funnels, as-of/range joins,
 transitions, bursts, cohorts), generic table profiling, sampling/mixing,
 data selection (DSIR importance resampling, sketch-narrowed heavy
-hitters, contrastive pair mining), BPE + packing + training shards, and
-multimodal column plumbing.
+hitters, Bloom-pruned semi-joins, contrastive pair mining), data layout
+(Z-order clustering for multi-column parquet pruning), BPE + packing +
+training shards, and multimodal column plumbing.
 
 All hot paths are JVM-side ``pyspark.sql.functions`` expressions; every op
 that is ANSI-SQL-expressible has a DuckDB oracle in __spark_entry__.py.
