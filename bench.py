@@ -278,6 +278,8 @@ def main() -> None:
         timed("dsir_select", lambda: entrymod._q_dsir_select(spark, sf_dir).count())
         timed("heavy_hitters", lambda: entrymod._q_heavy_hitters(spark, sf_dir).count())
         timed("contrastive_pairs", lambda: entrymod._q_contrastive_pairs(spark, sf_dir).count())
+        timed("bloom_semijoin", lambda: entrymod._q_bloom_semijoin(spark, sf_dir).count())
+        timed("zorder_key", lambda: entrymod._q_zorder_key(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

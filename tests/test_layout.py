@@ -124,3 +124,21 @@ def test_cluster_by_zorder_prunes_both_dims(grid, tmp_path):
     y_x = sum(s[0] for s in ys) / len(ys)
     assert y_x > 0.9  # single-column sort: no pruning at all on x
     assert z_x < 0.6 and z_y < 0.6  # z-order: real pruning on BOTH dims
+
+
+def test_zorder_key_null_goes_to_top_bin(spark):
+    df = spark.createDataFrame([(0, None, 8.0)], "rid long, x double, y double")
+    z = df.select(layout.zorder_key(BOUNDS, BITS).alias("z")).collect()[0].z
+    assert z == _py_z((63.999, 8.0), BOUNDS, BITS)  # x clamps to bin 2^BITS-1
+
+
+def test_bounds_from_quantiles_clips_outliers(spark):
+    rows = [(i, float(i % 100)) for i in range(2000)] + [(9999, 1e12)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    ((c, lo, hi),) = layout.bounds_from_quantiles(df, ["v"], 0.01, 0.99)
+    assert c == "v" and lo < 5 and hi < 200  # the 1e12 outlier is clipped
+    const = spark.createDataFrame([(0, 7.0), (1, 7.0)], "rid long, v double")
+    ((_, lo2, hi2),) = layout.bounds_from_quantiles(const, ["v"])
+    assert hi2 > lo2  # constant column widened, zorder_key accepts it
+    with pytest.raises(ValueError):
+        layout.bounds_from_quantiles(df, ["v"], 0.9, 0.2)

@@ -41,7 +41,10 @@ def zorder_key(
     b * n_cols + j, so all columns contribute equally at every scale of
     the curve. ≤ 3 columns at 8 bits fits a long with room to spare;
     interleaving more than ~4 columns dilutes pruning on all of them
-    (the documented Z-order caveat) and is refused."""
+    (the documented Z-order caveat) and is refused. NULL values land in
+    the TOP bin on both engines (Spark and DuckDB least/greatest both
+    skip NULL operands), so NULL rows cluster together at the curve's
+    end rather than poisoning the key."""
     n = len(bounds)
     if not 1 <= n <= 4:
         raise ValueError(f"zorder_key: need 1-4 columns, got {n}")
@@ -109,3 +112,29 @@ def cluster_by_zorder(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def bounds_from_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    rel_err: float = 0.001,
+) -> list[tuple[str, float, float]]:
+    """Derive zorder bounds from the data itself: the [lower, upper]
+    approximate quantiles of each column (Greenwald-Khanna sketch via
+    ``df.stat.approxQuantile`` — one pass, driver receives 2 numbers per
+    column, never the data). Uniform bins over the full min-max waste
+    most of the curve on a skewed column (one outlier stretches the
+    range; 99% of rows land in one bin); quantile-clipped bounds spend
+    the bins on the mass, and the tails clamp to the edge bins — which
+    is exactly where a pruning reader wants them."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}/{upper}")
+    qs = df.stat.approxQuantile(cols, [lower, upper], rel_err)
+    out = []
+    for c, (lo, hi) in zip(cols, qs):
+        if not hi > lo:  # constant-ish column: widen so zorder_key accepts
+            hi = lo + 1.0
+        out.append((c, float(lo), float(hi)))
+    return out
