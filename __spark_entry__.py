@@ -779,7 +779,9 @@ def _q_eval_mrr_recall(spark, sf_dir):
     of the ranking-eval family next to NDCG@3."""
     from tiny_search_engine_spark import eval as ev
 
-    ranked = _q_bm25_topk(spark, sf_dir)
+    # ranked feeds BOTH metrics — materialize once (the b393038 shared-
+    # subtree discipline; result-set-sized data)
+    ranked = _q_bm25_topk(spark, sf_dir).localCheckpoint()
     labels = _labels_df(spark, sf_dir)
     mrr = ev.mrr_at_k(ranked, labels, k=10, min_label=2)
     rec = ev.recall_at_k(ranked, labels, k=10, min_label=2)

@@ -228,24 +228,56 @@ def heavy_hitters(
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
     tok = df.select(F.explode(_lower_tokens(text_col)).alias("term"))
-    stacked = tok.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _md5_bucket(F.col("term"), f"cms{r}", width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb")
-    ).select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
     # materialize the (<= depth*width)-row sketch once — the d broadcast
     # joins below would otherwise each re-run the census (the shared-
     # subtree rule; cf. mmr_rerank's localCheckpoint discipline)
-    cms = stacked.groupBy("r", "bucket").agg(F.count("*").alias("c")).localCheckpoint()
-    est_df = tok
+    cms = cms_rows(tok, depth, width).localCheckpoint()
+    survivors = cms_estimate(tok, cms, depth, width).filter(
+        F.col("_est") >= threshold
+    )
+    return (
+        survivors.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+
+
+def cms_rows(tok: DataFrame, depth: int, width: int) -> DataFrame:
+    """The count-min sketch of a ``term`` column as (r, bucket, c) rows —
+    ONE stacked census whose only wide shuffle carries ≤ depth·width
+    keys. Sketches are MERGEABLE: sum c per (r, bucket) across any
+    partition of the corpus (epochs, shards, clusters) and you have the
+    sketch of the union — the property the streaming twin
+    (streaming/sketch_stream.py) is built on."""
+    return (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _md5_bucket(F.col("term"), f"cms{r}", width).alias("bucket"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    terms: DataFrame, cms: DataFrame, depth: int, width: int
+) -> DataFrame:
+    """Adds ``_est`` (the CMS count estimate: min over the d rows; NEVER
+    below the true count) to a DataFrame with a ``term`` column, via d
+    map-side broadcast joins of the bounded sketch. Terms hashing to
+    buckets absent from the sketch estimate 0 (left join + coalesce) —
+    possible when estimating terms the sketch never counted."""
+    est_df = terms
     ests = []
     for r in range(depth):
         cr = cms.filter(F.col("r") == r).select(
@@ -253,14 +285,11 @@ def heavy_hitters(
         )
         est_df = est_df.withColumn(
             f"_b{r}", _md5_bucket(F.col("term"), f"cms{r}", width)
-        ).join(F.broadcast(cr), f"_b{r}")
-        ests.append(F.col(f"_c{r}"))
+        ).join(F.broadcast(cr), f"_b{r}", "left")
+        ests.append(F.coalesce(F.col(f"_c{r}"), F.lit(0)))
     est = F.least(*ests) if depth > 1 else ests[0]
-    survivors = est_df.filter(est >= threshold)
-    return (
-        survivors.groupBy("term")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= threshold)
+    return est_df.withColumn("_est", est).drop(
+        *[f"_b{r}" for r in range(depth)], *[f"_c{r}" for r in range(depth)]
     )
 
 
