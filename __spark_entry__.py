@@ -1842,6 +1842,18 @@ def _q_zorder_key(spark, sf_dir):
     )
 
 
+def _q_decontaminate_fuzzy(spark, sf_dir):
+    """Per-eval-example fuzzy decontamination
+    (textstats.decontaminate_fuzzy): max 3-gram-set Jaccard of each
+    training doc vs any single eval doc (train/eval split doc_id % 97,
+    as in `decontaminate`), via a broadcast inverted gram index —
+    exact, no MinHash false negatives. Threshold 0.2."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return textstats.decontaminate_fuzzy(train, ev, n=3, threshold=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER matters: the round-2 driver hashed exactly the first 50
     # entries, so round 3 rotates the 39 entries that had no driver row
@@ -1899,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": _q_contrastive_pairs,
         "bloom_semijoin": _q_bloom_semijoin,
         "zorder_key": _q_zorder_key,
+        "decontaminate_fuzzy": _q_decontaminate_fuzzy,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -3068,6 +3081,35 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(h.n_overlap, 0) * 1.0 / greatest(len(grams), 1), 6) AS overlap_frac,
                    coalesce(h.n_overlap, 0) * 1.0 / greatest(len(grams), 1) >= 0.1 AS contaminated
             FROM g LEFT JOIN hits h USING (doc_id)
+            WHERE g.doc_id % 97 <> 0
+        """,
+        "decontaminate_fuzzy": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                              ELSE [] END AS grams
+                  FROM t),
+            dg AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+                   FROM g WHERE doc_id % 97 <> 0),
+            eg AS (SELECT doc_id AS ev_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+            es AS (SELECT ev_id, count(*) AS n_ev FROM eg GROUP BY 1),
+            inter AS (SELECT dg.doc_id, dg.n_grams, eg.ev_id, count(*) AS n_common
+                      FROM dg JOIN eg USING (gram) GROUP BY 1, 2, 3),
+            pairs AS (SELECT doc_id,
+                             round(n_common * 1.0 / (n_grams + n_ev - n_common), 6) AS jac,
+                             ev_id
+                      FROM inter JOIN es USING (ev_id)),
+            best AS (SELECT doc_id, jac, ev_id,
+                            row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, ev_id ASC) AS rn
+                     FROM pairs)
+            SELECT g.doc_id, len(grams) AS n_grams,
+                   coalesce(b.jac, 0.0) AS max_jaccard,
+                   b.ev_id AS eval_id,
+                   coalesce(b.jac, 0.0) >= 0.2 AS contaminated
+            FROM g LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
             WHERE g.doc_id % 97 <> 0
         """,
         "lm_perplexity": """

@@ -280,6 +280,12 @@ def main() -> None:
         timed("contrastive_pairs", lambda: entrymod._q_contrastive_pairs(spark, sf_dir).count())
         timed("bloom_semijoin", lambda: entrymod._q_bloom_semijoin(spark, sf_dir).count())
         timed("zorder_key", lambda: entrymod._q_zorder_key(spark, sf_dir).count())
+        # per-eval-example fuzzy decontamination: broadcast inverted gram
+        # index, pairs materialize only on shared grams (never all-pairs)
+        timed(
+            "decontaminate_fuzzy",
+            lambda: entrymod._q_decontaminate_fuzzy(spark, sf_dir).count(),
+        )
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -485,6 +485,44 @@ def test_decontaminate_brute(spark):
     assert got[4]["contaminated"] is False
 
 
+def test_decontaminate_fuzzy_brute(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),      # near-copy of eval 100
+            (2, "zeta eta theta iota kappa"),           # no overlap at all
+            (3, "alpha beta gamma prime"),              # EXACT copy of eval 100
+            (4, "aa bb"),                               # too short for n=3
+            (5, "alpha beta gamma unrelated eval text"),  # ties two evals? grams vs both
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma prime"), (101, "unrelated eval text here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textstats.decontaminate_fuzzy(train, ev, n=3, threshold=0.5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    # eval 100 grams: {abg, bgp}; eval 101 grams: {uet, eth}
+    # doc 1 grams {abg, bgd, gde}: inter 1 with ev100 -> 1/(3+2-1)
+    assert got[1]["max_jaccard"] == pytest.approx(round(1 / 4, 6))
+    assert got[1]["eval_id"] == 100 and got[1]["contaminated"] is False
+    # doc 2: no shared gram with any eval -> no pair row at all
+    assert got[2]["max_jaccard"] == 0.0
+    assert got[2]["eval_id"] is None and got[2]["contaminated"] is False
+    # doc 3 == eval 100 verbatim -> Jaccard 1.0
+    assert got[3]["max_jaccard"] == 1.0
+    assert got[3]["eval_id"] == 100 and got[3]["contaminated"] is True
+    # doc 4: zero grams -> kept with 0.0
+    assert got[4]["n_grams"] == 0 and got[4]["max_jaccard"] == 0.0
+    # doc 5 grams {abg, bgu, gue, uet}: ev100 inter {abg} -> 1/5,
+    # ev101 inter {uet} -> 1/5 — tie breaks to the SMALLEST eval id
+    assert got[5]["max_jaccard"] == pytest.approx(round(1 / 5, 6))
+    assert got[5]["eval_id"] == 100
+
+
 def test_paragraph_dedup_modes(spark):
     rows = [
         (1, "header\nalpha\nbeta"),

@@ -311,6 +311,83 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    eval_id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: per training document, the MAX
+    word-n-gram-set Jaccard similarity against any single evaluation
+    document, plus which eval doc attains it and a ``contaminated``
+    flag at ``threshold``. The whole-document-similarity complement to
+    :func:`decontaminate` (which pools eval grams and can't tell "quotes
+    one famous sentence from each of 50 eval docs" from "is a paraphrase
+    of one eval doc") — the Llama-2 / GPT-4 contamination reports use
+    exactly this per-eval-example overlap shape.
+
+    EXACT, not sketched: the eval side (a benchmark suite — MBs) is
+    reduced to distinct ``(eval_id, gram)`` rows and broadcast as an
+    inverted gram index, so a (doc, eval) pair materializes only when
+    the two share at least one gram — Jaccard 0 pairs are never
+    enumerated, which is what makes exact max-Jaccard affordable where
+    corpus-vs-corpus would need MinHash/LSH (see
+    ``dedup.lsh_candidate_pairs``). Shuffle shape: the intersection
+    count groups by (doc, eval); every gram row of one doc comes from
+    one input row, hence is map-side colocated, so the partial agg
+    collapses to ≤ |matched evals| rows per doc BEFORE the exchange,
+    and the final per-doc max + size join are one doc-keyed shuffle.
+    Worst-case fanout is bounded by the eval-suite size, not the
+    corpus. Ties on Jaccard break to the smallest eval id (struct-max,
+    no window).
+    """
+    doc_grams = df.select(
+        F.col(id_col), F.array_distinct(_ngrams(_lower_tokens(text_col), n)).alias("_g")
+    ).select(
+        F.col(id_col),
+        F.size("_g").cast("long").alias("n_grams"),
+        F.explode_outer("_g").alias("gram"),
+    )
+    # staged: tokens materialized before the per-gram slice lambda (see
+    # dedup.minhash_signatures for the O(L²) inline-reevaluation trap)
+    ev_tok = eval_df.select(
+        F.col(eval_id_col).alias("_ev_id"), _lower_tokens(text_col).alias("_toks")
+    )
+    ev_grams = ev_tok.select(
+        F.col("_ev_id"), F.explode(F.array_distinct(_ngrams(F.col("_toks"), n))).alias("gram")
+    )
+    ev_sizes = ev_grams.groupBy("_ev_id").agg(F.count("*").alias("_n_ev"))
+    inter = (
+        doc_grams.join(F.broadcast(ev_grams), "gram")
+        .groupBy(id_col, "n_grams", "_ev_id")
+        .agg(F.count("*").alias("_n_common"))
+    )
+    jac = F.round(
+        F.col("_n_common")
+        / (F.col("n_grams") + F.col("_n_ev") - F.col("_n_common")),
+        6,
+    )
+    best = (
+        inter.join(F.broadcast(ev_sizes), "_ev_id")
+        .select(F.col(id_col), F.struct(jac.alias("j"), (-F.col("_ev_id")).alias("ne")).alias("_s"))
+        .groupBy(id_col)
+        .agg(F.max("_s").alias("_b"))
+    )
+    sizes = doc_grams.select(id_col, "n_grams").groupBy(id_col).agg(F.first("n_grams").alias("n_grams"))
+    out = sizes.join(best, id_col, "left")
+    max_jac = F.coalesce(F.col("_b.j"), F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        max_jac.alias("max_jaccard"),
+        (-F.col("_b.ne")).alias("eval_id"),
+        (max_jac >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     ref_df: DataFrame | None = None,
