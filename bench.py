@@ -286,6 +286,15 @@ def main() -> None:
             "decontaminate_fuzzy",
             lambda: entrymod._q_decontaminate_fuzzy(spark, sf_dir).count(),
         )
+        # min-cover proximity: one (query, doc)-keyed hit self-join whose
+        # partitioning all downstream groupBys reuse
+        timed(
+            "proximity_search",
+            lambda: entrymod._q_proximity_search(spark, sf_dir).count(),
+        )
+        # NB train+classify in one plan: dictionary-sized model tables,
+        # many-to-one likelihood join, rounded-score argmax window
+        timed("nb_classify", lambda: entrymod._q_nb_classify(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

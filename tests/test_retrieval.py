@@ -360,3 +360,61 @@ def test_result_snippets(spark):
     assert len(got[2]["snippet"].split()) == 4
     with pytest.raises(ValueError):
         retrieval.result_snippets(results, docs, [(0, "alpha")], window=0)
+
+
+def test_proximity_search_min_cover(spark):
+    rows = [
+        (0, "alpha beta gamma"),                     # adjacent block -> span 3
+        (1, "gamma x alpha y beta"),                 # all terms, span 5
+        (2, "alpha x x x beta gamma"),               # best window = "beta gamma"? no: needs alpha -> span 6
+        (3, "alpha beta only"),                      # missing gamma -> excluded
+        (4, "beta gamma alpha beta gamma"),          # reordered adjacent -> span 3
+        (5, "alpha alpha beta x gamma alpha beta gamma"),  # tail block -> span 3
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in retrieval.proximity_search(
+            corpus, [(0, "alpha beta gamma")]
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 4, 5}  # doc 3 lacks gamma
+    assert out[0]["min_span"] == 3 and out[0]["proximity"] == 1.0
+    assert out[4]["min_span"] == 3 and out[5]["min_span"] == 3
+    assert out[1]["min_span"] == 5
+    assert out[2]["min_span"] == 6
+    # rank: span asc then doc_id asc -> 0, 4, 5 first (all span 3)
+    assert (out[0]["rank"], out[4]["rank"], out[5]["rank"]) == (1, 2, 3)
+    assert out[1]["proximity"] == pytest.approx(round(3 / 5, 6))
+
+
+def test_proximity_search_order_free_and_duplicates(spark):
+    corpus = spark.createDataFrame(
+        [(0, "stop go"), (1, "go x stop")], "doc_id long, text string"
+    )
+    # word order in the QUERY is irrelevant, duplicate words collapse
+    a = retrieval.proximity_search(corpus, [(0, "go stop"), (1, "stop go go")]).collect()
+    by = {(r["query_id"], r["doc_id"]): r["min_span"] for r in a}
+    assert by[(0, 0)] == 2 and by[(0, 1)] == 3
+    assert by[(1, 0)] == 2 and by[(1, 1)] == 3
+
+
+def test_proximity_search_single_term_and_max_span(spark):
+    corpus = spark.createDataFrame(
+        [(0, "solo word here"), (1, "far a a a a a away far")],
+        "doc_id long, text string",
+    )
+    one = retrieval.proximity_search(corpus, [(0, "solo")]).collect()
+    assert len(one) == 1 and one[0]["min_span"] == 1 and one[0]["proximity"] == 1.0
+    # "far away": doc 1 span 3 ("away far" tail window is away..far = pos 6..7 -> 2)
+    spans = {
+        r["doc_id"]: r["min_span"]
+        for r in retrieval.proximity_search(corpus, [(0, "far away")]).collect()
+    }
+    assert spans == {1: 2}
+    # max_span below the best window drops the doc entirely
+    assert (
+        retrieval.proximity_search(corpus, [(0, "far away")], max_span=1).count() == 0
+    )
+    with pytest.raises(ValueError):
+        retrieval.proximity_search(corpus, [(0, "x")], max_span=0)

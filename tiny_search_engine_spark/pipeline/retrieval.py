@@ -85,6 +85,104 @@ def phrase_match(
     )
 
 
+def proximity_search(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    max_span: int | None = None,
+) -> DataFrame:
+    """Unordered proximity ranking: docs containing ALL of a query's
+    distinct terms, ranked by the smallest token window (min-cover
+    span) holding every term in ANY order — Lucene's sloppy
+    PhraseQuery / INQUIRY ``#uwN`` semantics, relaxing
+    :func:`phrase_match`'s strict adjacency. The reference stores term
+    offsets but only ever uses them for the D8 diversity stddev
+    (/root/reference/src/feature_mgr.cpp); this is the missing "terms
+    NEAR each other" query those offsets exist for. *queries* is
+    [(query_id, "w1 w2 ...")]; duplicate words collapse to one term.
+
+    Returns (query_id, rank, doc_id, min_span, proximity) with
+    ``proximity = round(n_terms / min_span, 6)`` (1.0 = the terms form
+    one contiguous block, in any order); rank orders by (min_span asc,
+    doc_id asc). Docs missing any term are excluded. ``max_span``
+    (Lucene's slop bound) drops windows wider than it.
+
+    Exactness: a minimal covering window always starts at some hit of
+    some query term, so enumerating hit positions as window starts and
+    taking ``span(s) = max_t min{pos_t >= s} - s + 1`` over starts
+    where every term has a hit at/after ``s`` is the exact min-cover —
+    the relational form of the two-pointer sweep.
+
+    Scale shape: ONE shuffle. The corpus is reduced to query-vocabulary
+    hits by a broadcast semi-join (semi-join-sized slice, like
+    phrase_match); the hit self-join keys on (query, doc) — and every
+    groupBy after it groups on supersets of (query, doc), so the
+    join's hash partitioning satisfies them all and Catalyst plans no
+    further exchange until the per-query top-k window (result-set
+    sized). Fanout is hits-per-doc squared, bounded by query-term
+    occurrences per doc (``max_span`` also bounds it by banding the
+    range predicate), never doc length or corpus size.
+    """
+    if max_span is not None and max_span < 1:
+        raise ValueError(f"max_span must be >= 1, got {max_span}")
+    spark = docs.sparkSession
+    rows = []
+    for qid, q in queries:
+        terms = sorted({t for t in q.split() if t})
+        rows += [(int(qid), t, len(terms)) for t in terms]
+    qterms = spark.createDataFrame(rows, "query_id long, term string, n_terms int")
+    toks = tokens_view(docs, id_col=id_col, text_col=text_col)
+    hits = toks.join(F.broadcast(qterms), "term").select(
+        "query_id", F.col(id_col), "term", "pos", "n_terms"
+    )
+    anchors = hits.select("query_id", id_col, F.col("pos").alias("apos"))
+    right = hits.select(
+        "query_id", id_col, "term", F.col("pos").alias("hpos"), "n_terms"
+    )
+    cover = anchors.join(right, ["query_id", id_col]).filter(
+        F.col("hpos") >= F.col("apos")
+    )
+    if max_span is not None:
+        cover = cover.filter(F.col("hpos") < F.col("apos") + max_span)
+    tmin = cover.groupBy("query_id", id_col, "apos", "term").agg(
+        F.min("hpos").alias("_mn"), F.first("n_terms").alias("n_terms")
+    )
+    spans = (
+        tmin.groupBy("query_id", id_col, "apos")
+        .agg(
+            F.count("*").alias("_nt"),
+            F.max("_mn").alias("_mx"),
+            F.first("n_terms").alias("n_terms"),
+        )
+        .filter(F.col("_nt") == F.col("n_terms"))
+        .select(
+            "query_id",
+            id_col,
+            (F.col("_mx") - F.col("apos") + 1).alias("_span"),
+            "n_terms",
+        )
+    )
+    best = spans.groupBy("query_id", id_col).agg(
+        F.min("_span").alias("min_span"), F.first("n_terms").alias("n_terms")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("min_span").asc(), F.col(id_col).asc()
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            id_col,
+            "min_span",
+            F.round(F.col("n_terms") / F.col("min_span"), 6).alias("proximity"),
+        )
+    )
+
+
 def suggest(
     docs: DataFrame,
     prefixes: list[tuple[int, str]],
