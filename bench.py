@@ -295,6 +295,8 @@ def main() -> None:
         # NB train+classify in one plan: dictionary-sized model tables,
         # many-to-one likelihood join, rounded-score argmax window
         timed("nb_classify", lambda: entrymod._q_nb_classify(spark, sf_dir).count())
+        # static impact pruning: WindowGroupLimit map-side partial top-m
+        timed("index_prune", lambda: entrymod._q_index_prune(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -418,3 +418,84 @@ def test_proximity_search_single_term_and_max_span(spark):
     )
     with pytest.raises(ValueError):
         retrieval.proximity_search(corpus, [(0, "x")], max_span=0)
+
+
+def _impact_py(rows, k1=1.2, b=0.75):
+    """Pure-python BM25 impact table: {(term, doc): (tf, impact)}."""
+    import math
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = Counter()
+    tf = {}
+    for i, ts in toks.items():
+        c = Counter(ts)
+        for w, f in c.items():
+            df[w] += 1
+            tf[(w, i)] = f
+    out = {}
+    for (w, i), f in tf.items():
+        idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+        imp = idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        out[(w, i)] = (f, round(imp, 6))
+    return out
+
+
+def test_static_index_prune_brute(spark):
+    rows = [
+        (0, "apple apple apple banana"),
+        (1, "apple banana banana cherry"),
+        (2, "apple cherry"),
+        (3, "banana banana banana banana"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    full = retrieval.static_index_prune(corpus, m=10).collect()
+    want = _impact_py(rows)
+    assert {(r["term"], r["doc_id"]) for r in full} == set(want)
+    for r in full:
+        wf, wi = want[(r["term"], r["doc_id"])]
+        assert (r["tf"], r["impact"]) == (wf, pytest.approx(wi, abs=1e-6))
+    # rank is per-term by (impact desc, doc asc); m=1 keeps each term's best
+    pruned = retrieval.static_index_prune(corpus, m=1).collect()
+    by_term = {r["term"]: r for r in pruned}
+    assert len(pruned) == len(by_term) == 3
+    for term, r in by_term.items():
+        best = max(
+            ((i, v[1]) for (w, i), v in want.items() if w == term),
+            key=lambda x: (x[1], -x[0]),
+        )
+        assert (r["doc_id"], r["rank"]) == (best[0], 1), term
+    with pytest.raises(ValueError):
+        retrieval.static_index_prune(corpus, m=0)
+
+
+def test_static_index_prune_keeps_retrieval_head(spark):
+    # docs 0-2 are heavy in "needle"; docs 3-9 mention it once in long docs
+    rows = [(i, "needle " * (5 - i) + "filler" + str(i)) for i in range(3)] + [
+        (i, "needle " + " ".join(f"pad{i}_{j}" for j in range(20))) for i in range(3, 10)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    pruned = retrieval.static_index_prune(corpus, m=3)
+    kept = {r["doc_id"] for r in pruned.filter(F.col("term") == "needle").collect()}
+    assert kept == {0, 1, 2}  # the high-impact head survives, the tail is cut
+
+
+def test_static_index_prune_plan_has_partial_window_limit(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(8)], "doc_id long, text string"
+    )
+    plan = (
+        retrieval.static_index_prune(corpus, m=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit [term" in l and "Partial" in l]
+    exchange = [i for i, l in enumerate(lines)
+                if "Exchange hashpartitioning(term" in l]
+    assert partial and exchange, plan
+    assert min(exchange) < max(partial), plan

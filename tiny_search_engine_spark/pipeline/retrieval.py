@@ -220,6 +220,77 @@ def suggest(
     )
 
 
+def static_index_prune(
+    docs: DataFrame,
+    m: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Impact-ordered static index pruning (Carmel et al., SIGIR 2001):
+    keep only each term's top-``m`` postings by BM25 impact, the
+    offline counterpart of the block-max WAND pruning the query path
+    already does — where WAND skips low-impact postings at query time,
+    static pruning never stores them, trading bounded recall loss for
+    an index ~m/avg_df the size. The reference materializes FULL
+    posting lists (/root/reference/src/table.cpp invert_table build);
+    this is the standard lossy compaction applied on top.
+
+    Returns the pruned postings (term, doc_id, tf, impact, rank) with
+    ``impact = round(idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), 6)``
+    (Robertson/Sparck-Jones idf, ln(1+(N-df+.5)/(df+.5))) and rank
+    ordering (impact desc, doc_id asc) — rank over the ROUNDED impact
+    so a last-ulp float difference can't change what survives.
+
+    Scale shape: TWO posting-mass exchanges total. The corpus
+    repartitions by doc id once (raw text rows, before the explode),
+    after which the tf census, the doc-length census and their join
+    are all satisfied by that one partitioning (subset rule) and plan
+    no exchange — and the repartition subtree is shared, so Catalyst
+    reuses it (ReusedExchange) instead of scanning twice. The df
+    census collapses map-side to dictionary size and is BROADCAST
+    (never a sort-merge join that would drag the posting mass through
+    a term exchange early); N/avgdl ride as a broadcast 1-row
+    aggregate. The per-term top-m is then the ONLY term-keyed
+    exchange, and Catalyst's rank-limit pushdown (WindowGroupLimit
+    Partial, plan-pinned) cuts each map task to ≤ m rows per term
+    BEFORE it — so the exchange carries O(m · n_terms) + partial-group
+    remainders, never the full posting mass.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    toks = tokens_view(
+        docs.repartition(F.col(id_col)), id_col=id_col, text_col=text_col
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("_dl"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    corpus = dl.agg(
+        F.count("*").alias("_N"), F.avg("_dl").alias("_avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_N") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    impact = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6)
+    w = Window.partitionBy("term").orderBy(
+        F.col("impact").desc(), F.col(id_col).asc()
+    )
+    return (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("impact", impact)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select("term", id_col, "tf", "impact", "rank")
+    )
+
+
 def related_terms(
     docs: DataFrame,
     seeds: list[str],
