@@ -1888,6 +1888,32 @@ def _q_index_prune(spark, sf_dir):
     return retrieval.static_index_prune(_docs(spark, sf_dir), m=10)
 
 
+def _q_bucketed_join(spark, sf_dir):
+    """Co-located join via hash-bucketed table layout
+    (pipeline.layout.write_bucketed): doc metadata and per-doc token
+    stats both bucketed by doc_id into the same bucket count, then
+    joined — the scan reports hash partitioning so the join plans NO
+    exchange on either side (plan-pinned in tests/test_layout.py).
+    Values are layout-invariant, which is what the plain-SQL oracle
+    checks; tables land in scratch space, overwrite = idempotent."""
+    from tiny_search_engine_spark.pipeline import layout
+    from tiny_search_engine_spark.session import scratch_dir
+
+    docs = _docs(spark, sf_dir)
+    stats = textstats.token_count(docs)
+    loc = scratch_dir("tse_bktdb_")
+    meta = layout.write_bucketed(
+        docs.select("doc_id", "lang", "source"),
+        "tse_bkts.docs_meta", "doc_id", 8, database_location=loc,
+    )
+    st = layout.write_bucketed(
+        stats, "tse_bkts.doc_stats", "doc_id", 8, database_location=loc
+    )
+    return meta.join(st, "doc_id").select(
+        "doc_id", "lang", "source", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER matters: the round-2 driver hashed exactly the first 50
     # entries, so round 3 rotates the 39 entries that had no driver row
@@ -1951,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries past the driver's 50-row window: oracle-checked locally
         # via scripts/check_oracles.py this round, rotate forward next
         "index_prune": _q_index_prune,
+        "bucketed_join": _q_bucketed_join,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -3167,6 +3194,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _sql_lang_id(),
         "quality_score": _QUALITY_SQL,
+        # layout-invariance oracle: the bucketed write must not change a
+        # single value, so the oracle is the PLAIN join + token census
+        "bucketed_join": (
+            "SELECT doc_id, lang, source, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens, "
+            "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens "
+            "FROM documents"
+        ),
         "token_count": (
             "SELECT doc_id, "
             "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens, "

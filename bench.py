@@ -297,6 +297,11 @@ def main() -> None:
         timed("nb_classify", lambda: entrymod._q_nb_classify(spark, sf_dir).count())
         # static impact pruning: WindowGroupLimit map-side partial top-m
         timed("index_prune", lambda: entrymod._q_index_prune(spark, sf_dir).count())
+        # bucketed layout: write-time shuffle, then exchange-free join
+        timed(
+            "bucketed_join",
+            lambda: entrymod._q_bucketed_join(spark, sf_dir).count(),
+        )
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -142,3 +142,43 @@ def test_bounds_from_quantiles_clips_outliers(spark):
     assert hi2 > lo2  # constant column widened, zorder_key accepts it
     with pytest.raises(ValueError):
         layout.bounds_from_quantiles(df, ["v"], 0.9, 0.2)
+
+
+def test_write_bucketed_colocated_join_and_agg(spark, tmp_path):
+    a = spark.range(0, 200).select(F.col("id").alias("k"), (F.col("id") % 7).alias("va"))
+    b = spark.range(0, 200, 2).select(F.col("id").alias("k"), (F.col("id") % 5).alias("vb"))
+    loc = str(tmp_path / "bktdb")
+    ta = layout.write_bucketed(a, "tse_bkt_test.ta", "k", 8, database_location=loc)
+    tb = layout.write_bucketed(b, "tse_bkt_test.tb", "k", 8, database_location=loc)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ta.join(tb, "k").select("k", "va", "vb")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located: the sort-merge join runs with NO shuffle on either side
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = {(r["k"], r["va"], r["vb"]) for r in j.collect()}
+        assert got == {(i, i % 7, i % 5) for i in range(0, 200, 2)}
+        # and a groupBy on the bucket key aggregates exchange-free
+        gplan = (
+            ta.groupBy("k").count()._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in gplan, gplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_write_bucketed_roundtrip_values_and_validation(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    back = layout.write_bucketed(
+        df, "tse_bkt_test.rt", ["k"], 4, database_location=str(tmp_path / "db2")
+    )
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b"), (3, None)}
+    assert dict(back.dtypes) == dict(df.dtypes)
+    with pytest.raises(ValueError):
+        layout.write_bucketed(df, "tse_bkt_test.bad", "k", 0)
+    with pytest.raises(ValueError):
+        layout.write_bucketed(df, "tse_bkt_test.bad", [], 4)

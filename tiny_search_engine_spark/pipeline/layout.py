@@ -114,6 +114,60 @@ def cluster_by_zorder(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: str | list[str],
+    n_buckets: int,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+    database_location: str | None = None,
+) -> DataFrame:
+    """Persist ``df`` as a hash-bucketed (and bucket-sorted) managed
+    parquet table and return the re-read DataFrame — the CO-LOCATED
+    JOIN layout: two tables bucketed by the same key into the same
+    bucket count join with ZERO exchange on either side (and a groupBy
+    on the bucket key aggregates exchange-free), because the scan
+    itself reports hash partitioning. Z-order (above) optimizes which
+    FILES a filter reads; bucketing optimizes which SHUFFLES a join
+    needs — one write-time shuffle amortized over every subsequent
+    join/agg on that key. This is the layout the engine's own postings
+    store hand-rolls with directory sharding (build.py postings sink);
+    here it's the declarative catalog version for corpus/result
+    tables. In production the same layout is an Iceberg ``bucket(N,
+    key)`` partition transform (BASELINE.json names Iceberg as the
+    primary catalog; the runtime jars are absent in this sandbox, so
+    the metastore-parquet path stands in with identical semantics —
+    see session.py).
+
+    ``sort_cols`` default to ``keys`` (sorted buckets also let the
+    sort-merge join skip its per-partition sort when each bucket is
+    one file). ``database_location`` creates the table's database at
+    an explicit path (scratch space) instead of the default warehouse.
+    Bucket pruning note: like every hash layout, this accelerates
+    equi-keys only — range scans still want the Z-order path.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not keys:
+        raise ValueError("write_bucketed: need at least one bucket key")
+    if n_buckets < 1:
+        raise ValueError(f"write_bucketed: n_buckets must be >= 1, got {n_buckets}")
+    spark = df.sparkSession
+    if "." in table and database_location is not None:
+        db = table.split(".")[0]
+        spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{database_location}'"
+        )
+    writer = df.write.format("parquet").mode(mode).bucketBy(int(n_buckets), *keys)
+    sc = keys if sort_cols is None else (
+        [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    )
+    if sc:
+        writer = writer.sortBy(*sc)
+    writer.saveAsTable(table)
+    return spark.table(table)
+
+
 def bounds_from_quantiles(
     df: DataFrame,
     cols: list[str],
