@@ -1914,6 +1914,18 @@ def _q_bucketed_join(spark, sf_dir):
     )
 
 
+def _q_prf_search(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (Rocchio/RM3,
+    pipeline.retrieval.prf_search): two BM25-impact passes — top-5
+    feedback docs mine 10 expansion terms at lambda 0.5; both passes
+    broadcast the query side, the feedback slice is result-set-sized."""
+    from tiny_search_engine_spark.pipeline import retrieval
+
+    return retrieval.prf_search(
+        _docs(spark, sf_dir), QUERY_SET, k=20, r=5, e=10, lam=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER matters: the round-2 driver hashed exactly the first 50
     # entries, so round 3 rotates the 39 entries that had no driver row
@@ -1978,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via scripts/check_oracles.py this round, rotate forward next
         "index_prune": _q_index_prune,
         "bucketed_join": _q_bucketed_join,
+        "prf_search": _q_prf_search,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -2615,6 +2628,60 @@ def _sql_proximity_search() -> str:
         """
 
 
+def _sql_prf_search() -> str:
+    # distinct query terms, mirroring prf_search's dedupe; constants
+    # inlined for k1=1.2, b=0.75, r=5, e=10, lam=0.5, k=20
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in QUERY_SET
+        for t in sorted({w for w in q.split() if w})
+    )
+    return f"""
+            WITH toks AS ({_TOKENS_SQL}),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            imp AS (SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+                           round(ln(1 + (c.n - dfc.df + 0.5) / (dfc.df + 0.5))
+                                 * tf.tf * 2.2
+                                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)),
+                                 6) AS impact
+                    FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term)
+                    CROSS JOIN corpus c),
+            qt(query_id, term) AS (VALUES {vals}),
+            s1 AS (SELECT query_id, doc_id, round(sum(impact), 6) AS s1
+                   FROM imp JOIN qt USING (term) GROUP BY 1, 2),
+            fb AS (SELECT query_id, doc_id, s1 FROM (
+                     SELECT query_id, doc_id, s1, row_number() OVER (
+                       PARTITION BY query_id ORDER BY s1 DESC, doc_id ASC) AS rn
+                     FROM s1) WHERE rn <= 5),
+            wts AS (SELECT f.query_id, i.term,
+                           round(sum(i.tf / i.dl * f.s1), 6) AS w
+                    FROM imp i JOIN fb f USING (doc_id) GROUP BY 1, 2),
+            wx AS (SELECT * FROM wts WHERE NOT EXISTS (
+                     SELECT 1 FROM qt
+                     WHERE qt.query_id = wts.query_id AND qt.term = wts.term)),
+            expn AS (SELECT query_id, term, w FROM (
+                       SELECT query_id, term, w, row_number() OVER (
+                         PARTITION BY query_id ORDER BY w DESC, term ASC) AS rn
+                       FROM wx) WHERE rn <= 10),
+            mx AS (SELECT query_id, max(w) AS mx FROM expn GROUP BY 1),
+            expanded AS (
+              SELECT query_id, term, 1.0 AS weight FROM qt
+              UNION ALL
+              SELECT e.query_id, e.term, round(0.5 * e.w / m.mx, 6) AS weight
+              FROM expn e JOIN mx m USING (query_id)),
+            s2 AS (SELECT x.query_id, i.doc_id,
+                          round(sum(i.impact * x.weight), 6) AS score
+                   FROM imp i JOIN expanded x USING (term) GROUP BY 1, 2)
+            SELECT query_id, rank, doc_id, score FROM (
+              SELECT query_id, doc_id, score, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+              FROM s2) WHERE rank <= 20
+        """
+
+
 def _sql_more_like_this() -> str:
     seeds = ", ".join(str(s) for s in MLT_SEEDS)
     n = "(SELECT count(*) FROM documents)"
@@ -3056,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phrase_match": _sql_phrase_match(),
         "proximity_search": _sql_proximity_search(),
+        "prf_search": _sql_prf_search(),
         # constants inlined for k1=1.2, b=0.75: k1+1=2.2, 1-b=0.25 (all
         # binary-exact matches of the engine's F.lit arithmetic)
         "index_prune": f"""

@@ -302,6 +302,9 @@ def main() -> None:
             "bucketed_join",
             lambda: entrymod._q_bucketed_join(spark, sf_dir).count(),
         )
+        # PRF two-pass retrieval: broadcast query sides, result-set-sized
+        # feedback mining over the shared impact census
+        timed("prf_search", lambda: entrymod._q_prf_search(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

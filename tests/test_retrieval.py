@@ -499,3 +499,108 @@ def test_static_index_prune_plan_has_partial_window_limit(spark):
                 if "Exchange hashpartitioning(term" in l]
     assert partial and exchange, plan
     assert min(exchange) < max(partial), plan
+
+
+def _prf_py(rows, queries, k, r, e, lam, k1=1.2, b=0.75):
+    """Pure-python twin of retrieval.prf_search (same rounding points)."""
+    import math
+    from collections import Counter, defaultdict
+
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(map(len, toks.values())) / n
+    tfd, dfc = {}, Counter()
+    for i, ts in toks.items():
+        for w, f in Counter(ts).items():
+            tfd[(w, i)] = f
+            dfc[w] += 1
+
+    def impact(w, i):
+        idf = math.log(1 + (n - dfc[w] + 0.5) / (dfc[w] + 0.5))
+        f = tfd[(w, i)]
+        den = f + k1 * (1 - b + b * len(toks[i]) / avgdl)
+        return round(idf * f * (k1 + 1) / den, 6)
+
+    out = {}
+    for qid, q in queries:
+        terms = sorted({w for w in q.split() if w})
+        s1 = {
+            i: round(sum(impact(w, i) for w in terms if (w, i) in tfd), 6)
+            for i in toks
+            if any((w, i) in tfd for w in terms)
+        }
+        fb = sorted(s1.items(), key=lambda kv: (-kv[1], kv[0]))[:r]
+        wts = defaultdict(float)
+        for i, s in fb:
+            for w in set(toks[i]):
+                wts[w] += tfd[(w, i)] / len(toks[i]) * s
+        wts = {w: round(v, 6) for w, v in wts.items() if w not in terms}
+        exp = sorted(wts.items(), key=lambda kv: (-kv[1], kv[0]))[:e]
+        weights = {w: 1.0 for w in terms}
+        if exp:
+            mx = max(v for _, v in exp)
+            for w, v in exp:
+                weights[w] = round(lam * v / mx, 6)
+        s2 = {}
+        for i in toks:
+            hit = [w for w in weights if (w, i) in tfd]
+            if hit:
+                s2[i] = round(sum(impact(w, i) * weights[w] for w in hit), 6)
+        ranked = sorted(s2.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(rk + 1, i, s) for rk, (i, s) in enumerate(ranked)]
+    return out
+
+
+PRF_ROWS = [
+    (0, "apple banana cherry"),
+    (1, "apple banana"),
+    (2, "banana cherry date"),       # no query term: reachable only via PRF
+    (3, "unrelated words only"),
+    (4, "apple apple date"),
+    (5, "cherry date elderberry"),
+    (6, "apple elderberry"),
+    (7, "banana banana cherry date"),
+]
+PRF_QUERIES = [(0, "apple"), (1, "date cherry"), (2, "zz_absent"), (3, "apple apple")]
+
+
+def test_prf_search_brute(spark):
+    corpus = spark.createDataFrame(PRF_ROWS, "doc_id long, text string")
+    got = retrieval.prf_search(
+        corpus, PRF_QUERIES, k=6, r=3, e=2, lam=0.5
+    ).collect()
+    want = _prf_py(PRF_ROWS, PRF_QUERIES, k=6, r=3, e=2, lam=0.5)
+    by_q = {}
+    for rr in got:
+        by_q.setdefault(rr["query_id"], []).append(rr)
+    assert set(by_q) == {qid for qid, rows in want.items() if rows}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda rr: rr["rank"])
+        assert [(rr["rank"], rr["doc_id"]) for rr in rows] == [
+            (rk, i) for rk, i, _ in want[qid]
+        ], qid
+        for rr, (_, _, s) in zip(rows, want[qid]):
+            assert rr["score"] == pytest.approx(s, abs=2e-6)
+    # absent-token query returns nothing; dup-word query == single-word query
+    assert 2 not in by_q
+    assert [(rr["rank"], rr["doc_id"]) for rr in by_q[3]] == [
+        (rr["rank"], rr["doc_id"]) for rr in by_q[0]
+    ]
+
+
+def test_prf_search_expansion_reaches_new_docs(spark):
+    corpus = spark.createDataFrame(PRF_ROWS, "doc_id long, text string")
+    first_pass = retrieval.static_index_prune(corpus, m=100)  # smoke: shared census
+    assert first_pass.count() > 0
+    got = {
+        r["doc_id"]
+        for r in retrieval.prf_search(
+            corpus, [(0, "apple")], k=8, r=3, e=3, lam=0.5
+        ).collect()
+    }
+    assert 2 in got        # no "apple", pulled in by expansion terms
+    assert 3 not in got    # shares nothing with query or expansion
+    with pytest.raises(ValueError):
+        retrieval.prf_search(corpus, [(0, "x")], r=0)
+    with pytest.raises(ValueError):
+        retrieval.prf_search(corpus, [(0, "x")], lam=-0.1)

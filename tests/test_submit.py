@@ -154,3 +154,32 @@ def test_select_subcommand(spark, tmp_path, capsys):
         "--n-buckets", "4096", "--salt", "fold2", "--out", out3,
     ])
     assert sorted(r.doc_id for r in spark.read.parquet(out3).collect()) != ids1
+
+
+def test_classify_subcommand(spark, tmp_path, capsys):
+    """`tse_job classify`: NB-train on a labeled corpus, tag a target
+    corpus; output carries (pred_label, log_score) and the JSON summary
+    histograms the predictions."""
+    from pyspark.sql import functions as F
+
+    from tiny_search_engine_spark.jobs import main_classify
+
+    pq = str(tmp_path / "corpus.parquet")
+    src = source_files(spark, 80, seed=5)
+    src.write.parquet(pq)
+    out = str(tmp_path / "tagged")
+    rc = main_classify(["--train", pq, "--source", pq, "--out", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["classified"] == 80
+    got = spark.read.parquet(out)
+    assert {"repo", "path", "lang", "content", "pred_label", "log_score"} <= set(
+        got.columns
+    )
+    assert got.count() == 80
+    langs = {r["lang"] for r in src.select("lang").distinct().collect()}
+    assert {r["pred_label"] for r in got.collect()} <= langs
+    # per-language keyword vocab (synth._KEYWORDS) makes self-trained NB
+    # recover the language for most docs
+    acc = got.filter(F.col("pred_label") == F.col("lang")).count() / 80
+    assert acc >= 0.6, acc

@@ -23,6 +23,10 @@ The package ships as a zip (``python scripts/make_pyfiles.py`` →
         scripts/tse_job.py select --source iceberg:warehouse.db.crawl \
         --target iceberg:warehouse.db.curated --k 1000000000 --out /selected
 
+    spark-submit --py-files dist/tiny_search_engine_spark.zip \
+        scripts/tse_job.py classify --train iceberg:warehouse.db.labeled \
+        --source iceberg:warehouse.db.crawl --out /tagged
+
 Under spark-submit the session comes from ``getOrCreate()`` so the
 submitted ``--master`` / ``--conf`` / ``--num-executors`` are respected
 verbatim (that is how the N-vs-4N-executor scaling runs are launched);
@@ -327,6 +331,49 @@ def main_select(argv: list[str]) -> int:
     return 0
 
 
+def main_classify(argv: list[str]) -> int:
+    """Naive Bayes corpus tagging (pipeline/classify.py): train a
+    multinomial NB model on a labeled corpus (default label: the
+    input_hint schema's ``lang`` column) and classify a target corpus,
+    writing source rows + (pred_label, log_score) as parquet. Prints
+    the predicted-label histogram as JSON (dictionary-sized)."""
+    from pyspark.sql import functions as F
+
+    from .build import with_doc_id
+    from .pipeline import classify
+
+    p = argparse.ArgumentParser(prog="tse_job classify")
+    p.add_argument("--train", required=True,
+                   help="labeled training corpus: iceberg:<tbl> | table:<tbl> | tsv:<path> | parquet path")
+    p.add_argument("--source", required=True, help="corpus to classify (same schemes)")
+    p.add_argument("--out", required=True, help="output parquet of tagged rows")
+    p.add_argument("--label-col", default="lang",
+                   help="label column on the training corpus (default: lang)")
+    p.add_argument("--alpha", type=float, default=1.0, help="add-alpha smoothing")
+    a = p.parse_args(argv)
+
+    spark = job_session("tse_classify")
+    train = with_doc_id(table_io(spark, a.train)).select(
+        "doc_id", F.col("content").alias("text"), F.col(a.label_col)
+    )
+    model = classify.nb_train(train, label_col=a.label_col, alpha=a.alpha)
+    raw = with_doc_id(table_io(spark, a.source))
+    pred = classify.nb_classify(
+        raw.select("doc_id", F.col("content").alias("text")), model
+    )
+    raw.join(pred, "doc_id").write.mode("overwrite").parquet(a.out)
+    hist = {
+        r["pred_label"]: r["n"]
+        for r in spark.read.parquet(a.out)
+        .groupBy("pred_label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    print(json.dumps({"classified": sum(hist.values()), "labels": hist,
+                      "alpha": a.alpha, "out": a.out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
@@ -343,7 +390,9 @@ def main(argv: list[str] | None = None) -> int:
         return main_shards(rest)
     if cmd == "select":
         return main_select(rest)
-    print(f"unknown command {cmd!r} (expected: build | query | grep | shards | select)", file=sys.stderr)
+    if cmd == "classify":
+        return main_classify(rest)
+    print(f"unknown command {cmd!r} (expected: build | query | grep | shards | select | classify)", file=sys.stderr)
     return 2
 
 

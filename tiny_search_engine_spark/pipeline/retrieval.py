@@ -260,6 +260,25 @@ def static_index_prune(
     """
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
+    imp = _impact_table(docs, id_col, text_col, k1, b)
+    w = Window.partitionBy("term").orderBy(
+        F.col("impact").desc(), F.col(id_col).asc()
+    )
+    return (
+        imp.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select("term", id_col, "tf", "impact", "rank")
+    )
+
+
+def _impact_table(
+    docs: DataFrame, id_col: str, text_col: str, k1: float, b: float
+) -> DataFrame:
+    """(term, id, tf, _dl, impact) with impact ROUNDED to 6 dp — the
+    shared BM25-impact census behind static_index_prune and prf_search
+    (the scale shape both docstrings describe: one doc-id repartition
+    of raw text, exchange-free censuses + join off it, broadcast df
+    table, broadcast 1-row N/avgdl)."""
     toks = tokens_view(
         docs.repartition(F.col(id_col)), id_col=id_col, text_col=text_col
     )
@@ -277,17 +296,129 @@ def static_index_prune(
         F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
     )
     impact = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6)
-    w = Window.partitionBy("term").orderBy(
-        F.col("impact").desc(), F.col(id_col).asc()
-    )
     return (
         tf.join(dl, id_col)
         .join(F.broadcast(dfc), "term")
         .crossJoin(F.broadcast(corpus))
         .withColumn("impact", impact)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= m)
-        .select("term", id_col, "tf", "impact", "rank")
+        .select("term", id_col, "tf", "_dl", "impact")
+    )
+
+
+def prf_search(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 20,
+    r: int = 5,
+    e: int = 10,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio 1971; relevance
+    models of Lavrenko & Croft 2001, the RM3 interpolation of
+    Abdul-Jaleel et al. 2004): two BM25 passes where the second's query
+    is expanded with terms mined from the first's top documents — the
+    classic recall-widening rerank the reference's synonym expansion
+    (table.cpp:376-397) approximates with a static dictionary; PRF
+    derives the expansion from the corpus itself, per query.
+
+    Recipe (every step deterministic and 6-dp-rounded so a SQL oracle
+    replays it bit-for-bit):
+
+    1. ``s1(q,d) = round(Σ_{t∈q∩d} impact(t,d), 6)`` over the shared
+       BM25 impact table (`_impact_table`); keep the top-``r`` feedback
+       docs per query (s1 desc, doc asc).
+    2. Relevance-model term weight ``w(q,t) = round(Σ_{d∈fb(q)}
+       (tf_{t,d}/dl_d) · s1(q,d), 6)`` — p(t|d) weighted by the doc's
+       (rounded) first-pass score; drop the original query terms; keep
+       the top-``e`` expansion terms (w desc, term asc).
+    3. Second pass with term weights: originals at 1.0, expansion term
+       t at ``round(lam · w(q,t)/max_w(q), 6)``;
+       ``score = round(Σ impact·weight, 6)``; top-``k``
+       (score desc, doc asc). Returns (query_id, rank, doc_id, score).
+
+    Queries whose terms match nothing return no rows (there is no doc
+    to feed back from). Duplicate query words collapse to one term
+    (unit weight — the impact table already carries document tf).
+
+    Scale shape: the corpus-sized work is the impact census (see
+    `_impact_table`); both retrieval passes join it against BROADCAST
+    query-side tables (q terms; q terms + e expansion terms), and the
+    feedback mining joins it against the broadcast top-r doc slice —
+    result-set-sized, so the expansion step costs Σ|fb doc vectors|,
+    never a corpus pass. At 100 TB the impact table is itself the
+    persisted artifact (static_index_prune's output reused across
+    passes); in-process, Catalyst reuses the repartition exchange
+    across the three scans.
+    """
+    if min(k, r, e) < 1:
+        raise ValueError(f"k, r, e must all be >= 1, got {k}, {r}, {e}")
+    if lam < 0:
+        raise ValueError(f"lam must be >= 0, got {lam}")
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [
+            (int(qid), t)
+            for qid, q in queries
+            for t in sorted({w for w in q.split() if w})
+        ],
+        "query_id long, term string",
+    )
+    imp = _impact_table(docs, id_col, text_col, k1, b)
+    s1 = (
+        imp.join(F.broadcast(qt), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("impact"), 6).alias("s1"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("s1").desc(), F.col(id_col).asc()
+    )
+    fb = (
+        s1.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= r)
+        .select("query_id", id_col, "s1")
+    )
+    wts = (
+        imp.join(F.broadcast(fb), id_col)
+        .groupBy("query_id", "term")
+        .agg(F.round(F.sum(F.col("tf") / F.col("_dl") * F.col("s1")), 6).alias("_w"))
+        .join(qt, ["query_id", "term"], "left_anti")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("_w").desc(), F.col("term").asc()
+    )
+    exp = (
+        wts.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= e)
+        .select("query_id", "term", "_w")
+    )
+    mx = exp.groupBy("query_id").agg(F.max("_w").alias("_mx"))
+    expanded = qt.select(
+        "query_id", "term", F.lit(1.0).alias("weight")
+    ).unionByName(
+        exp.join(mx, "query_id").select(
+            "query_id",
+            "term",
+            F.round(F.lit(float(lam)) * F.col("_w") / F.col("_mx"), 6).alias(
+                "weight"
+            ),
+        )
+    )
+    s2 = (
+        imp.join(F.broadcast(expanded), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(F.col("impact") * F.col("weight")), 6).alias("score"))
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        s2.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
     )
 
 
