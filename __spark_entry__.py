@@ -1926,6 +1926,18 @@ def _q_prf_search(spark, sf_dir):
     )
 
 
+def _q_tiered_topk(spark, sf_dir):
+    """Two-tier BM25 serving over the statically-pruned index
+    (pipeline.retrieval.tiered_topk, m=50): long-tail-term queries are
+    served from the top-50 champion lists with a per-query exactness
+    certificate (max term df <= m); hot-term queries fall back to full
+    postings — output is provably exact full BM25 either way, which is
+    what the plain unpruned SQL oracle verifies."""
+    from tiny_search_engine_spark.pipeline import retrieval
+
+    return retrieval.tiered_topk(_docs(spark, sf_dir), QUERY_SET, m=50, k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER matters: the round-2 driver hashed exactly the first 50
     # entries, so round 3 rotates the 39 entries that had no driver row
@@ -1991,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_prune": _q_index_prune,
         "bucketed_join": _q_bucketed_join,
         "prf_search": _q_prf_search,
+        "tiered_topk": _q_tiered_topk,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -2682,6 +2695,41 @@ def _sql_prf_search() -> str:
         """
 
 
+def _sql_tiered_topk() -> str:
+    # the oracle scores UNPRUNED postings for every query — the tiered
+    # engine's whole claim is that its output is identical; only the
+    # tier1 certificate column is replayed from the df census (m=50)
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in QUERY_SET
+        for t in sorted({w for w in q.split() if w})
+    )
+    return f"""
+            WITH toks AS ({_TOKENS_SQL}),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            imp AS (SELECT tf.term, tf.doc_id,
+                           round(ln(1 + (c.n - dfc.df + 0.5) / (dfc.df + 0.5))
+                                 * tf.tf * 2.2
+                                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)),
+                                 6) AS impact
+                    FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term)
+                    CROSS JOIN corpus c),
+            qt(query_id, term) AS (VALUES {vals}),
+            flags AS (SELECT query_id, max(coalesce(d.df, 0)) <= 50 AS tier1
+                      FROM qt LEFT JOIN dfc d USING (term) GROUP BY 1),
+            scored AS (SELECT query_id, doc_id, round(sum(impact), 6) AS score
+                       FROM imp JOIN qt USING (term) GROUP BY 1, 2)
+            SELECT query_id, rank, doc_id, score, tier1 FROM (
+              SELECT s.query_id, s.doc_id, s.score, f.tier1,
+                     row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY s.score DESC, s.doc_id ASC) AS rank
+              FROM scored s JOIN flags f USING (query_id)) WHERE rank <= 20
+        """
+
+
 def _sql_more_like_this() -> str:
     seeds = ", ".join(str(s) for s in MLT_SEEDS)
     n = "(SELECT count(*) FROM documents)"
@@ -3124,6 +3172,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": _sql_phrase_match(),
         "proximity_search": _sql_proximity_search(),
         "prf_search": _sql_prf_search(),
+        "tiered_topk": _sql_tiered_topk(),
         # constants inlined for k1=1.2, b=0.75: k1+1=2.2, 1-b=0.25 (all
         # binary-exact matches of the engine's F.lit arithmetic)
         "index_prune": f"""

@@ -305,6 +305,8 @@ def main() -> None:
         # PRF two-pass retrieval: broadcast query sides, result-set-sized
         # feedback mining over the shared impact census
         timed("prf_search", lambda: entrymod._q_prf_search(spark, sf_dir).count())
+        # two-tier champion-list serving with per-query exactness certificate
+        timed("tiered_topk", lambda: entrymod._q_tiered_topk(spark, sf_dir).count())
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

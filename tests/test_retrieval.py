@@ -604,3 +604,39 @@ def test_prf_search_expansion_reaches_new_docs(spark):
         retrieval.prf_search(corpus, [(0, "x")], r=0)
     with pytest.raises(ValueError):
         retrieval.prf_search(corpus, [(0, "x")], lam=-0.1)
+
+
+def test_tiered_topk_exact_regardless_of_m(spark):
+    corpus = spark.createDataFrame(PRF_ROWS, "doc_id long, text string")
+    queries = [(0, "apple"), (1, "banana cherry"), (2, "date elderberry apple")]
+
+    def strip(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in df.collect()
+        )
+
+    # m=1 forces heavy pruning; m=1000 prunes nothing — output must be
+    # IDENTICAL (the fallback pass re-scores any query pruning touched)
+    full = strip(retrieval.tiered_topk(corpus, queries, m=1000, k=5))
+    assert strip(retrieval.tiered_topk(corpus, queries, m=1, k=5)) == full
+    assert strip(retrieval.tiered_topk(corpus, queries, m=3, k=5)) == full
+    with pytest.raises(ValueError):
+        retrieval.tiered_topk(corpus, queries, m=0)
+
+
+def test_tiered_topk_certificate_flags(spark):
+    # "hot" appears in 4 docs, "rare" in 1
+    corpus = spark.createDataFrame(
+        [(i, "hot filler" + str(i)) for i in range(4)] + [(9, "rare hot")],
+        "doc_id long, text string",
+    )
+    out = retrieval.tiered_topk(
+        corpus, [(0, "rare"), (1, "hot"), (2, "rare hot"), (3, "zz_absent")], m=2, k=10
+    ).collect()
+    flags = {}
+    for r in out:
+        flags.setdefault(r["query_id"], set()).add(r["tier1"])
+    assert flags[0] == {True}    # df(rare)=1 <= 2: served from tier 1
+    assert flags[1] == {False}   # df(hot)=5 > 2: full fallback
+    assert flags[2] == {False}   # any hot term poisons the certificate
+    assert 3 not in flags        # absent term matches nothing

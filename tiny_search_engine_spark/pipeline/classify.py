@@ -77,7 +77,11 @@ def nb_train(
     toks = df.select(
         F.col(label_col).alias("label"), F.explode(_lower_tokens(text_col)).alias("term")
     )
-    counts = toks.groupBy("label", "term").agg(F.count("*").alias("cnt"))
+    # the count table IS the training artifact — materialize it once
+    # (dictionary-sized) so everything downstream (totals, vocab size,
+    # the vocab filter and the likelihood join in nb_classify) reads it
+    # instead of re-deriving the corpus census per consumer
+    counts = toks.groupBy("label", "term").agg(F.count("*").alias("cnt")).localCheckpoint()
     totals = counts.groupBy("label").agg(F.sum("cnt").alias("tot"))
     census = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").alias("_n")
@@ -93,7 +97,14 @@ def nb_train(
         )
     )
     vdf = counts.select("term").distinct().agg(F.count("*").alias("_V"))
-    return NBModel(labels=labels, counts=counts, vdf=vdf, alpha=float(alpha))
+    # labels is consumed twice in nb_classify (scoring + the empty-doc
+    # fallback) — checkpoint it too; both are label-cardinality tiny
+    return NBModel(
+        labels=labels.localCheckpoint(),
+        counts=counts,
+        vdf=vdf.localCheckpoint(),
+        alpha=float(alpha),
+    )
 
 
 def nb_classify(

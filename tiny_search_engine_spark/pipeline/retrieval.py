@@ -305,6 +305,90 @@ def _impact_table(
     )
 
 
+def tiered_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    m: int,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Two-tier BM25 serving over the statically-pruned index
+    (champion lists, Brown 1995 / tiered indexes, Manning IR §7.1.2
+    / Carmel et al. 2001): tier 1 scores against
+    :func:`static_index_prune`'s top-``m`` postings; a query falls
+    back to the FULL postings only when pruning could have touched it.
+    The certificate is per query: if every query term's document
+    frequency is ≤ m, none of its lists lost a posting, so tier-1
+    results are PROVABLY identical to full BM25 — those queries never
+    touch the full index. Queries with at least one pruned (hot) term
+    are re-scored exactly (the prune-narrows / exact-confirms contract
+    of heavy_hitters/bloom_semijoin, applied to serving). Output is
+    therefore ALWAYS exact full-BM25 top-k — what changes with ``m``
+    is only how much work the hot-term queries cost — which is what
+    lets a plain unpruned SQL oracle verify the tiered plan.
+
+    Returns (query_id, rank, doc_id, score, tier1) where ``tier1``
+    marks queries served entirely from the pruned index.
+
+    Scale shape: the impact census is materialized once (see
+    prf_search); the pruned tier is the WindowGroupLimit top-m slice;
+    both scoring passes join BROADCAST query-term tables; the fallback
+    pass carries only the hot-term queries' terms. At 100 TB with a
+    Zipfian vocabulary, df ≤ m holds for the long tail of terms, so
+    the fallback set is the head-term queries only.
+    """
+    if m < 1 or k < 1:
+        raise ValueError(f"m and k must be >= 1, got {m}, {k}")
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [
+            (int(qid), t)
+            for qid, q in queries
+            for t in sorted({w for w in q.split() if w})
+        ],
+        "query_id long, term string",
+    )
+    imp = _impact_table(docs, id_col, text_col, k1, b).localCheckpoint()
+    dfc = imp.groupBy("term").agg(F.count("*").alias("_df"))
+    # exactness certificate: max df over the query's MATCHED terms
+    # (absent terms have no postings to lose)
+    flags = (
+        qt.join(dfc, "term", "left")
+        .groupBy("query_id")
+        .agg((F.max(F.coalesce(F.col("_df"), F.lit(0))) <= m).alias("tier1"))
+    )
+    wm = Window.partitionBy("term").orderBy(
+        F.col("impact").desc(), F.col(id_col).asc()
+    )
+    pruned = imp.withColumn("_r", F.row_number().over(wm)).filter(F.col("_r") <= m)
+    qt1 = qt.join(flags.filter("tier1"), "query_id").select("query_id", "term")
+    qt2 = qt.join(flags.filter("NOT tier1"), "query_id").select("query_id", "term")
+    s1 = (
+        pruned.join(F.broadcast(qt1), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("impact"), 6).alias("score"))
+        .withColumn("tier1", F.lit(True))
+    )
+    s2 = (
+        imp.join(F.broadcast(qt2), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("impact"), 6).alias("score"))
+        .withColumn("tier1", F.lit(False))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        s1.unionByName(s2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score", "tier1")
+    )
+
+
 def prf_search(
     docs: DataFrame,
     queries: list[tuple[int, str]],
@@ -367,7 +451,11 @@ def prf_search(
         ],
         "query_id long, term string",
     )
-    imp = _impact_table(docs, id_col, text_col, k1, b)
+    # materialize the census ONCE: three passes read it (s1, feedback
+    # mining, s2) — at 100 TB this is the persisted index artifact, and
+    # inlining it would triple the build plan (the composed-query
+    # discipline of simsearch.mmr_rerank's _candidates)
+    imp = _impact_table(docs, id_col, text_col, k1, b).localCheckpoint()
     s1 = (
         imp.join(F.broadcast(qt), "term")
         .groupBy("query_id", id_col)
