@@ -1928,14 +1928,16 @@ def _q_prf_search(spark, sf_dir):
 
 def _q_tiered_topk(spark, sf_dir):
     """Two-tier BM25 serving over the statically-pruned index
-    (pipeline.retrieval.tiered_topk, m=50): long-tail-term queries are
-    served from the top-50 champion lists with a per-query exactness
-    certificate (max term df <= m); hot-term queries fall back to full
-    postings — output is provably exact full BM25 either way, which is
-    what the plain unpruned SQL oracle verifies."""
+    (pipeline.retrieval.tiered_topk): tail-term queries are served from
+    the top-m champion lists with a per-query exactness certificate
+    (max term df <= m); hot-term queries fall back to full postings —
+    output is provably exact full BM25 either way, which is what the
+    plain unpruned SQL oracle verifies. m=395 splits the synthetic
+    QUERY_SET's near-uniform dfs (376-402 at sf0.01) so BOTH branches
+    run under the driver; real Zipfian vocabularies split at any m."""
     from tiny_search_engine_spark.pipeline import retrieval
 
-    return retrieval.tiered_topk(_docs(spark, sf_dir), QUERY_SET, m=50, k=20)
+    return retrieval.tiered_topk(_docs(spark, sf_dir), QUERY_SET, m=395, k=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2698,7 +2700,7 @@ def _sql_prf_search() -> str:
 def _sql_tiered_topk() -> str:
     # the oracle scores UNPRUNED postings for every query — the tiered
     # engine's whole claim is that its output is identical; only the
-    # tier1 certificate column is replayed from the df census (m=50)
+    # tier1 certificate column is replayed from the df census (m=395)
     vals = ", ".join(
         f"({qid}, '{t}')"
         for qid, q in QUERY_SET
@@ -2718,7 +2720,7 @@ def _sql_tiered_topk() -> str:
                     FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term)
                     CROSS JOIN corpus c),
             qt(query_id, term) AS (VALUES {vals}),
-            flags AS (SELECT query_id, max(coalesce(d.df, 0)) <= 50 AS tier1
+            flags AS (SELECT query_id, max(coalesce(d.df, 0)) <= 395 AS tier1
                       FROM qt LEFT JOIN dfc d USING (term) GROUP BY 1),
             scored AS (SELECT query_id, doc_id, round(sum(impact), 6) AS score
                        FROM imp JOIN qt USING (term) GROUP BY 1, 2)
