@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Thin spark-submit launcher: ships with --py-files, dispatches to
-tiny_search_engine_spark.jobs (build | query).
+tiny_search_engine_spark.jobs
+(build | query | grep | shards | select | classify).
 
     spark-submit --py-files dist/tiny_search_engine_spark.zip \
         scripts/tse_job.py build --source iceberg:db.repos --out /store
