@@ -307,6 +307,11 @@ def main() -> None:
         timed("prf_search", lambda: entrymod._q_prf_search(spark, sf_dir).count())
         # two-tier champion-list serving with per-query exactness certificate
         timed("tiered_topk", lambda: entrymod._q_tiered_topk(spark, sf_dir).count())
+        # in-order window chains over one materialized hit slice
+        timed(
+            "ordered_window",
+            lambda: entrymod._q_ordered_window(spark, sf_dir).count(),
+        )
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -640,3 +640,82 @@ def test_tiered_topk_certificate_flags(spark):
     assert flags[1] == {False}   # df(hot)=5 > 2: full fallback
     assert flags[2] == {False}   # any hot term poisons the certificate
     assert 3 not in flags        # absent term matches nothing
+
+
+def _ordered_py(rows, queries, max_gap=None):
+    """Brute-force ordered-window twin: enumerate every position combo."""
+    import itertools
+
+    toks = {i: t.split() for i, t in rows}
+    out = {}
+    for qid, q in queries:
+        terms = [t for t in q.split() if t]
+        res = {}
+        for i, ts in toks.items():
+            slots = [[p for p, w in enumerate(ts) if w == term] for term in terms]
+            if any(not ps for ps in slots):
+                continue
+            best = None
+            for combo in itertools.product(*slots):
+                ok = all(
+                    combo[j + 1] > combo[j]
+                    and (max_gap is None or combo[j + 1] - combo[j] <= max_gap)
+                    for j in range(len(combo) - 1)
+                )
+                if ok:
+                    span = combo[-1] - combo[0] + 1
+                    best = span if best is None else min(best, span)
+            if best is not None:
+                res[i] = best
+        out[qid] = res
+    return out
+
+
+OW_ROWS = [
+    (0, "big table scan"),
+    (1, "table big scan"),          # wrong order for "big table"
+    (2, "big x y table big table"),
+    (3, "a b x x x x b c"),
+    (4, "a b b x c"),
+    (5, "go stop go"),
+    (6, "go"),
+]
+OW_QUERIES = [(0, "big table"), (1, "a b c"), (2, "go go"), (3, "scan big")]
+
+
+def test_ordered_window_brute(spark):
+    corpus = spark.createDataFrame(OW_ROWS, "doc_id long, text string")
+    for gap in (None, 2):
+        got = {
+            (r["query_id"], r["doc_id"]): r["min_span"]
+            for r in retrieval.ordered_window_search(
+                corpus, OW_QUERIES, max_gap=gap
+            ).collect()
+        }
+        want = {
+            (qid, i): s
+            for qid, res in _ordered_py(OW_ROWS, OW_QUERIES, max_gap=gap).items()
+            for i, s in res.items()
+        }
+        assert got == want, gap
+    # order sensitivity: "big table" hits docs 0 and 2, never doc 1
+    spans = _ordered_py(OW_ROWS, OW_QUERIES)[0]
+    assert 1 not in spans and spans[0] == 2 and spans[2] == 2
+
+
+def test_ordered_window_gap_dead_end_regression(spark):
+    # a=0; b at 1 and 2 (both within gap 2 of a); c at 4. The EARLIEST
+    # b (1) cannot reach c (gap 3) — only b=2 chains. A greedy min-next
+    # implementation returns no match; the exact answer is span 5.
+    corpus = spark.createDataFrame([(0, "a b b x c")], "doc_id long, text string")
+    out = retrieval.ordered_window_search(
+        corpus, [(0, "a b c")], max_gap=2
+    ).collect()
+    assert len(out) == 1 and out[0]["min_span"] == 5
+    # and max_gap=1 is strict adjacency: no match here
+    assert (
+        retrieval.ordered_window_search(corpus, [(0, "a b c")], max_gap=1).count()
+        == 0
+    )
+    with pytest.raises(ValueError):
+        retrieval.ordered_window_search(corpus, [(0, "a")], max_gap=0)

@@ -220,6 +220,111 @@ def suggest(
     )
 
 
+def ordered_window_search(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Ordered-window retrieval (INQUERY's ``#odN`` / Lucene's
+    in-order sloppy PhraseQuery): docs where the query terms appear IN
+    QUERY ORDER — not necessarily adjacent — ranked by the smallest
+    span of such an ordered chain; ``max_gap`` bounds each consecutive
+    gap (#od1 = strict adjacency = :func:`phrase_match` semantics).
+    Completes the positional family: strict adjacency (phrase_match) /
+    any-order window (proximity_search) / in-order window (this).
+
+    Exactness: with no gap bound, greedily chaining the EARLIEST
+    next-term position minimizes the chain end per start (exchange
+    argument), so the state collapses to one ``min`` row per (doc,
+    start). With ``max_gap``, earliest-next can DEAD-END (the earliest
+    t2 may sit too far from every t3 while a later t2 chains fine), so
+    the state instead keeps ALL feasible positions per prefix —
+    distinct (doc, start, cur) rows, still hit-bounded — and the final
+    per-start minimum is taken over complete chains only. Repeated
+    query words must re-occur (``go go`` needs two ``go`` s).
+
+    Scale shape: one broadcast vocab semi-join slices the corpus to
+    hits, then ``max(n_slots) - 1`` chaining steps, each an
+    (query, doc)-keyed equi-join + groupBy over the hit slice — the
+    first join's partitioning is reused by every later step (same key,
+    like proximity_search), and chain state is one row per surviving
+    (query, doc, start), monotonically shrinking. Query length bounds
+    the step count (a driver-side loop over slots, NEVER over data —
+    the mmr_rerank discipline).
+
+    Returns (query_id, rank, doc_id, min_span, n_terms); rank by
+    (min_span asc, doc_id asc).
+    """
+    if max_gap is not None and max_gap < 1:
+        raise ValueError(f"max_gap must be >= 1, got {max_gap}")
+    spark = docs.sparkSession
+    slot_rows = []
+    max_slots = 0
+    for qid, q in queries:
+        terms = [t for t in q.split() if t]
+        if not terms:
+            continue
+        max_slots = max(max_slots, len(terms))
+        slot_rows += [(int(qid), s, t, len(terms)) for s, t in enumerate(terms)]
+    slots = spark.createDataFrame(
+        slot_rows, "query_id long, slot int, term string, n_slots int"
+    )
+    toks = tokens_view(docs, id_col=id_col, text_col=text_col)
+    # hits of ANY query slot, sliced once and materialized: every chain
+    # step joins back into this (it is hit-sized, not corpus-sized)
+    hits = (
+        toks.join(F.broadcast(slots), "term")
+        .select("query_id", F.col(id_col), "slot", "pos", "n_slots")
+        .localCheckpoint()
+    )
+    # chain state: (query_id, doc, start, cur, n_slots) for chains that
+    # matched slots [0..i]; start = the slot-0 position
+    state = hits.filter(F.col("slot") == 0).select(
+        "query_id",
+        id_col,
+        F.col("pos").alias("start"),
+        F.col("pos").alias("cur"),
+        "n_slots",
+    )
+    done = state.filter(F.col("n_slots") == 1)
+    for i in range(1, max_slots):
+        nxt = hits.filter(F.col("slot") == i).select(
+            "query_id", id_col, F.col("pos").alias("_p")
+        )
+        stepped = state.filter(F.col("n_slots") > i).join(
+            nxt, ["query_id", id_col]
+        ).filter(F.col("_p") > F.col("cur"))
+        if max_gap is None:
+            state = stepped.groupBy("query_id", id_col, "start", "n_slots").agg(
+                F.min("_p").alias("cur")
+            )
+        else:
+            state = (
+                stepped.filter(F.col("_p") <= F.col("cur") + max_gap)
+                .select(
+                    "query_id", id_col, "start", "n_slots",
+                    F.col("_p").alias("cur"),
+                )
+                .distinct()
+            )
+        done = done.unionByName(state.filter(F.col("n_slots") == i + 1))
+    best = done.groupBy("query_id", id_col).agg(
+        F.min(F.col("cur") - F.col("start") + 1).alias("min_span"),
+        F.first("n_slots").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("min_span").asc(), F.col(id_col).asc()
+    )
+    return (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "min_span", "n_terms")
+    )
+
+
 def static_index_prune(
     docs: DataFrame,
     m: int,
