@@ -348,6 +348,16 @@ def _q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle=1, threshold=0.3)
 
 
+def _q_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs, Broder 1997
+    (pipeline.dedup.containment_pairs): the quote/sub-document shape
+    Jaccard misses; shares ngram_jaccard's one-shuffle pair machinery,
+    only the score differs. Bigram shingles: unigram containment is
+    near-saturated on the shared synthetic vocabulary (22k pairs at
+    1.0), bigrams discriminate (~25 pairs at 0.7)."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), shingle=2, threshold=0.7)
+
+
 def _q_ngram_jaccard_capped(spark, sf_dir):
     """Hot-shingle-capped n-gram Jaccard (the 100 TB shape): shingles with
     document frequency > 50 are dropped from numerator and denominator
@@ -2018,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_search": _q_prf_search,
         "tiered_topk": _q_tiered_topk,
         "ordered_window": _q_ordered_window,
+        "containment_pairs": _q_containment,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -3078,6 +3089,30 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE lang_rank <= 50
         """,
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "containment_pairs": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 2 THEN list_distinct(
+                              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
+                              ELSE [] END AS grams
+                  FROM t),
+            sh AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            scored AS (
+              SELECT id_a, id_b, n_common,
+                     round(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS cont_a,
+                     round(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS cont_b
+              FROM common JOIN sizes sa ON sa.doc_id = id_a
+                          JOIN sizes sb ON sb.doc_id = id_b)
+            SELECT id_a, id_b, n_common, cont_a, cont_b,
+                   greatest(cont_a, cont_b) AS containment
+            FROM scored WHERE greatest(cont_a, cont_b) >= 0.7
+        """,
         "ngram_jaccard_capped": _sql_ngram_jaccard_capped(50),
         "simhash_sigs": _sql_simhash(),
         # the banded join is exact for hamming <= 3 < 4 bands (pigeonhole),

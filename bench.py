@@ -312,6 +312,11 @@ def main() -> None:
             "ordered_window",
             lambda: entrymod._q_ordered_window(spark, sf_dir).count(),
         )
+        # asymmetric containment pairs on the shared shingle machinery
+        timed(
+            "containment_pairs",
+            lambda: entrymod._q_containment(spark, sf_dir).count(),
+        )
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -1492,3 +1492,56 @@ def test_snapshot_diff_brute(spark):
     assert got2[2] == "unchanged" and got2[5] == "unchanged"
     with pytest.raises(ValueError):
         pr.snapshot_diff(old.select("doc_id"), new.select("doc_id"))
+
+
+def test_containment_pairs_quote_detection(spark):
+    # doc 1 is a verbatim quote inside doc 0's longer text
+    article = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    quote = "delta epsilon zeta eta"
+    rows = [(0, article), (1, quote), (2, "totally different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.containment_pairs(df, shingle=3, threshold=0.9).collect()
+    }
+    # the quote's 2 shingles are all inside the article: containment 1.0
+    assert set(out) == {(0, 1)}
+    r = out[(0, 1)]
+    assert r["n_common"] == 2 and r["cont_b"] == 1.0 and r["containment"] == 1.0
+    assert r["cont_a"] == pytest.approx(round(2 / 8, 6))
+    # Jaccard misses the same pair at any reasonable gate: 2/(8+2-2) = 0.25
+    jac = {
+        (p["id_a"], p["id_b"])
+        for p in dedup.ngram_jaccard_pairs(df, shingle=3, threshold=0.5).collect()
+    }
+    assert (0, 1) not in jac
+
+
+def test_containment_pairs_brute(spark):
+    rows = [
+        (0, "a b c d e f"),
+        (1, "c d e f g h"),
+        (2, "a b c d"),
+        (3, "x y z w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a"], r["cont_b"])
+        for r in dedup.containment_pairs(df, shingle=2, threshold=0.0).collect()
+    }
+
+    def sh(t):
+        ts = t.split()
+        return {" ".join(ts[i : i + 2]) for i in range(len(ts) - 1)}
+
+    sets = {i: sh(t) for i, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                n = len(sets[a] & sets[b])
+                want[(a, b)] = (
+                    round(n / len(sets[a]), 6),
+                    round(n / len(sets[b]), 6),
+                )
+    assert got == {k: (pytest.approx(x), pytest.approx(y)) for k, (x, y) in want.items()}

@@ -240,6 +240,69 @@ def ngram_jaccard_pairs(
     is one groupBy on the already-exploded shingles; the hot set is
     tiny by construction, so the filter is a broadcast anti-join. The
     dropped mass (#hot shingles, #occurrence rows removed) is logged."""
+    counts = _shingle_pair_counts(df, id_col, text_col, shingle, max_shingle_df)
+    return (
+        counts.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs (Broder 1997's c(A,B) =
+    |S(A)∩S(B)| / |S(A)|): pairs where one doc's shingle set is mostly
+    inside the other's — the quote / sub-document / superset shape
+    Jaccard structurally misses (a tweet quoted inside a long article
+    has Jaccard ≈ |tweet|/|article| ≈ 0 but containment ≈ 1; the
+    set-level cousin of what ExactSubstr's span census catches at the
+    token level, dedup.duplicate_spans / Lee et al. 2022).
+
+    Keeps pairs with ``max(cont_a, cont_b) >= threshold`` where
+    ``cont_a = round(n_common/n_a, 6)`` (fraction of A inside B) and
+    ``cont_b`` likewise; returns (id_a, id_b, n_common, cont_a,
+    cont_b, containment) with id_a < id_b.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — the two
+    share `_shingle_pair_counts` (one explicit shingle shuffle reused
+    by sizes and both join sides, optional hot-shingle df cap), only
+    the final score differs. The cap note applies doubly here: a
+    contained-everywhere boilerplate doc IS the hot-shingle bomb, and
+    with the cap its shingles leave both numerator and denominator."""
+    counts = _shingle_pair_counts(df, id_col, text_col, shingle, max_shingle_df)
+    cont_a = F.round(F.col("n_common") / F.col("n_a"), 6)
+    cont_b = F.round(F.col("n_common") / F.col("n_b"), 6)
+    return (
+        counts.withColumn("cont_a", cont_a)
+        .withColumn("cont_b", cont_b)
+        .withColumn("containment", F.greatest("cont_a", "cont_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "cont_a", "cont_b", "containment")
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared exact pair machinery behind ngram_jaccard_pairs /
+    containment_pairs: (id_a, id_b, n_common, n_a, n_b) for every pair
+    sharing ≥ 1 (surviving) shingle, id_a < id_b. See
+    ngram_jaccard_pairs for the shuffle-reuse and hot-cap rationale."""
     tok_df = df.select(F.col(id_col), _tokens(text_col).alias("_toks"))
     sh = tok_df.select(
         F.col(id_col),
@@ -293,18 +356,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
-    )
+    return common.join(sa, "id_a").join(sb, "id_b")
 
 
 SIMHASH_BITS = 32
