@@ -1215,6 +1215,30 @@ def _q_doc_pagerank(spark, sf_dir):
     )
 
 
+def _q_doc_pagerank_pers(spark, sf_dir):
+    """Personalized PageRank (Haveliwala 2002) over the same near-dup
+    graph as doc_pagerank, teleporting to the 3 smallest node ids (a
+    deterministic stand-in for 'documents like these seeds'): ranks
+    become seed-proximity, the graph-walk cousin of more_like_this."""
+    from tiny_search_engine_spark.pipeline import dedup, graph
+
+    pairs = dedup.lsh_candidate_pairs(
+        _docs(spark, sf_dir), num_hashes=4, bands=2, shingle=3
+    )
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = [r["node"] for r in nodes.orderBy("node").limit(3).collect()]
+    return graph.pagerank(edges, n_iter=10, seeds=seeds).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
 def _sql_doc_pagerank(n_iter: int = 10, d: float = 0.85) -> str:
     lsh = _sql_lsh_pairs()
     n = "(SELECT n FROM nn)"
@@ -1238,6 +1262,40 @@ def _sql_doc_pagerank(n_iter: int = 10, d: float = 0.85) -> str:
             f"pr{k} AS MATERIALIZED (SELECT nd.node, (1 - {d}) / {n} + {d} * "
             f"(coalesce(c.contrib, 0) + (SELECT m FROM dang{k}) / {n}) AS rank "
             f"FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(p.rank / o.deg) AS contrib "
+            f"FROM edges e JOIN pr{k - 1} p ON p.node = e.src "
+            f"JOIN outdeg o ON o.src = e.src GROUP BY e.dst) c "
+            f"ON c.node = nd.node)"
+        )
+    return ", ".join(parts) + f" SELECT node, round(rank, 6) AS rank FROM pr{n_iter}"
+
+
+def _sql_doc_pagerank_pers(
+    n_iter: int = 10, d: float = 0.85, n_seeds: int = 3
+) -> str:
+    lsh = _sql_lsh_pairs()
+    # same unrolled MATERIALIZED chain as _sql_doc_pagerank, with the
+    # uniform 1/n teleport replaced by the seed vector (dangling mass
+    # follows it too)
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ({lsh}) "
+        f"UNION SELECT id_b AS src, id_a AS dst FROM ({lsh}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)",
+        "outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        f"sd AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds})",
+        "tele AS MATERIALIZED (SELECT node, CASE WHEN node IN (SELECT node FROM sd) "
+        "THEN 1.0 / (SELECT count(*) FROM sd) ELSE 0.0 END AS t FROM nodes)",
+        "pr0 AS MATERIALIZED (SELECT node, t AS rank FROM tele)",
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS m FROM pr{k - 1} "
+            f"WHERE node NOT IN (SELECT src FROM outdeg))"
+        )
+        parts.append(
+            f"pr{k} AS MATERIALIZED (SELECT nd.node, (1 - {d}) * nd.t + {d} * "
+            f"(coalesce(c.contrib, 0) + (SELECT m FROM dang{k}) * nd.t) AS rank "
+            f"FROM tele nd LEFT JOIN ("
             f"SELECT e.dst AS node, sum(p.rank / o.deg) AS contrib "
             f"FROM edges e JOIN pr{k - 1} p ON p.node = e.src "
             f"JOIN outdeg o ON o.src = e.src GROUP BY e.dst) c "
@@ -2029,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_topk": _q_tiered_topk,
         "ordered_window": _q_ordered_window,
         "containment_pairs": _q_containment,
+        "doc_pagerank_pers": _q_doc_pagerank_pers,
         # -- green in CORRECTNESS_r02.json; rotate back in a later round --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -3653,6 +3712,7 @@ def oracle_sql() -> dict[str, str]:
             for qid, ndl in TRIGRAM_LITERALS
         ),
         "doc_pagerank": _sql_doc_pagerank(),
+        "doc_pagerank_pers": _sql_doc_pagerank_pers(),
         "corpus_profile": f"""
             WITH base AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
             tok AS (

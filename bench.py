@@ -317,6 +317,11 @@ def main() -> None:
             "containment_pairs",
             lambda: entrymod._q_containment(spark, sf_dir).count(),
         )
+        # personalized pagerank: seed-proximity walk on the near-dup graph
+        timed(
+            "doc_pagerank_pers",
+            lambda: entrymod._q_doc_pagerank_pers(spark, sf_dir).count(),
+        )
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
         shutil.rmtree(work, ignore_errors=True)

@@ -58,3 +58,50 @@ def test_pagerank_hub_outranks_leaf(spark):
 def test_pagerank_empty(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert graph.pagerank(df).count() == 0
+
+
+def brute_ppr(edges, seeds, d=0.85, n_iter=10):
+    e = sorted(set(edges))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    out = {}
+    for a, _ in e:
+        out[a] = out.get(a, 0) + 1
+    sset = set(seeds) & set(nodes)
+    t = {v: (1.0 / len(sset) if v in sset else 0.0) for v in nodes}
+    rank = dict(t)
+    for _ in range(n_iter):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in e:
+            contrib[b] += rank[a] / out[a]
+        rank = {v: (1.0 - d) * t[v] + d * (contrib[v] + dangling * t[v]) for v in nodes}
+    return rank
+
+
+def test_personalized_pagerank_matches_brute(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for seeds in ([1], [1, 4], [1, 99]):  # absent seed 99 is ignored
+        got = {
+            r.node: r.rank
+            for r in graph.pagerank(df, n_iter=10, seeds=seeds).collect()
+        }
+        want = brute_ppr(edges, seeds)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12), (seeds, v)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    # two disjoint 3-cycles; seeding in one leaves the other at ZERO rank
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in graph.pagerank(df, seeds=[1]).collect()}
+    assert got[10] == got[11] == got[12] == 0.0
+    # all mass stays in the seeded component (which node inside the cycle
+    # holds most at a finite iteration count is walk-phase-dependent)
+    assert min(got[1], got[2], got[3]) > 0
+    assert got[1] + got[2] + got[3] == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        graph.pagerank(df, seeds=[999])

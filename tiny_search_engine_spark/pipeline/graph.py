@@ -28,14 +28,24 @@ def pagerank(
     n_iter: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: list | None = None,
 ) -> DataFrame:
-    """Standard power-iteration PageRank over a directed edge list.
+    """Power-iteration PageRank over a directed edge list — uniform, or
+    PERSONALIZED when ``seeds`` is given (Page et al. 1999 §6;
+    Haveliwala 2002 topic-sensitive PageRank): the teleport vector puts
+    mass 1/|seeds∩nodes| on each seed node and 0 elsewhere, so ranks
+    measure proximity to the seed set ("documents related to these" —
+    the graph-walk cousin of more_like_this) instead of global
+    centrality. Dangling mass follows the teleport vector too (the
+    standard personalized fix-up); seeds absent from the graph are
+    ignored, and an entirely-absent seed set raises.
 
     Nodes are the distinct endpoints of *edges*; duplicate edges count
     once (dedup'd up front — parallel edges would silently double
-    contributions).  Dangling nodes' rank mass is redistributed uniformly
-    each step (the textbook stochastic fix-up).  Returns (node, rank)
-    with ranks summing to 1."""
+    contributions).  Returns (node, rank) with ranks summing to 1.
+    The uniform path's float arithmetic is kept BIT-IDENTICAL to the
+    pre-personalization form ((1-d)/n precomputed on the driver) so the
+    existing oracle replay still matches."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -53,8 +63,21 @@ def pagerank(
     except Exception:
         nodes.unpersist()
         raise
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     d = float(damping)
+    if seeds is None:
+        tele = None
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        in_seed = F.col("node").isin(list(seeds))
+        s = nodes.filter(in_seed).count()
+        if s == 0:
+            nodes.unpersist()
+            outdeg.unpersist()
+            raise ValueError("pagerank: no seed node present in the graph")
+        tele = nodes.withColumn(
+            "t", F.when(in_seed, F.lit(1.0 / s)).otherwise(F.lit(0.0))
+        ).cache()
+        ranks = tele.select("node", F.col("t").alias("rank"))
     try:
         for _ in range(int(n_iter)):
             # materialize ranks ONCE per iteration: the dangling aggregate
@@ -62,7 +85,8 @@ def pagerank(
             # iteration's plan builds on it — without this the join
             # lineage re-executes for every consumer and grows each step
             ranks = ranks.localCheckpoint(eager=True)
-            # mass sitting on nodes with no out-edges, redistributed evenly
+            # mass sitting on nodes with no out-edges, redistributed along
+            # the teleport vector (uniform / seed-concentrated)
             dangling = (
                 ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -75,18 +99,36 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
             )
-            ranks = (
-                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-                .select(
-                    "node",
-                    (
-                        F.lit((1.0 - d) / n)
-                        + F.lit(d)
-                        * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
-                    ).alias("rank"),
+            if tele is None:
+                ranks = (
+                    nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                    .select(
+                        "node",
+                        (
+                            F.lit((1.0 - d) / n)
+                            + F.lit(d)
+                            * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                        ).alias("rank"),
+                    )
                 )
-            )
+            else:
+                ranks = (
+                    tele.join(contrib, tele["node"] == contrib["dst"], "left")
+                    .select(
+                        "node",
+                        (
+                            F.lit(1.0 - d) * F.col("t")
+                            + F.lit(d)
+                            * (
+                                F.coalesce("contrib", F.lit(0.0))
+                                + F.lit(dangling) * F.col("t")
+                            )
+                        ).alias("rank"),
+                    )
+                )
         return ranks.localCheckpoint(eager=True)
     finally:
         nodes.unpersist()
         outdeg.unpersist()
+        if tele is not None:
+            tele.unpersist()
