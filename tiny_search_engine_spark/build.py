@@ -284,6 +284,103 @@ def _make_sorted_run_encoder(block_size: int):
     return encode
 
 
+def _jvm_doc_term(src: DataFrame, cfg: BuildConfig) -> DataFrame | None:
+    """All-JVM fused doc_term plan (no Python in the hot path), or None
+    when the configured tokenizer has no Java-regex twin.
+
+    The Arrow/pandas fast path must stream every corpus byte out of the
+    JVM (Arrow IPC) and rehydrate it as Python str objects (~4x the UTF-8
+    bytes) before tokenizing — at two parallelism levels that traffic is
+    the build's dominant memory-bandwidth draw, and the doubled process
+    count (JVM task threads + Python workers) is what the width probe
+    (scripts/probe_width_build.py) caught being punished under scheduler
+    pressure. This plan keeps tokenization inside whole-stage codegen:
+
+        regexp_extract_all (Java twin of the Python pattern)
+          -> posexplode                      [no materialized token table]
+          -> partial hash-agg (doc_id, sign) [exploded rows never shuffle]
+          -> exchange of doc_term-sized rows -> final agg
+
+    Output is column- and value-identical to make_doc_term_iterator
+    (schema DOC_TERM_SCHEMA[_PRE]); the only representational difference
+    is that the display ``term`` is non-null on every row here vs one
+    representative row per Arrow batch there — consumers aggregate it
+    with first(ignorenulls) either way. Token-stream parity of the twins
+    is pinned by tests/test_tokenizer.py::test_jvm_regex_spec."""
+    from .tokenizer import jvm_tokenizer_spec
+
+    spec = jvm_tokenizer_spec(cfg.tokenizer)
+    if spec is None:
+        return None
+    toks = F.regexp_extract_all("content", F.lit(spec.pattern), F.lit(0))
+    doc_len = (
+        F.length("content")
+        - F.length(F.regexp_extract("content", spec.trailing, 0))
+    ).cast("int")
+    base = (
+        src.select(
+            "doc_id",
+            toks.alias("toks"),
+            doc_len.alias("doc_len"),
+        )
+        # token-less (and NULL-content: size(NULL) = -1) docs rejected,
+        # like the Python path (table.cpp:270)
+        .filter(F.size("toks") > 0)
+        .withColumn("n_terms", F.size("toks").cast("int"))
+    )
+    if cfg.write_pre_term_sign:
+        prevs = F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice("toks", 1, F.size("toks") - 1),
+        )
+        ex = base.select(
+            "doc_id",
+            "doc_len",
+            "n_terms",
+            F.posexplode(F.arrays_zip(F.col("toks").alias("t"), prevs.alias("p"))),
+        ).select(
+            "doc_id",
+            "doc_len",
+            "n_terms",
+            F.col("pos"),
+            F.col("col.t").alias("term"),
+            F.col("col.p").alias("prev"),
+        )
+    else:
+        ex = base.select(
+            "doc_id", "doc_len", "n_terms", F.posexplode("toks").alias("pos", "term")
+        )
+    aggs = [
+        F.min_by("term", "pos").alias("term"),  # first occurrence's display
+        F.count("*").cast("int").alias("tf"),
+        F.min("pos").cast("int").alias("first_idx"),
+        F.first("doc_len").alias("doc_len"),
+        F.first("n_terms").alias("n_terms"),
+    ]
+    if cfg.write_pre_term_sign:
+        # display of the token preceding the FIRST occurrence; NULL when
+        # doc-initial (pos 0 zipped against the shifted-in NULL)
+        aggs.append(F.min_by("prev", "pos").alias("prev"))
+    g = ex.groupBy("doc_id", F.xxhash64(F.lower("term")).alias("term_sign")).agg(*aggs)
+    out = [
+        "doc_id",
+        "term_sign",
+        "term",
+        F.length("term").cast("int").alias("term_len"),
+        "tf",
+        "first_idx",
+        "doc_len",
+        "n_terms",
+    ]
+    if cfg.write_pre_term_sign:
+        out.append(
+            F.when(F.col("prev").isNull(), F.lit(0).cast("long"))
+            .otherwise(F.xxhash64(F.lower("prev")))
+            .alias("pre_term_sign")
+        )
+    return g.select(*out)
+
+
 def with_doc_id(source_df: DataFrame) -> DataFrame:
     """Natural-key doc signature + per-row integrity hash.
 
@@ -386,6 +483,7 @@ def build_index(
     def job_doc_term() -> tuple[DataFrame, int | None]:
         tokens = _timed("tokens", job_tokens)
         n_docs: int | None = None
+        used_jvm: bool | None = None
         if not (resume and _stage_done(store.doc_term_path)):
             if tokens is not None:
                 per_doc = tokens.groupBy("doc_id").agg(
@@ -427,19 +525,33 @@ def build_index(
                         "source_df is required: the doc_term stage is not "
                         f"complete under {store.doc_term_path}"
                     )
-                # term_sign/term_len ride out of the iterator (signs are
-                # computed once per batch-unique term in Python, bit-equal
-                # to F.xxhash64(F.lower(term)) — tests/test_hashing.py; the
-                # display string is non-null on one row per batch-unique
-                # term, so no JVM hash/lower pass over millions of rows)
-                dt_fn = make_doc_term_iterator(
-                    cfg.tokenizer, "doc_id", "content",
-                    with_pre_sign=cfg.write_pre_term_sign,
-                )
-                doc_term = tokenize_src.select("doc_id", "content").mapInPandas(
-                    dt_fn,
-                    DOC_TERM_SCHEMA_PRE if cfg.write_pre_term_sign else DOC_TERM_SCHEMA,
-                )
+                doc_term = None
+                if cfg.jvm_tokenize is not False:
+                    # all-JVM fused plan (regexp twin of the tokenizer):
+                    # content bytes stay inside whole-stage codegen — no
+                    # Arrow corpus streaming, no Python workers
+                    doc_term = _jvm_doc_term(tokenize_src, cfg)
+                    used_jvm = doc_term is not None
+                if doc_term is None and cfg.jvm_tokenize:
+                    raise ValueError(
+                        f"jvm_tokenize=True but tokenizer {cfg.tokenizer!r} "
+                        "declares no JvmRegexSpec"
+                    )
+                if doc_term is None:
+                    # term_sign/term_len ride out of the iterator (signs
+                    # are computed once per batch-unique term in Python,
+                    # bit-equal to F.xxhash64(F.lower(term)) —
+                    # tests/test_hashing.py; the display string is
+                    # non-null on one row per batch-unique term, so no
+                    # JVM hash/lower pass over millions of rows)
+                    dt_fn = make_doc_term_iterator(
+                        cfg.tokenizer, "doc_id", "content",
+                        with_pre_sign=cfg.write_pre_term_sign,
+                    )
+                    doc_term = tokenize_src.select("doc_id", "content").mapInPandas(
+                        dt_fn,
+                        DOC_TERM_SCHEMA_PRE if cfg.write_pre_term_sign else DOC_TERM_SCHEMA,
+                    )
             # N (forward-table size = docs with >=1 token, table.cpp:270)
             # rides the write via observe(): exactly one doc_term row per
             # doc has first_idx == 0 (the term at token position 0) — no
@@ -451,7 +563,15 @@ def build_index(
                 obs, F.sum((F.col("first_idx") == 0).cast("long")).alias("n_docs")
             ).write.mode("overwrite").parquet(store.doc_term_path)
             n_docs = int(obs.get["n_docs"] or 0)
-            _write_lineage(store, "doc_term", {"fused_tokenize": tokens is None, "n_docs": n_docs})
+            _write_lineage(
+                store,
+                "doc_term",
+                {
+                    "fused_tokenize": tokens is None,
+                    "jvm_tokenize": bool(tokens is None and used_jvm),
+                    "n_docs": n_docs,
+                },
+            )
             return doc_term, n_docs
         return spark.read.parquet(store.doc_term_path), None
 

@@ -97,6 +97,16 @@ class BuildConfig:
     # instead of re-reading the parquet it just wrote; spills gracefully
     # when it outgrows executor memory
     cache_doc_term: bool = True
+    # fused doc_term stage engine. None = auto: use the all-JVM
+    # (regexp_extract_all + posexplode + partial/final hash-agg) plan
+    # whenever the tokenizer declares a Java-regex twin
+    # (tokenizer.JvmRegexSpec — builtins 'code' and 'ws' do), keeping
+    # content bytes inside whole-stage codegen instead of streaming the
+    # corpus through Arrow into Python workers; False = always the
+    # Arrow/pandas path; True = require the JVM plan (raises if the
+    # tokenizer has no twin). The two plans are output-identical
+    # (tests/test_fast_build.py::test_jvm_path_equals_python_path).
+    jvm_tokenize: bool | None = None
     # posting-list grouping strategy: 'sort' = one hash shuffle on the
     # salted key + spillable partition sort, lists encoded as contiguous
     # runs off the sorted stream (no agg buffers, no per-list argsort);
