@@ -79,10 +79,10 @@ def test_build_with_pre_term_sign(spark, tmp_path, write_tokens):
 
 
 def test_jvm_path_equals_python_path(spark, tmp_path):
-    """The all-JVM fused doc_term plan (BuildConfig.jvm_tokenize, default
-    auto-on for the builtin regex tokenizers) produces a store identical
-    to the Arrow/pandas fused path: same term_stats, postings, doc stats,
-    and the same pre_term_sign adjacency column."""
+    """The all-JVM fused doc_term plan (BuildConfig.jvm_tokenize=True,
+    available for tokenizers with a Java-regex twin) produces a store
+    identical to the Arrow/pandas fused path: same term_stats, postings,
+    doc stats, and the same pre_term_sign adjacency column."""
     src = source_files(spark, N, seed=57)
     stop = frozenset(make_stopwords())
     jvm = build_index(

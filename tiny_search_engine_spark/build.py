@@ -306,7 +306,19 @@ def _jvm_doc_term(src: DataFrame, cfg: BuildConfig) -> DataFrame | None:
     is that the display ``term`` is non-null on every row here vs one
     representative row per Arrow batch there — consumers aggregate it
     with first(ignorenulls) either way. Token-stream parity of the twins
-    is pinned by tests/test_tokenizer.py::test_jvm_regex_spec."""
+    is pinned by tests/test_tokenizer.py::test_jvm_regex_spec.
+
+    Measured (300k synth docs, 45M tokens, local[8], tmpfs scratch): the
+    regex scan itself is FASTER than Python findall (3.2s for the full
+    tokenize+size pass), but the (doc_id, sign) hash aggregate dominates
+    at ~23s because source code has tf ≈ 1.5 — ~0.7 groups per token —
+    so the agg hash table is ~token-count sized and churns, where the
+    pandas path's factorize + np.unique reduce the same keys sort-based
+    in C (doc_term stage: 25.3s JVM vs 11.3s pandas). Hence opt-in
+    (BuildConfig.jvm_tokenize=True), not the default: its value is
+    structural (zero Python workers — immune to the runqueue-depth
+    penalty probe_width_build.py measured under scheduler pressure, and
+    deployable where executors ship no Python), not raw throughput."""
     from .tokenizer import jvm_tokenizer_spec
 
     spec = jvm_tokenizer_spec(cfg.tokenizer)
@@ -526,17 +538,19 @@ def build_index(
                         f"complete under {store.doc_term_path}"
                     )
                 doc_term = None
-                if cfg.jvm_tokenize is not False:
+                if cfg.jvm_tokenize:
                     # all-JVM fused plan (regexp twin of the tokenizer):
                     # content bytes stay inside whole-stage codegen — no
-                    # Arrow corpus streaming, no Python workers
+                    # Arrow corpus streaming, no Python workers. Opt-in:
+                    # the pandas path below wins on throughput here (see
+                    # BuildConfig.jvm_tokenize / _jvm_doc_term docs).
                     doc_term = _jvm_doc_term(tokenize_src, cfg)
                     used_jvm = doc_term is not None
-                if doc_term is None and cfg.jvm_tokenize:
-                    raise ValueError(
-                        f"jvm_tokenize=True but tokenizer {cfg.tokenizer!r} "
-                        "declares no JvmRegexSpec"
-                    )
+                    if doc_term is None:
+                        raise ValueError(
+                            f"jvm_tokenize=True but tokenizer {cfg.tokenizer!r} "
+                            "declares no JvmRegexSpec"
+                        )
                 if doc_term is None:
                     # term_sign/term_len ride out of the iterator (signs
                     # are computed once per batch-unique term in Python,
