@@ -164,6 +164,16 @@ POSTINGS_SCHEMA = (
     "bytes_total long"
 )
 
+# sorted-run encoder output: POSTINGS_SCHEMA minus the per-term constants
+# (n_shards, idf), which are broadcast-joined from the census onto the
+# list-per-row output instead of riding every shuffled posting row
+POSTINGS_RUN_SCHEMA = (
+    "term_sign long, shard int, bucket int, n_docs long, "
+    "doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "block_last array<long>, block_max_tf array<int>, block_min_dl array<int>, "
+    "bytes_total long"
+)
+
 
 def _make_posting_encoder(block_size: int):
     """mapInPandas encoder over JVM-pre-grouped lists: input rows are
@@ -205,30 +215,35 @@ def _make_posting_encoder(block_size: int):
 
 def _make_sorted_run_encoder(block_size: int):
     """mapInPandas encoder over SORT-grouped partitions: input rows are
-    (term_sign, shard, n_shards, idf, doc_id, tf, doc_len) sorted by
+    (term_sign, shard, doc_id, tf, doc_len) sorted by
     (term_sign, shard, doc_id) within each partition — the sort-based
     grouping alternative to groupBy+collect_list (no aggregation buffers,
     no per-list argsort; groups are contiguous runs, detected with one
     vectorized boundary scan per Arrow batch; a run spanning batch
-    boundaries is carried across)."""
+    boundaries is carried across).
+
+    Deliberately NOT in the input: the per-term constants (n_shards,
+    idf). Shuffling them on every posting row widens each UnsafeRow by
+    16 aligned bytes through the exchange AND the partition sort — the
+    stage's dominant memory traffic; instead the vocab-sized census is
+    broadcast-joined onto the encoder's OUTPUT (one row per posting
+    list), where it costs ~nothing."""
     import numpy as np
 
-    # column order == POSTINGS_SCHEMA (mapInPandas pairs by position)
-    cols = ("term_sign", "shard", "n_shards", "bucket", "n_docs", "idf",
+    # column order == POSTINGS_RUN_SCHEMA (mapInPandas pairs by position)
+    cols = ("term_sign", "shard", "bucket", "n_docs",
             "doc_bytes", "tf_bytes", "dl_bytes", "block_last",
             "block_max_tf", "block_min_dl", "bytes_total")
 
     def encode(batches):
-        carry: list | None = None  # [ts, sh, ns, idf, [d...], [t...], [dl...]]
+        carry: list | None = None  # [ts, sh, [d...], [t...], [dl...]]
         out = {k: [] for k in cols}
 
-        def emit(ts, sh, ns, idf, d, t, dl):
+        def emit(ts, sh, d, t, dl):
             enc = encode_posting(d, t, dl, block_size=block_size, presorted=True)
             out["term_sign"].append(int(ts))
             out["shard"].append(int(sh))
-            out["n_shards"].append(int(ns))
             out["bucket"].append(int(ts) % POSTING_BUCKETS)
-            out["idf"].append(float(idf))
             out["n_docs"].append(enc.n_docs)
             out["doc_bytes"].append(enc.doc_bytes)
             out["tf_bytes"].append(enc.tf_bytes)
@@ -244,8 +259,6 @@ def _make_sorted_run_encoder(block_size: int):
                 continue
             ts = pdf["term_sign"].to_numpy()
             sh = pdf["shard"].to_numpy()
-            ns = pdf["n_shards"].to_numpy()
-            idf = pdf["idf"].to_numpy()
             d = pdf["doc_id"].to_numpy()
             t = pdf["tf"].to_numpy()
             dl = pdf["doc_len"].to_numpy()
@@ -255,29 +268,28 @@ def _make_sorted_run_encoder(block_size: int):
             if carry is not None:
                 if carry[0] == ts[0] and carry[1] == sh[0]:
                     # first run continues the carried group
-                    carry[4].append(d[: ends[0]])
-                    carry[5].append(t[: ends[0]])
-                    carry[6].append(dl[: ends[0]])
+                    carry[2].append(d[: ends[0]])
+                    carry[3].append(t[: ends[0]])
+                    carry[4].append(dl[: ends[0]])
                     if ends[0] == n and len(starts) == 1:
                         continue  # whole batch is one continuing run
                     starts, ends = starts[1:], ends[1:]
-                emit(carry[0], carry[1], carry[2], carry[3],
-                     np.concatenate(carry[4]), np.concatenate(carry[5]),
-                     np.concatenate(carry[6]))
+                emit(carry[0], carry[1],
+                     np.concatenate(carry[2]), np.concatenate(carry[3]),
+                     np.concatenate(carry[4]))
                 carry = None
             # last run may continue into the next batch → carry it
             lo, hi = starts[-1], ends[-1]
-            carry = [ts[lo], sh[lo], ns[lo], idf[lo],
-                     [d[lo:hi]], [t[lo:hi]], [dl[lo:hi]]]
+            carry = [ts[lo], sh[lo], [d[lo:hi]], [t[lo:hi]], [dl[lo:hi]]]
             for lo, hi in zip(starts[:-1], ends[:-1]):
-                emit(ts[lo], sh[lo], ns[lo], idf[lo], d[lo:hi], t[lo:hi], dl[lo:hi])
+                emit(ts[lo], sh[lo], d[lo:hi], t[lo:hi], dl[lo:hi])
             if len(out["term_sign"]) >= 4096:
                 yield pd.DataFrame(out)
                 out = {k: [] for k in cols}
         if carry is not None:
-            emit(carry[0], carry[1], carry[2], carry[3],
-                 np.concatenate(carry[4]), np.concatenate(carry[5]),
-                 np.concatenate(carry[6]))
+            emit(carry[0], carry[1],
+                 np.concatenate(carry[2]), np.concatenate(carry[3]),
+                 np.concatenate(carry[4]))
         if out["term_sign"]:
             yield pd.DataFrame(out)
 
@@ -739,21 +751,30 @@ def build_index(
                 )
             ).cast("int"),
         )
-        slim = enriched.select(
-            "term_sign", "shard", "n_shards", "idf", "doc_id", "tf", "doc_len"
-        )
         if cfg.posting_grouping == "sort":
             # sort-based grouping: ONE hash shuffle on the salted key +
             # spillable partition sort; posting lists are contiguous runs
             # encoded straight off the sorted Arrow stream (no aggregation
             # buffers, no per-list argsort — the external-sort build every
-            # at-scale indexer uses)
-            postings = (
+            # at-scale indexer uses). Only the 5 per-posting columns ride
+            # the exchange + sort; the per-term constants (n_shards, idf)
+            # rejoin from the broadcast census AFTER encoding, on the
+            # one-row-per-list output (see _make_sorted_run_encoder).
+            slim = enriched.select("term_sign", "shard", "doc_id", "tf", "doc_len")
+            runs = (
                 slim.repartition(F.col("term_sign"), F.col("shard"))
                 .sortWithinPartitions("term_sign", "shard", "doc_id")
-                .mapInPandas(_make_sorted_run_encoder(cfg.block_size), POSTINGS_SCHEMA)
+                .mapInPandas(_make_sorted_run_encoder(cfg.block_size), POSTINGS_RUN_SCHEMA)
+            )
+            postings = runs.join(F.broadcast(census), "term_sign").select(
+                "term_sign", "shard", "n_shards", "bucket", "n_docs", "idf",
+                "doc_bytes", "tf_bytes", "dl_bytes",
+                "block_last", "block_max_tf", "block_min_dl", "bytes_total",
             )
         else:
+            slim = enriched.select(
+                "term_sign", "shard", "n_shards", "idf", "doc_id", "tf", "doc_len"
+            )
             grouped = (
                 # n_shards/idf: per-term constants riding the grouping key
                 slim.groupBy("term_sign", "shard", "n_shards", "idf")
