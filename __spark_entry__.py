@@ -354,8 +354,13 @@ def _q_containment(spark, sf_dir):
     Jaccard misses; shares ngram_jaccard's one-shuffle pair machinery,
     only the score differs. Bigram shingles: unigram containment is
     near-saturated on the shared synthetic vocabulary (22k pairs at
-    1.0), bigrams discriminate (~25 pairs at 0.7)."""
-    return dedup.containment_pairs(_docs(spark, sf_dir), shingle=2, threshold=0.7)
+    1.0), bigrams discriminate (~25 pairs at 0.7). Hot-shingle df cap
+    50, the 100 TB shape (the docstring's boilerplate-bomb note applies
+    doubly to containment) — uncapped machinery is exercised by
+    ngram_jaccard."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), shingle=2, threshold=0.7, max_shingle_df=50
+    )
 
 
 def _q_ngram_jaccard_capped(spark, sf_dir):
@@ -1219,7 +1224,12 @@ def _q_doc_pagerank_pers(spark, sf_dir):
     """Personalized PageRank (Haveliwala 2002) over the same near-dup
     graph as doc_pagerank, teleporting to the 3 smallest node ids (a
     deterministic stand-in for 'documents like these seeds'): ranks
-    become seed-proximity, the graph-walk cousin of more_like_this."""
+    become seed-proximity, the graph-walk cousin of more_like_this.
+    Fixed 6 power steps (vs doc_pagerank's 10): with a concentrated
+    teleport vector the seed-proximity ORDERING stabilizes in a few
+    steps, and each step is a fixed Spark-job cost; the count is pinned
+    (not convergence-sampled) so the unrolled-CTE oracle replays it
+    exactly."""
     from tiny_search_engine_spark.pipeline import dedup, graph
 
     pairs = dedup.lsh_candidate_pairs(
@@ -1228,13 +1238,17 @@ def _q_doc_pagerank_pers(spark, sf_dir):
     edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )
+    # materialize the LSH subtree once: the seed scan below AND the
+    # pagerank iterations otherwise each re-derive it (the composed-query
+    # localCheckpoint discipline, see _q_eval_rbo)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     seeds = [r["node"] for r in nodes.orderBy("node").limit(3).collect()]
-    return graph.pagerank(edges, n_iter=10, seeds=seeds).select(
+    return graph.pagerank(edges, n_iter=6, seeds=seeds).select(
         "node", F.round("rank", 6).alias("rank")
     )
 
@@ -3157,7 +3171,9 @@ def oracle_sql() -> dict[str, str]:
                               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))
                               ELSE [] END AS grams
                   FROM t),
-            sh AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+            sh0 AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+            cen AS (SELECT sh, count(*) AS sdf FROM sh0 GROUP BY sh),
+            sh AS (SELECT doc_id, sh0.sh FROM sh0 JOIN cen USING (sh) WHERE sdf <= 50),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
                        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -3712,7 +3728,7 @@ def oracle_sql() -> dict[str, str]:
             for qid, ndl in TRIGRAM_LITERALS
         ),
         "doc_pagerank": _sql_doc_pagerank(),
-        "doc_pagerank_pers": _sql_doc_pagerank_pers(),
+        "doc_pagerank_pers": _sql_doc_pagerank_pers(n_iter=6),
         "corpus_profile": f"""
             WITH base AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
             tok AS (

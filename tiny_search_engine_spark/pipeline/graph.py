@@ -46,9 +46,13 @@ def pagerank(
     The uniform path's float arithmetic is kept BIT-IDENTICAL to the
     pre-personalization form ((1-d)/n precomputed on the driver) so the
     existing oracle replay still matches."""
+    # e is consumed by nodes, outdeg, AND the contribution join of EVERY
+    # power iteration — without the cache the whole upstream edge
+    # derivation (e.g. an LSH candidate-pair pipeline) re-executes
+    # n_iter+2 times (measured 69s -> ~7s on the sf0.1 bench entry)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -58,10 +62,25 @@ def pagerank(
     try:
         n = nodes.count()
         if n == 0:
-            return nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+            out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+            nodes.unpersist()
+            e.unpersist()
+            return out
         outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).cache()
+        # dangling node set is CONSTANT across iterations — one anti-join,
+        # not one per step
+        no_out = (
+            nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_anti")
+            .select("node")
+            .cache()
+        )
+        # the edge⋈outdeg join is iteration-invariant too: materialize
+        # (src, dst, deg) once so each power step is ranks⋈edges→agg, not
+        # a fresh three-way join
+        e_deg = e.join(outdeg, "src").select("src", "dst", "deg").cache()
     except Exception:
         nodes.unpersist()
+        e.unpersist()
         raise
     d = float(damping)
     if seeds is None:
@@ -86,15 +105,18 @@ def pagerank(
             # lineage re-executes for every consumer and grows each step
             ranks = ranks.localCheckpoint(eager=True)
             # mass sitting on nodes with no out-edges, redistributed along
-            # the teleport vector (uniform / seed-concentrated)
-            dangling = (
-                ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
+            # the teleport vector (uniform / seed-concentrated). Kept IN
+            # the plan as a broadcast 1-row aggregate instead of a
+            # .collect() scalar: each iteration is then ONE Spark job
+            # (the next checkpoint), not two — same double-precision
+            # value, same expression shape, so results are bit-identical
+            # to the collected-literal form the oracle replays.
+            dangling = F.broadcast(
+                ranks.join(no_out, "node")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
             )
             contrib = (
-                e.join(ranks, e["src"] == ranks["node"])
-                .join(outdeg, "src")
+                e_deg.join(ranks, e_deg["src"] == ranks["node"])
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
@@ -102,18 +124,23 @@ def pagerank(
             if tele is None:
                 ranks = (
                     nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                    .crossJoin(dangling)
                     .select(
                         "node",
                         (
                             F.lit((1.0 - d) / n)
                             + F.lit(d)
-                            * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                            * (
+                                F.coalesce("contrib", F.lit(0.0))
+                                + F.col("_dang") / F.lit(float(n))
+                            )
                         ).alias("rank"),
                     )
                 )
             else:
                 ranks = (
                     tele.join(contrib, tele["node"] == contrib["dst"], "left")
+                    .crossJoin(dangling)
                     .select(
                         "node",
                         (
@@ -121,7 +148,7 @@ def pagerank(
                             + F.lit(d)
                             * (
                                 F.coalesce("contrib", F.lit(0.0))
-                                + F.lit(dangling) * F.col("t")
+                                + F.col("_dang") * F.col("t")
                             )
                         ).alias("rank"),
                     )
@@ -130,5 +157,8 @@ def pagerank(
     finally:
         nodes.unpersist()
         outdeg.unpersist()
+        no_out.unpersist()
+        e_deg.unpersist()
+        e.unpersist()
         if tele is not None:
             tele.unpersist()
