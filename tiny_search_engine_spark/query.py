@@ -376,15 +376,20 @@ class QueryEngine:
         docs_slim = self._cached("docs").select(
             "doc_id", "doc_len", "vec_module", "wei_sum", "content"
         )
+        match_fields = [
+            "term_sign", "i", "kind", "tf_q", "tf_d", "idf",
+            "term_len", "is_syn_disc",
+        ]
+        if self.cfg.emit_features:
+            # D8 offset-donor resolution inputs — only the feature-export
+            # kernel reads them (features.py compat_ref branch); keeping
+            # them out of the ranking hot path trims the collect_list
+            # struct every candidate row carries
+            match_fields += ["is_disc", "disc_i"]
         cand = recs.groupBy("query_id", "doc_id").agg(
             F.sum("hit_freq").alias("term_hits"),
             F.max(F.col("recall_by_syn").cast("int")).cast("boolean").alias("recall_by_syn"),
-            F.collect_list(
-                F.struct(
-                    "term_sign", "i", "kind", "tf_q", "tf_d", "idf",
-                    "term_len", "is_syn_disc", "is_disc", "disc_i",
-                )
-            ).alias("matches"),
+            F.collect_list(F.struct(*match_fields)).alias("matches"),
         )
         # 1st sort funnel: pinned refinement of table.cpp:404-414
         wfun = Window.partitionBy("query_id").orderBy(
