@@ -181,12 +181,14 @@ def _make_posting_encoder(block_size: int):
     lists per Arrow batch. The groupBy+collect_list happens JVM-side (with
     map-side partial aggregation); Python only sees aligned numpy arrays,
     so per-group pandas overhead is gone (was one 1-row DataFrame per group
-    with applyInPandas — measurable at millions of tiny terms)."""
+    with applyInPandas — measurable at millions of tiny terms). Like the
+    sorted-run encoder, per-term constants (n_shards, idf) are NOT in the
+    dataflow — the census broadcast-joins onto the per-list output."""
 
     def encode(batches):
         for pdf in batches:
             out = {k: [] for k in (
-                "term_sign", "shard", "n_shards", "bucket", "n_docs", "idf",
+                "term_sign", "shard", "bucket", "n_docs",
                 "doc_bytes", "tf_bytes", "dl_bytes", "block_last",
                 "block_max_tf", "block_min_dl", "bytes_total",
             )}
@@ -197,9 +199,7 @@ def _make_posting_encoder(block_size: int):
                 ts = int(row.term_sign)
                 out["term_sign"].append(ts)
                 out["shard"].append(int(row.shard))
-                out["n_shards"].append(int(row.n_shards))
                 out["bucket"].append(ts % POSTING_BUCKETS)
-                out["idf"].append(float(row.idf))
                 out["n_docs"].append(enc.n_docs)
                 out["doc_bytes"].append(enc.doc_bytes)
                 out["tf_bytes"].append(enc.tf_bytes)
@@ -766,32 +766,27 @@ def build_index(
                 .sortWithinPartitions("term_sign", "shard", "doc_id")
                 .mapInPandas(_make_sorted_run_encoder(cfg.block_size), POSTINGS_RUN_SCHEMA)
             )
-            postings = runs.join(F.broadcast(census), "term_sign").select(
-                "term_sign", "shard", "n_shards", "bucket", "n_docs", "idf",
-                "doc_bytes", "tf_bytes", "dl_bytes",
-                "block_last", "block_max_tf", "block_min_dl", "bytes_total",
-            )
         else:
-            slim = enriched.select(
-                "term_sign", "shard", "n_shards", "idf", "doc_id", "tf", "doc_len"
-            )
+            slim = enriched.select("term_sign", "shard", "doc_id", "tf", "doc_len")
             grouped = (
-                # n_shards/idf: per-term constants riding the grouping key
-                slim.groupBy("term_sign", "shard", "n_shards", "idf")
+                slim.groupBy("term_sign", "shard")
                 .agg(F.collect_list(F.struct("doc_id", "tf", "doc_len")).alias("pl"))
                 .select(
                     "term_sign",
                     "shard",
-                    "n_shards",
-                    "idf",
                     F.col("pl.doc_id").alias("doc_ids"),
                     F.col("pl.tf").alias("tfs"),
                     F.col("pl.doc_len").alias("dls"),
                 )
             )
-            postings = grouped.mapInPandas(
-                _make_posting_encoder(cfg.block_size), POSTINGS_SCHEMA
+            runs = grouped.mapInPandas(
+                _make_posting_encoder(cfg.block_size), POSTINGS_RUN_SCHEMA
             )
+        postings = runs.join(F.broadcast(census), "term_sign").select(
+            "term_sign", "shard", "n_shards", "bucket", "n_docs", "idf",
+            "doc_bytes", "tf_bytes", "dl_bytes",
+            "block_last", "block_max_tf", "block_min_dl", "bytes_total",
+        )
         # global skew metrics ride the write via observe() — no re-read job
         obs_p = Observation("postings_metrics")
         postings = postings.observe(
