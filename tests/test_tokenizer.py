@@ -185,6 +185,7 @@ def test_jvm_regex_spec_parity(spark):
     random.seed(7)
     alphabet = list(
         "abcXYZ_09 .;+-*/(){}\t\n'\"#éß中文٣½² µΩ①\x1c\x1d\x1f\x85\xa0​́　﻿"
+        "Ⅻⅷ〡丸ʼˮ‍⁠  ᠎߀३"  # Nl, Lo, Lm, Cf, Zl/Zp, Mongolian sep, NKo/Devanagari digits
     )
     samples = [
         "def foo(bar): return 1.5",
