@@ -450,7 +450,14 @@ def _q_vsm_topk(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     n = docs.count()
     toks = _tokens(spark, sf_dir)
-    doc_term = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf_d"))
+    # doc_term feeds three consumers (term stats, doc modules, scoring
+    # join) — materialize the tokenize+reduce once (composed-query
+    # localCheckpoint discipline)
+    doc_term = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf_d"))
+        .localCheckpoint()
+    )
     ts = (
         doc_term.groupBy("term")
         .agg(F.sum("tf_d").alias("ttf"))
