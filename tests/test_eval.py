@@ -136,8 +136,15 @@ def test_ndcg_vsm_vs_coverage_profiles(spark, tiny_store, labeled):
     assert m_vsm != m_cov
 
 
-def test_coverage_ranker_parity_with_golden(spark, tiny_store, tiny_golden):
-    cfg = QueryConfig(profile="standard", compat="fixed", ranker="coverage")
+@pytest.mark.parametrize("compat", ["fixed", "reference"])
+def test_coverage_ranker_parity_with_golden(spark, tiny_store, tiny_golden, compat):
+    """compat='reference' is the QueryConfig default; the coverage ranker
+    computes the full feature map (need_full) whose compat_ref branch
+    reads the is_disc/disc_i donor fields — search() must ship them in
+    the match structs even when emit_features is off (regression: they
+    were gated on emit_features alone and ranker='coverage' with default
+    compat KeyError'd inside the applyInPandas kernel)."""
+    cfg = QueryConfig(profile="standard", compat=compat, ranker="coverage")
     eng = QueryEngine(spark, tiny_store, cfg)
     g = GoldenQueryEngine(tiny_golden, cfg=cfg)
     got = {}

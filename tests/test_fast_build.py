@@ -124,6 +124,21 @@ def test_jvm_path_equals_python_path(spark, tmp_path):
         assert json.load(f)["jvm_tokenize"] is False
 
 
+def test_jvm_tokenize_rejects_write_tokens(spark, tmp_path):
+    """jvm_tokenize=True with write_tokens=True (the BuildConfig default)
+    fails fast instead of silently running Python workers: the token
+    table is Python-tokenized and doc_term derives from it, so the
+    all-JVM plan would never execute."""
+    import pytest as _pytest
+
+    src = source_files(spark, 5, seed=2)
+    with _pytest.raises(ValueError, match="write_tokens"):
+        build_index(
+            spark, src, str(tmp_path / "jvmtok"),
+            BuildConfig(jvm_tokenize=True),
+        )
+
+
 def test_jvm_tokenize_true_requires_spec(spark, tmp_path):
     """jvm_tokenize=True with a tokenizer that has no Java twin raises."""
     import pytest as _pytest

@@ -505,6 +505,16 @@ def build_index(
         return spark.read.parquet(store.tokens_path)
 
     def job_doc_term() -> tuple[DataFrame, int | None]:
+        if cfg.jvm_tokenize and cfg.write_tokens:
+            # fail fast (same contract as the missing-JvmRegexSpec raise
+            # below): the positional token table only exists via the
+            # Python tokenizer, and doc_term is then derived from it —
+            # the all-JVM fused plan would silently never run
+            raise ValueError(
+                "jvm_tokenize=True is incompatible with write_tokens=True "
+                "(the token table forces the Python tokenize path); set "
+                "write_tokens=False for the pure-JVM build"
+            )
         tokens = _timed("tokens", job_tokens)
         n_docs: int | None = None
         used_jvm: bool | None = None
@@ -782,7 +792,12 @@ def build_index(
             runs = grouped.mapInPandas(
                 _make_posting_encoder(cfg.block_size), POSTINGS_RUN_SCHEMA
             )
-        postings = runs.join(F.broadcast(census), "term_sign").select(
+        # no broadcast hint: the census is vocab-sized (hundreds of
+        # millions of terms at the 100 TB design point), so the choice
+        # between broadcast and shuffle join belongs to Catalyst/AQE —
+        # the join output is one row per posting list, so even a shuffle
+        # join is cheap when the census outgrows the broadcast threshold
+        postings = runs.join(census, "term_sign").select(
             "term_sign", "shard", "n_shards", "bucket", "n_docs", "idf",
             "doc_bytes", "tf_bytes", "dl_bytes",
             "block_last", "block_max_tf", "block_min_dl", "bytes_total",

@@ -53,20 +53,25 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().cache()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
-    )
+    # every cached DataFrame is registered here the moment it is created,
+    # so the single finally below unpersists them on EVERY exit path —
+    # early empty-graph return, seeds-absent raise, mid-setup failure
+    cached = [e]
     try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .cache()
+        )
+        cached.append(nodes)
         n = nodes.count()
         if n == 0:
-            out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
-            nodes.unpersist()
-            e.unpersist()
-            return out
+            return nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(
+                eager=True
+            )
         outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).cache()
+        cached.append(outdeg)
         # dangling node set is CONSTANT across iterations — one anti-join,
         # not one per step
         no_out = (
@@ -74,30 +79,26 @@ def pagerank(
             .select("node")
             .cache()
         )
+        cached.append(no_out)
         # the edge⋈outdeg join is iteration-invariant too: materialize
         # (src, dst, deg) once so each power step is ranks⋈edges→agg, not
         # a fresh three-way join
         e_deg = e.join(outdeg, "src").select("src", "dst", "deg").cache()
-    except Exception:
-        nodes.unpersist()
-        e.unpersist()
-        raise
-    d = float(damping)
-    if seeds is None:
-        tele = None
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    else:
-        in_seed = F.col("node").isin(list(seeds))
-        s = nodes.filter(in_seed).count()
-        if s == 0:
-            nodes.unpersist()
-            outdeg.unpersist()
-            raise ValueError("pagerank: no seed node present in the graph")
-        tele = nodes.withColumn(
-            "t", F.when(in_seed, F.lit(1.0 / s)).otherwise(F.lit(0.0))
-        ).cache()
-        ranks = tele.select("node", F.col("t").alias("rank"))
-    try:
+        cached.append(e_deg)
+        d = float(damping)
+        if seeds is None:
+            tele = None
+            ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        else:
+            in_seed = F.col("node").isin(list(seeds))
+            s = nodes.filter(in_seed).count()
+            if s == 0:
+                raise ValueError("pagerank: no seed node present in the graph")
+            tele = nodes.withColumn(
+                "t", F.when(in_seed, F.lit(1.0 / s)).otherwise(F.lit(0.0))
+            ).cache()
+            cached.append(tele)
+            ranks = tele.select("node", F.col("t").alias("rank"))
         for _ in range(int(n_iter)):
             # materialize ranks ONCE per iteration: the dangling aggregate
             # and the contribution join both consume it, and the next
@@ -155,10 +156,5 @@ def pagerank(
                 )
         return ranks.localCheckpoint(eager=True)
     finally:
-        nodes.unpersist()
-        outdeg.unpersist()
-        no_out.unpersist()
-        e_deg.unpersist()
-        e.unpersist()
-        if tele is not None:
-            tele.unpersist()
+        for df in cached:
+            df.unpersist()

@@ -380,11 +380,14 @@ class QueryEngine:
             "term_sign", "i", "kind", "tf_q", "tf_d", "idf",
             "term_len", "is_syn_disc",
         ]
-        if self.cfg.emit_features:
-            # D8 offset-donor resolution inputs — only the feature-export
-            # kernel reads them (features.py compat_ref branch); keeping
-            # them out of the ranking hot path trims the collect_list
-            # struct every candidate row carries
+        if self.cfg.emit_features or self.cfg.ranker == "coverage":
+            # D8 offset-donor resolution inputs — the feature-export
+            # kernel reads them whenever it computes the full feature
+            # map (features.py need_full = emit_features or
+            # ranker=='coverage', compat_ref branch); the predicate here
+            # must mirror need_full exactly or the kernel KeyErrors on
+            # m["is_disc"]. Keeping them out of the vsm/bm25 hot path
+            # trims the collect_list struct every candidate row carries.
             match_fields += ["is_disc", "disc_i"]
         cand = recs.groupBy("query_id", "doc_id").agg(
             F.sum("hit_freq").alias("term_hits"),
