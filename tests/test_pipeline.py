@@ -212,6 +212,34 @@ def test_ivf_kmeans_codebook_beats_lowest_id(spark):
     assert c1 == c2
 
 
+def test_kmeans_oracle_centroids_match_spark_training(spark, monkeypatch):
+    """The knn_ivf_kmeans value oracle retrains the codebook OUTSIDE
+    Spark (__spark_entry__._kmeans_centroid_literals: python-xxhash64
+    sample + shared simsearch.kmeans_codebook) and inlines it as SQL
+    literals. Pin that the out-of-Spark reconstruction is bit-identical
+    to the engine's ivf_centroids_kmeans on the same parquet — the only
+    parity that makes the oracle sound."""
+    import importlib.util
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("driver testdata absent")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_test", "/root/repo/__spark_entry__.py"
+    )
+    se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(se)
+    lits = se._kmeans_centroid_literals()
+    assert lits is not None
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    want = simsearch.ivf_centroids_kmeans(emb, se.IVF_CENTROIDS, seed=42)
+    assert [cid for cid, _ in lits] == [cid for cid, _ in want]
+    for (_, lv), (_, wv) in zip(lits, want):
+        assert lv == wv  # bit-identical float64s, not approx
+
+
 def test_ivf_assign_is_argmax(spark):
     import numpy as np
 

@@ -215,6 +215,22 @@ def ivf_centroids_kmeans(
         .collect()
     )
     X = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    C = kmeans_codebook(X, n_centroids, n_iters=n_iters, seed=seed)
+    return [(j, C[j].tolist()) for j in range(n_centroids)]
+
+
+def kmeans_codebook(
+    X: "np.ndarray", n_centroids: int, n_iters: int = 10, seed: int = 42
+) -> "np.ndarray":
+    """The pure-numpy spherical-k-means core of ivf_centroids_kmeans:
+    sample matrix in, converged (n_centroids × dim) codebook out.
+
+    Factored out so the DuckDB value oracle for knn_ivf_kmeans can
+    replay the SAME code over the same deterministic sample (rebuilt
+    outside Spark via the bit-exact python xxhash64 twin) and inline the
+    converged centroids as SQL literals — the iterative training itself
+    is the one non-SQL-expressible step; given the centroids, IVF
+    assignment + probe + rerank are plain relational algebra."""
     if len(X) < n_centroids:
         raise ValueError(f"sample ({len(X)}) smaller than n_centroids ({n_centroids})")
     norms = np.linalg.norm(X, axis=1)
@@ -253,7 +269,7 @@ def ivf_centroids_kmeans(
             C = newC
             break
         C = newC
-    return [(j, C[j].tolist()) for j in range(n_centroids)]
+    return C
 
 
 def ivf_assign(
