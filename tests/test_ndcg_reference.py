@@ -1,0 +1,58 @@
+"""The reference's one published metric, computed by the engine: NDCG@3
+over /root/reference/index/url.list.utf8 (README.md:50-57). Pins the
+numbers recorded in BASELINE.md ("Engine NDCG@3" table) — deterministic:
+fixed corpus, deterministic tokenizer/wordlist, pinned tiebreaks.
+
+The full 4-row replication lives in scripts/ndcg_reference.py; this test
+pins the two rows computable from one store build (stopword variants of
+the vsm and coverage scorers) to keep suite runtime bounded."""
+
+import os
+
+import pytest
+
+from tiny_search_engine_spark import reference_eval as re_
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(re_.REF_CORPUS), reason="reference corpus absent"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_store(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("refeval") / "store_stop")
+    return re_.build_reference_store(spark, out, use_stopwords=True)
+
+
+def test_reference_corpus_shape(spark):
+    qs = re_.reference_queries(spark)
+    assert len(qs) == 500
+    labels = re_.reference_labels(spark, qs)
+    assert labels.count() == 5006
+    # scorable = queries with at least one positively-labeled doc
+    assert labels.filter("label > 0").select("query_id").distinct().count() == 487
+
+
+def test_engine_ndcg3_pinned(spark, ref_store):
+    """BASELINE.md rows v0.6 (vsm+stop: engine 73.56 vs published 73.89)
+    and v0.3 (cqr*ctr+stop: engine 74.95 vs published 73.58)."""
+    qs = re_.reference_queries(spark)
+    labels = re_.reference_labels(spark, qs).cache()
+    try:
+        m_vsm, n_vsm = re_.engine_ndcg3(spark, ref_store, qs, labels, ranker="vsm")
+        m_cov, n_cov = re_.engine_ndcg3(spark, ref_store, qs, labels, ranker="coverage")
+    finally:
+        labels.unpersist()
+    assert n_vsm == n_cov == 487
+    assert m_vsm == pytest.approx(73.56, abs=0.02)
+    # coverage (= cqr*ctr) ties heavily on this corpus (duplicate Baidu
+    # result titles share exact scores), so fp-lsb differences in the
+    # distributed wei_sum/vec_module accumulation break ties differently
+    # per build partitioning: scripts/ndcg_reference.py at local[16]/16
+    # shuffle partitions records 74.95; this suite's local[4]/8 build
+    # lands 74.85. Deterministic within a config — pin this config's
+    # value tightly and the cross-config spread as the tolerance.
+    assert m_cov == pytest.approx(74.85, abs=0.02)
+    # both within the published table's envelope (72.08 .. 77.94 ± noise)
+    for m in (m_vsm, m_cov):
+        assert 70.0 < m < 80.0

@@ -311,26 +311,30 @@ def _shingle_pair_counts(
     if max_shingle_df is not None:
         # df census -> hot set -> broadcast anti-join, mirroring the
         # posting skew census in build.py (pow2 doc-range sharding). The
-        # census pass MATERIALIZES the hot set to the driver: it is tiny
-        # by construction (≤ total_occurrences / cap entries, and the
-        # anti-join must broadcast it anyway), so the final plan rebuilds
-        # it from a local relation instead of re-running the exploded
-        # pipeline + census a second time for the join build side.
-        hot_rows = (
+        # hot set stays a DATAFRAME: localCheckpoint materializes the
+        # census once so the anti-join's broadcast build side reads a
+        # checkpointed relation instead of re-running the exploded
+        # pipeline — and, unlike the previous collect()-and-reinline
+        # form, the set itself never round-trips through the driver.
+        # Bounded by occurrences/cap in friendly data, but against
+        # adversarial boilerplate (every shingle hot) that bound is the
+        # whole shingle universe — at 100 TB that must not be a driver
+        # materialization. Only two scalar counts (dropped shingles /
+        # occurrence mass) reach the driver, for the log line.
+        hot = (
             sh.groupBy("sh").agg(F.count("*").alias("sdf"))
             .filter(F.col("sdf") > max_shingle_df)
-            .collect()
+            .localCheckpoint(eager=True)
         )
+        n_hot, occ_hot = hot.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("sdf"), F.lit(0))
+        ).first()
         _LOG.info(
             "ngram_jaccard_pairs hot-shingle cap df>%d: dropped %d shingles, "
             "%d occurrence rows",
-            max_shingle_df, len(hot_rows), sum(r["sdf"] for r in hot_rows),
+            max_shingle_df, int(n_hot), int(occ_hot),
         )
-        if hot_rows:
-            hot = df.sparkSession.createDataFrame(
-                [(r["sh"],) for r in hot_rows], "sh string"
-            )
-            sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
         sizes = None  # from the shared shuffle below
     else:
         # per-doc distinct-shingle counts as row-local column algebra — no
