@@ -307,6 +307,44 @@ def main() -> None:
         timed("prf_search", lambda: entrymod._q_prf_search(spark, sf_dir).count())
         # two-tier champion-list serving with per-query exactness certificate
         timed("tiered_topk", lambda: entrymod._q_tiered_topk(spark, sf_dir).count())
+        # two-tier serving under a ZIPFIAN head (the operator's reason to
+        # exist — the sf documents table has near-uniform dfs, so this row
+        # synthesizes a Zipf(s=1.2) corpus IN-PLAN, no driver data: token
+        # rank k = ceil(u^(-1/(s-1))) from a hashed-position uniform,
+        # capped at the vocab size). Query load is tail-skewed with a
+        # 10% head-poisoned slice; tier-1 fraction rides in extra.
+        def _zipf_bench():
+            from tiny_search_engine_spark.pipeline import retrieval
+
+            n_z = max(2000, n_synth // 2)
+            L, V, sexp = 40, 5000, 1.2
+            zdocs = (
+                spark.range(n_z)
+                .select(F.col("id").alias("doc_id"))
+                .select(
+                    "doc_id",
+                    F.expr(
+                        "array_join(transform(sequence(1, {L}), p -> "
+                        "concat('w', cast(cast(least(cast({V} as double), pow("
+                        "1.0 / ((pmod(xxhash64(doc_id * {L} + p), 1000000) + 0.5) / 1000000.0), "
+                        "{inv}) + 1.0) as long) as string))), ' ')".format(
+                            L=L, V=V, inv=1.0 / (sexp - 1.0)
+                        )
+                    ).alias("text"),
+                )
+                .localCheckpoint()
+            )
+            m = max(50, n_z // 50)
+            queries = [(i, f"w{200 + 3 * i} w{201 + 3 * i}") for i in range(180)]
+            queries += [(180 + i, f"w{1 + i} w{400 + 3 * i}") for i in range(20)]
+            out = retrieval.tiered_topk(zdocs, queries, m=m, k=20)
+            agg = out.groupBy("tier1").count().collect()
+            n_t1 = sum(r["count"] for r in agg if r["tier1"])
+            n_all = sum(r["count"] for r in agg)
+            extra["tiered_zipf_tier1_frac"] = round(n_t1 / max(n_all, 1), 3)
+            return n_all
+
+        timed("tiered_topk_zipf", _zipf_bench)
         # in-order window chains over one materialized hit slice
         timed(
             "ordered_window",

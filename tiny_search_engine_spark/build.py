@@ -885,3 +885,89 @@ def build_index(
         json.dump(meta, f, indent=2)
     _write_lineage(store, "build", {"build_seconds": meta["build_seconds"], "n_docs": n_docs, "stage_seconds": stage_seconds})
     return store
+
+
+def prune_store(
+    spark: SparkSession,
+    src: SegmentStore,
+    out_dir: str,
+    m: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> SegmentStore:
+    """Impact-ordered static pruning of a built segment store (Carmel et
+    al., SIGIR 2001) — the store-to-store twin of
+    pipeline.retrieval.static_index_prune: keep each term's top-``m``
+    postings by rounded BM25 impact (idf from the SOURCE store's stats,
+    ``impact = idf·tf(k1+1)/(tf+k1(1-b+b·dl/avgdl))``, ties to lowest
+    doc_id) and rebuild the compressed posting store from the surviving
+    (term, doc) rows only.
+
+    The rebuild reuses build_index's own resume path: the pruned
+    doc_term is written with its stage marker + lineage (original
+    n_docs, so N and the total-tf idf of UNPRUNED terms are unchanged —
+    a term whose list was never cut scores bit-identically, which is
+    what makes tail-term queries over the pruned store provably equal
+    to the full store), docs_raw/tokens are shared via the source
+    paths being re-read... then term_stats/doc_stats/postings/meta all
+    rebuild through the normal stages. Hot (pruned) terms get idf from
+    their REDUCED ttf — the standard lossy trade recorded in lineage.
+
+    Scale shape: one term-keyed exchange for the top-m window with
+    WindowGroupLimit partial pushdown (rank over ROUNDED impact so an
+    ulp can't change survival), then the ordinary posting build over
+    ≤ m·V rows. The pruned store serves block-max WAND exactly like
+    the full one — smaller lists, fewer shards, less decode work.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    import shutil
+
+    from pyspark.sql import Window
+
+    meta = src.meta()
+    avgdl = float(meta["avg_doc_len"]) or 1.0
+    dt = src.doc_term(spark)
+    idf = src.term_stats(spark).select("term_sign", "idf")
+    impact = F.round(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.lit(avgdl))),
+        6,
+    )
+    w = Window.partitionBy("term_sign").orderBy(
+        F.desc("_imp"), F.asc("doc_id")
+    )
+    pruned = (
+        dt.join(idf, "term_sign", "left")
+        .withColumn("_imp", F.coalesce(impact, F.lit(0.0)))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= m)
+        .select(*dt.columns)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    out = SegmentStore(out_dir)
+    pruned.write.mode("overwrite").parquet(out.doc_term_path)
+    # share the id-map bytes; tokens (if any) are NOT carried — the
+    # pruned store serves the fast path (bm25/wand), not search()
+    shutil.copytree(src.docs_raw_path, out.docs_raw_path, dirs_exist_ok=True)
+    _write_lineage(
+        out,
+        "doc_term",
+        {
+            "pruned_from": src.root,
+            "prune_m": m,
+            "n_docs": int(meta["n_docs"]),
+            "fused_tokenize": False,
+            "jvm_tokenize": False,
+        },
+    )
+    cfg = BuildConfig(
+        tokenizer=meta["tokenizer"],
+        stopwords=frozenset(meta.get("stopwords", [])),
+        block_size=int(meta["block_size"]),
+        postings_per_shard=int(meta["postings_per_shard"]),
+        write_tokens=False,
+        copy_content=bool(meta.get("copy_content", True)),
+    )
+    return build_index(spark, None, out_dir, cfg, resume=True)
