@@ -417,7 +417,8 @@ def _q_knn_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_vec_id"), "embedding"
     )
     return simsearch.knn_ivf(
-        emb, queries, k=IVF_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE
+        emb, queries, k=IVF_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+        routing="cols",
     )
 
 
@@ -437,7 +438,7 @@ def _q_knn_ivf_kmeans(spark, sf_dir):
     )
     return simsearch.knn_ivf(
         emb, queries, k=IVF_K, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
-        codebook="kmeans",
+        codebook="kmeans", routing="cols",
     )
 
 
@@ -928,6 +929,7 @@ def _q_knn_ivfpq(spark, sf_dir):
     return simsearch.knn_ivfpq(
         emb, queries, dim=dim, k=PQ_K, m=PQ_M, n_codes=PQ_CODES,
         n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE, refine=PQ_REFINE,
+        routing="cols",
     )
 
 
@@ -1164,7 +1166,8 @@ def _q_semantic_dedup(spark, sf_dir):
     (same discipline as knn_ivf)."""
     emb = _emb(spark, sf_dir)
     return simsearch.semantic_dedup(
-        emb, n_clusters=SEMDEDUP_CLUSTERS, threshold=SEMDEDUP_THRESHOLD
+        emb, n_clusters=SEMDEDUP_CLUSTERS, threshold=SEMDEDUP_THRESHOLD,
+        routing="cols",
     )
 
 

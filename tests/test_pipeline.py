@@ -212,6 +212,94 @@ def test_ivf_kmeans_codebook_beats_lowest_id(spark):
     assert c1 == c2
 
 
+def test_routing_cols_matches_arrow_udf(spark):
+    """The pure-codegen routing twin (_top_centroids_cols, used by the
+    registry entries so their plans carry no Python eval) must agree
+    with the Arrow matmul UDF on every vector — same 6-dp cosine
+    rounding, same lowest-cid tie rule, including the ±0.0 edge (the
+    0.0−cos normalization) and the zero-vector guard. Fuzzed over
+    random vectors plus crafted ties/zeros, and end-to-end: knn_ivf with
+    routing='cols' equals routing='arrow' row for row."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist()) for i in range(60)]
+    rows += [
+        (100, [0.0] * 8),                                   # zero vector
+        (101, [1.0] + [0.0] * 7),                           # axis-aligned
+        (102, [-1.0] + [0.0] * 7),                          # anti-aligned
+        (103, [0.0, 1.0] + [0.0] * 6),                      # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for codebook in ("lowest_id", "kmeans"):
+        if codebook == "kmeans":
+            cents = simsearch.ivf_centroids_kmeans(emb, 4, seed=7)
+        else:
+            cents = simsearch.ivf_centroids(emb, 4)
+        udf = simsearch._top_centroids_udf(cents, 3)
+        got_u = {
+            r["vec_id"]: r["t"]
+            for r in emb.select("vec_id", udf(F.col("embedding")).alias("t")).collect()
+        }
+        got_c = {
+            r["vec_id"]: r["t"]
+            for r in emb.select(
+                "vec_id",
+                simsearch._top_centroids_cols(cents, 3, F.col("embedding")).alias("t"),
+            ).collect()
+        }
+        assert got_u == got_c, codebook
+    # end-to-end minus the zero vector: knn_ivf's exact rerank divides by
+    # the corpus norm (a zero vector is undefined under cosine — both
+    # routings would raise identically; the router itself guards it above)
+    emb_nz = emb.filter(F.col("vec_id") != 100)
+    q = emb_nz.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+
+    def strip(df):
+        return sorted(
+            (r["query_vec_id"], r["rank"], r["vec_id"], r["cosine"])
+            for r in df.collect()
+        )
+
+    assert strip(
+        simsearch.knn_ivf(emb_nz, q, k=5, n_centroids=4, routing="cols")
+    ) == strip(simsearch.knn_ivf(emb_nz, q, k=5, n_centroids=4, routing="arrow"))
+    with pytest.raises(ValueError):
+        simsearch.knn_ivf(emb, q, routing="nope")
+
+
+def test_ivfpq_residual_beats_unit_encoding(spark):
+    """encode='residual' (the paper's actual IVFADC: per-list codebooks
+    over unit(x)−centroid residuals) must beat the SQL-oracle-friendly
+    unit-vector quantization at EQUAL m/n_codes/n_probe on clustered
+    data — the residual's dynamic range is the within-list spread, so
+    the same code budget buys finer cells. Deterministic fixture,
+    deterministic training (seeded sample/k-means, indexed ties)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 32)) * 3
+    rows = [
+        (i, (centers[i % 8] + rng.standard_normal(32) * 0.4).astype("float32").tolist())
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    exact = simsearch.knn_cosine(emb, q, k=10)
+    kw = dict(dim=32, k=10, m=4, n_codes=8, n_centroids=8, n_probe=2,
+              codebook="kmeans")
+    r_unit = simsearch.ann_recall(exact, simsearch.knn_ivfpq(emb, q, encode="unit", **kw))
+    r_res = simsearch.ann_recall(exact, simsearch.knn_ivfpq(emb, q, encode="residual", **kw))
+    assert r_res > r_unit, (r_res, r_unit)
+    assert r_res >= 0.9, r_res  # measured 0.94 vs 0.67 on this fixture
+    with pytest.raises(ValueError):
+        simsearch.knn_ivfpq(emb, q, encode="nope", **kw)
+
+
 def test_kmeans_oracle_centroids_match_spark_training(spark, monkeypatch):
     """The knn_ivf_kmeans value oracle retrains the codebook OUTSIDE
     Spark (__spark_entry__._kmeans_centroid_literals: python-xxhash64

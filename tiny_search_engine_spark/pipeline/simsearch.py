@@ -170,6 +170,48 @@ def _top_centroids_udf(centroids: list[tuple[int, list[float]]], n_top: int):
     return top_cids
 
 
+def _top_centroids_cols(
+    centroids: list[tuple[int, list[float]]], n_top: int, vec_col
+):
+    """Pure-codegen twin of _top_centroids_udf: the centroids are already
+    driver-side literals (lowest-id OR converged k-means), so routing can
+    be column algebra — per-centroid cosine (inlined centroid + its
+    precomputed norm), then sort_array over (−cos, cid) structs, whose
+    lexicographic ascending order IS (cos desc, cid asc), the UDF's
+    stable-argsort tie rule. ``0.0 − cos`` (not unary minus) normalizes
+    −0.0 to +0.0 so a zero cosine can't order differently from numpy,
+    which treats ±0.0 as equal. No Python in the plan; the Arrow-matmul
+    UDF remains the default batch path (measured faster at small C —
+    see _top_centroids_udf), this twin is the routing='cols' option the
+    plan census exercises."""
+    cids = [cid for cid, _ in centroids]
+    assert all(a < b for a, b in zip(cids, cids[1:])), "centroids must be cid-ascending"
+    vnorm = _norm(vec_col)
+    safe = F.when(vnorm > 0, vnorm).otherwise(F.lit(1.0))
+    entries = []
+    for cid, cv in centroids:
+        cn = float(np.linalg.norm(np.asarray(cv, dtype=np.float64))) or 1.0
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in cv]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        cos = F.round(dot / (safe * F.lit(cn)), 6)
+        entries.append(
+            F.struct(
+                (F.lit(0.0) - cos).alias("nc"), F.lit(int(cid)).alias("cid")
+            )
+        )
+    arr = F.sort_array(F.array(*entries))
+    return F.transform(
+        F.slice(arr, 1, n_top), lambda s: s["cid"].cast("int")
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
@@ -272,17 +314,34 @@ def kmeans_codebook(
     return C
 
 
+def _router(centroids: list[tuple[int, list[float]]], n_top: int, routing: str):
+    """vec_col → array<int> of the n_top nearest centroid ids, same
+    semantics both ways: 'arrow' = the Arrow-batched matmul pandas UDF
+    (default; measured faster at small C), 'cols' = the pure-codegen
+    literal twin (no Python eval in the plan; fuzz-pinned identical in
+    tests). Parity holds because both round cosines to 6 dp and break
+    ties by lowest cid."""
+    if routing == "cols":
+        return lambda vec_col: _top_centroids_cols(centroids, n_top, vec_col)
+    if routing != "arrow":
+        raise ValueError(f"unknown routing {routing!r}; one of ('arrow', 'cols')")
+    udf = _top_centroids_udf(centroids, n_top)
+    return lambda vec_col: udf(vec_col)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    routing: str = "arrow",
 ) -> DataFrame:
     """IVF inverted-list assignment: each vector → nearest centroid
-    (cosine, ties → lowest centroid id) via the Arrow-batched matmul UDF;
+    (cosine, ties → lowest centroid id) via the Arrow-batched matmul UDF
+    (or the codegen literal twin, ``routing='cols'``);
     at scale centroid_id is the partition key of the vector table (the
     posting-list analog of the fulltext index)."""
-    top1 = _top_centroids_udf(centroids, 1)
+    top1 = _router(centroids, 1, routing)
     return corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -300,6 +359,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     qid_col: str = "query_vec_id",
     codebook: str = "lowest_id",
+    routing: str = "arrow",
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus sharded by nearest centroid,
@@ -309,17 +369,19 @@ def knn_ivf(
     ``codebook='lowest_id'`` (the SQL-oracle-reproducible stand-in) or
     ``codebook='kmeans'`` (the real spherical-k-means codebook,
     ivf_centroids_kmeans — better-balanced lists → higher recall at the
-    same n_probe, pinned in test_pipeline.py)."""
+    same n_probe, pinned in test_pipeline.py). ``routing`` picks the
+    centroid-assignment engine: 'arrow' (batch matmul UDF) or 'cols'
+    (pure codegen over the inlined literals, identical output)."""
     if codebook == "kmeans":
         centroids = ivf_centroids_kmeans(
             corpus, n_centroids, id_col, vec_col, seed=seed
         )
     else:
         centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    c = ivf_assign(corpus, centroids, id_col, vec_col, routing).select(
         id_col, F.col(vec_col).alias("cv"), "centroid_id"
     )
-    topn = _top_centroids_udf(centroids, n_probe)
+    topn = _router(centroids, n_probe, routing)
     q = queries.select(
         F.col(qid_col),
         F.col(vec_col).alias("qv"),
@@ -420,31 +482,105 @@ def pq_codebooks(
         raise ValueError(f"sample ({len(X)}) smaller than n_codes ({n_codes})")
     out = []
     for j in range(m):
-        S = X[:, j * dsub : (j + 1) * dsub]
-        rng = np.random.default_rng(seed + j)
-        C = S[rng.choice(len(S), size=n_codes, replace=False)].copy()
-        for _ in range(n_iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(np.round(d2, 12), axis=1)
-            newC = np.zeros_like(C)
-            # reseed each empty cluster with a DISTINCT farthest point —
-            # sharing one argmax would duplicate centroids, permanently
-            # deadening the extra codes (ties always break low)
-            far_order = iter(np.argsort(-d2[np.arange(len(S)), assign], kind="stable"))
-            for c in range(n_codes):
-                members = S[assign == c]
-                if len(members) == 0:
-                    # default guards the (guarded-against, but cheap to
-                    # survive) exhausted-iterator case by duplicating the
-                    # farthest point instead of raising StopIteration
-                    newC[c] = S[int(next(far_order, c % len(S)))]
-                else:
-                    newC[c] = members.mean(axis=0)
-            if np.allclose(newC, C, atol=1e-12):
-                C = newC
-                break
-            C = newC
+        C = _subspace_kmeans(
+            X[:, j * dsub : (j + 1) * dsub], n_codes, n_iters, seed + j
+        )
         out.append([row.tolist() for row in C])
+    return out
+
+
+def _subspace_kmeans(
+    S: "np.ndarray", n_codes: int, n_iters: int, seed: int
+) -> "np.ndarray":
+    """Deterministic L2 Lloyd over one subspace's sample rows (shared by
+    the unit-vector and residual codebook trainers). Sampling with
+    replacement when the sample is thinner than n_codes keeps per-list
+    residual training alive on sparse lists (duplicate seeds separate on
+    the first farthest-point reseed)."""
+    rng = np.random.default_rng(seed)
+    C = S[rng.choice(len(S), size=n_codes, replace=len(S) < n_codes)].copy()
+    for _ in range(n_iters):
+        d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(np.round(d2, 12), axis=1)
+        newC = np.zeros_like(C)
+        # reseed each empty cluster with a DISTINCT farthest point —
+        # sharing one argmax would duplicate centroids, permanently
+        # deadening the extra codes (ties always break low)
+        far_order = iter(np.argsort(-d2[np.arange(len(S)), assign], kind="stable"))
+        for c in range(n_codes):
+            members = S[assign == c]
+            if len(members) == 0:
+                # default guards the (guarded-against, but cheap to
+                # survive) exhausted-iterator case by duplicating the
+                # farthest point instead of raising StopIteration
+                newC[c] = S[int(next(far_order, c % len(S)))]
+            else:
+                newC[c] = members.mean(axis=0)
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return C
+
+
+def residual_codebooks(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> dict[int, list[list[list[float]]]]:
+    """Per-IVF-list residual PQ codebooks (Jégou et al. 2011 §V / IVFADC
+    with local codebooks): for each list, train per-subspace L2 k-means
+    over the residuals ``unit(x) − centroid`` of the sample vectors
+    routed to that list — so the codes quantize what ADC actually
+    measures instead of the raw unit vector (the documented
+    simplification this retires, behind ``knn_ivfpq(encode="residual")``).
+
+    Deterministic and driver-bounded exactly like ivf_centroids_kmeans:
+    the same xxhash64-ordered sample, assignment replayed with
+    _top_centroids_udf's own semantics (cosine rounded to 6, stable
+    ties to the lowest cid), k-means ties by index. A list with no
+    sample members falls back to the global residual pool so every list
+    has a live codebook. Iterative training → rows-only check territory
+    (the knn_ivf_kmeans situation); recall superiority over unit-vector
+    codes at equal m/n_codes is pinned in tests."""
+    dsub = dim // m
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = (
+        corpus.select(F.col(id_col), _unit(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(int(sample_size))
+        .collect()
+    )
+    X = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    C = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    xn = np.linalg.norm(X, axis=1)
+    xn[xn == 0] = 1.0
+    cos = np.round(X @ C.T / (xn[:, None] * cn[None, :]), 6)
+    assign = cids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
+    out: dict[int, list[list[list[float]]]] = {}
+    for li, cid in enumerate(cids):
+        members = X[assign == cid]
+        pool = members if len(members) > 0 else X
+        R = pool - C[li]
+        cbs = []
+        for j in range(m):
+            Cj = _subspace_kmeans(
+                R[:, j * dsub : (j + 1) * dsub], n_codes, n_iters,
+                seed + 101 * li + j,
+            )
+            cbs.append([row.tolist() for row in Cj])
+        out[int(cid)] = cbs
     return out
 
 
@@ -591,6 +727,8 @@ def knn_ivfpq(
     n_probe: int = 4,
     refine: int = 3,
     codebook: str = "lowest_id",
+    encode: str = "unit",
+    routing: str = "arrow",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_vec_id",
@@ -607,11 +745,16 @@ def knn_ivfpq(
     rerank, as in knn_pq — output precision exact, recall approximate
     and bounded below by the probed-list candidate set.
 
-    Simplification vs the paper, for value-exact SQL oracle coverage:
-    codes quantize the unit vector itself, not the residual
-    (x − centroid) — residual encoding needs per-list codebooks whose
-    training is iterative (the knn_ivf_kmeans rows-only situation);
-    structure-wise the routing, storage and scan shape are IVFADC's.
+    ``encode`` picks the quantization target. ``"unit"`` codes quantize
+    the unit vector itself — a simplification vs the paper that keeps
+    the whole path value-exact under the SQL oracle. ``"residual"`` is
+    the paper's actual IVFADC: per-LIST codebooks trained on the
+    residuals ``unit(x) − centroid`` (residual_codebooks; iterative →
+    rows-only, like knn_ivf_kmeans), codes/LUTs measure the residual so
+    quantization error shrinks with list locality — recall at equal
+    m/n_codes is pinned ≥ the unit path in tests. The per-list
+    codebooks ride a BROADCAST join on centroid_id (model-sized: one
+    row per list), after which encode/ADC stay pure codegen.
 
     Scale shape: at rest each vector is (id, centroid_id, m codes) —
     centroid_id is the partition key of the code table (the posting-list
@@ -620,39 +763,109 @@ def knn_ivfpq(
     n_queries × n_probe LUT rows. ``codebook`` picks lowest_id
     (SQL-reproducible; the driver oracle ``knn_ivfpq``) or kmeans (real
     codebooks for both IVF and PQ; rows-only, recall pinned in tests)."""
+    if encode not in ("unit", "residual"):
+        raise ValueError(f"unknown encode {encode!r}; one of ('unit', 'residual')")
     if codebook == "kmeans":
         centroids = ivf_centroids_kmeans(
             corpus, n_centroids, id_col, vec_col, seed=seed
         )
     else:
         centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    cbs = pq_codebooks(
-        corpus, dim, m=m, n_codes=n_codes, method=codebook,
-        id_col=id_col, vec_col=vec_col, seed=seed,
-    )
     dsub = dim // m
-    top1 = _top_centroids_udf(centroids, 1)
-    # one map pass: PQ codes (column algebra) + IVF list id (Arrow matmul)
-    enc = pq_encode(corpus, cbs, id_col, vec_col).select(
-        F.col(id_col),
-        F.col("codes"),
-        top1(F.col(vec_col))[0].alias("centroid_id"),
-    )
-    qu = queries.select(
-        F.col(qid_col), F.col(vec_col).alias("_qv"), _unit(F.col(vec_col)).alias("_qu")
-    )
+    top1 = _router(centroids, 1, routing)
+    topn = _router(centroids, n_probe, routing)
+    if encode == "residual":
+        # per-list residual codebooks ride ONE broadcast join on the list
+        # id (model-sized: a row per centroid); encode and LUTs are then
+        # pure codegen over the joined arrays
+        rcbs = residual_codebooks(
+            corpus, centroids, dim, m=m, n_codes=n_codes,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+        cb_df = corpus.sparkSession.createDataFrame(
+            [
+                (int(cid), [float(x) for x in cv], rcbs[int(cid)])
+                for cid, cv in centroids
+            ],
+            "centroid_id long, _cv array<double>, _cbs array<array<array<double>>>",
+        )
 
-    def _lut_fn(j: int):
-        # unary on purpose — a second lambda param would bind the index
-        return lambda code: _l2sq(_sub(F.col("_qu"), j, dsub), code)
+        def _rdist_fn(j: int):
+            return lambda code: F.round(_l2sq(_sub(F.col("_res"), j, dsub), code), 6)
 
-    luts = F.array(*[F.transform(_cb_lit(cbs[j]), _lut_fn(j)) for j in range(m)])
-    topn = _top_centroids_udf(centroids, n_probe)
-    qlut = qu.select(
-        F.col(qid_col),
-        luts.alias("_luts"),
-        F.explode(topn(F.col("_qv"))).alias("centroid_id"),
-    )
+        enc = (
+            corpus.select(
+                F.col(id_col),
+                _unit(F.col(vec_col)).alias("_u"),
+                top1(F.col(vec_col))[0].cast("long").alias("centroid_id"),
+            )
+            .join(F.broadcast(cb_df), "centroid_id")
+            .withColumn(
+                "_res", F.zip_with(F.col("_u"), F.col("_cv"), lambda x, y: x - y)
+            )
+        )
+        rcodes = []
+        for j in range(m):
+            dists = F.transform(F.col("_cbs")[j], _rdist_fn(j))
+            rcodes.append(
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            )
+        enc = enc.select(
+            F.col(id_col), F.array(*rcodes).alias("codes"), "centroid_id"
+        )
+
+        def _rlut_fn(j: int):
+            return lambda code: _l2sq(_sub(F.col("_rq"), j, dsub), code)
+
+        qlut = (
+            queries.select(
+                F.col(qid_col),
+                F.col(vec_col).alias("_qv"),
+                _unit(F.col(vec_col)).alias("_qu"),
+            )
+            .select(
+                F.col(qid_col),
+                F.col("_qu"),
+                F.explode(topn(F.col("_qv"))).alias("_cid"),
+            )
+            .withColumn("centroid_id", F.col("_cid").cast("long"))
+            .join(F.broadcast(cb_df), "centroid_id")
+            .withColumn(
+                "_rq", F.zip_with(F.col("_qu"), F.col("_cv"), lambda x, y: x - y)
+            )
+            .select(
+                F.col(qid_col),
+                F.array(
+                    *[F.transform(F.col("_cbs")[j], _rlut_fn(j)) for j in range(m)]
+                ).alias("_luts"),
+                "centroid_id",
+            )
+        )
+    else:
+        cbs = pq_codebooks(
+            corpus, dim, m=m, n_codes=n_codes, method=codebook,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+        # one map pass: PQ codes (column algebra) + IVF list id (Arrow matmul)
+        enc = pq_encode(corpus, cbs, id_col, vec_col).select(
+            F.col(id_col),
+            F.col("codes"),
+            top1(F.col(vec_col))[0].alias("centroid_id"),
+        )
+        qu = queries.select(
+            F.col(qid_col), F.col(vec_col).alias("_qv"), _unit(F.col(vec_col)).alias("_qu")
+        )
+
+        def _lut_fn(j: int):
+            # unary on purpose — a second lambda param would bind the index
+            return lambda code: _l2sq(_sub(F.col("_qu"), j, dsub), code)
+
+        luts = F.array(*[F.transform(_cb_lit(cbs[j]), _lut_fn(j)) for j in range(m)])
+        qlut = qu.select(
+            F.col(qid_col),
+            luts.alias("_luts"),
+            F.explode(topn(F.col("_qv"))).alias("centroid_id"),
+        )
     adc = F.round(
         F.aggregate(
             F.zip_with(
@@ -700,6 +913,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.95,
     codebook: str = "lowest_id",
+    routing: str = "arrow",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -753,7 +967,7 @@ def semantic_dedup(
             )
         else:
             centroids = ivf_centroids(corpus, n_clusters, id_col, vec_col)
-        assign = ivf_assign(corpus, centroids, id_col, vec_col)
+        assign = ivf_assign(corpus, centroids, id_col, vec_col, routing)
     left = assign.select(
         F.col(id_col), F.col(vec_col).alias("_v"), "centroid_id"
     )
