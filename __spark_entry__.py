@@ -2030,7 +2030,11 @@ def _q_tiered_topk(spark, sf_dir):
     output is provably exact full BM25 either way, which is what the
     plain unpruned SQL oracle verifies. m=395 splits the synthetic
     QUERY_SET's near-uniform dfs (376-402 at sf0.01) so BOTH branches
-    run under the driver; real Zipfian vocabularies split at any m."""
+    run under the driver; the operator's actual reason to exist — a
+    Zipfian head — is stress-pinned separately
+    (tests/test_retrieval.py::test_tiered_topk_zipf_head: >=80% of a
+    tail-skewed load served tier-1 with certificates, champion lists
+    exactly m deep) and benched (tiered_topk_zipf row)."""
     from tiny_search_engine_spark.pipeline import retrieval
 
     return retrieval.tiered_topk(_docs(spark, sf_dir), QUERY_SET, m=395, k=20)

@@ -133,6 +133,37 @@ def main() -> None:
         timed("bm25_exact_100q", lambda: eng.bm25_topk(queries[:100], k=20).count())
         extra["wand_qps"] = round(len(queries) / timings["wand_topk_1000q"], 2)
 
+        # ---- doc_id-bucketed forward layout (BuildConfig.bucket_tables):
+        # the exact path's records window / doc_stats join / (q,d) agg all
+        # read the bucketed scan's hash partitioning — one hash exchange
+        # left (the per-query rank window). The build pays one extra
+        # write-time shuffle; every query batch saves one after that.
+        bstore = timed(
+            "index_build_bucketed",
+            lambda: build_index(
+                spark,
+                src,
+                os.path.join(work, "store_bucketed"),
+                BuildConfig(
+                    tokenizer="code",
+                    stopwords=frozenset(make_stopwords()),
+                    write_tokens=False,
+                    copy_content=False,
+                    per_bucket_metrics=False,
+                    bucket_tables=cpus,
+                ),
+            ),
+        )
+        beng = QueryEngine(spark, bstore, QueryConfig(profile="standard", compat="fixed"))
+        # 500-query batch for the A/B: the saved exchange scales with the
+        # matched-row volume (batch size), the bucketed scan's fixed task
+        # count doesn't — measured crossover is past ~100 queries locally
+        timed("bm25_exact_500q", lambda: eng.bm25_topk(queries[:500], k=20).count())
+        timed(
+            "bm25_exact_500q_bucketed",
+            lambda: beng.bm25_topk(queries[:500], k=20).count(),
+        )
+
         # ---- full feature pipeline needs the positional token table +
         # content (parity store; smaller corpus) ----
         psrc = source_files(spark, max(2000, n_synth // 5), seed=42).cache()

@@ -155,3 +155,55 @@ def test_jvm_tokenize_true_requires_spec(spark, tmp_path):
             BuildConfig(tokenizer="dict_jvm_test", write_tokens=False,
                         jvm_tokenize=True),
         )
+
+
+def test_bucketed_store_exchange_free_and_identical(spark, tmp_path):
+    """BuildConfig.bucket_tables: the forward tables (doc_term /
+    doc_stats / tokens) written doc_id-bucketed make every doc_id-keyed
+    join/window in the exact query paths plan WITHOUT a shuffle
+    exchange — bm25_topk's only remaining hash exchange is the final
+    per-query top-k window — while results stay bit-identical to the
+    plain-parquet store, across resume and re-registration."""
+    from tiny_search_engine_spark.config import QueryConfig
+    from tiny_search_engine_spark.query import QueryEngine
+    from tiny_search_engine_spark.synth import make_queries, make_stopwords
+
+    src = source_files(spark, 300, seed=9)
+    stop = frozenset(make_stopwords())
+    plain = build_index(
+        spark, src, str(tmp_path / "plain"), BuildConfig(stopwords=stop)
+    )
+    buck = build_index(
+        spark, src, str(tmp_path / "buck"),
+        BuildConfig(stopwords=stop, bucket_tables=8),
+    )
+    assert buck.meta()["bucket_tables"] == 8
+    qs = [(i, q) for i, q in enumerate(make_queries(6, seed=5))]
+    ep = QueryEngine(spark, plain, QueryConfig(profile="standard", compat="fixed"))
+    eb = QueryEngine(spark, buck, QueryConfig(profile="standard", compat="fixed"))
+
+    def strip(df, score):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r[score], 9))
+            for r in df.collect()
+        )
+
+    assert strip(ep.bm25_topk(qs, k=10), "bm25") == strip(eb.bm25_topk(qs, k=10), "bm25")
+    assert strip(ep.search(qs, k=5), "final_score") == strip(
+        eb.search(qs, k=5), "final_score"
+    )
+    # plan pin: the bucketed scan's hash partitioning satisfies the
+    # records window, the doc_stats join and the (query,doc) aggregate —
+    # one hash exchange remains (the per-query rank window, irreducible)
+    plan_p = ep.bm25_topk(qs, k=10)._jdf.queryExecution().executedPlan().toString()
+    plan_b = eb.bm25_topk(qs, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert plan_b.count("Exchange hashpartitioning") == 1
+    assert plan_p.count("Exchange hashpartitioning") > 1
+    assert "Bucketed: true" in plan_b
+    # resume on the bucketed store is a no-op rebuild with same results
+    buck2 = build_index(
+        spark, src, str(tmp_path / "buck"),
+        BuildConfig(stopwords=stop, bucket_tables=8),
+    )
+    eb2 = QueryEngine(spark, buck2, QueryConfig(profile="standard", compat="fixed"))
+    assert strip(eb2.bm25_topk(qs, k=10), "bm25") == strip(eb.bm25_topk(qs, k=10), "bm25")

@@ -123,7 +123,7 @@ class SegmentStore:
         return spark.read.parquet(self.docs_raw_path)
 
     def doc_stats(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.doc_stats_path)
+        return self._forward(spark, "doc_stats", self.doc_stats_path)
 
     def docs(self, spark: SparkSession) -> DataFrame:
         """Forward-table view: id-map ⋈ per-doc stats (inner join drops
@@ -132,11 +132,24 @@ class SegmentStore:
         need stats should read ``doc_stats`` directly."""
         return self.docs_raw(spark).join(self.doc_stats(spark), "doc_id")
 
+    def _forward(self, spark: SparkSession, name: str, path: str) -> DataFrame:
+        """Read a forward-side table: the doc_id-bucketed catalog table
+        when this store was built with BuildConfig.bucket_tables (the
+        scan then reports hash partitioning → doc_id-keyed joins/windows
+        go exchange-free), else the plain parquet dir."""
+        try:
+            n = int(self.meta().get("bucket_tables", 0) or 0)
+        except (FileNotFoundError, json.JSONDecodeError, ValueError):
+            n = 0
+        if n > 0:
+            return _register_bucketed(spark, self.root, name, path, n)
+        return spark.read.parquet(path)
+
     def tokens(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.tokens_path)
+        return self._forward(spark, "tokens", self.tokens_path)
 
     def doc_term(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.doc_term_path)
+        return self._forward(spark, "doc_term", self.doc_term_path)
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.term_stats_path)
@@ -147,6 +160,45 @@ class SegmentStore:
 
 def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _store_db(spark: SparkSession, root: str) -> str:
+    """Per-store catalog database rooted AT the store directory, so
+    bucketed forward tables (BuildConfig.bucket_tables) land in the same
+    ``<root>/<name>`` dirs plain parquet writes use — a store is one
+    self-contained directory either way. The db name is content-free
+    (path hash) so two stores never collide in a shared session."""
+    import hashlib
+
+    root = os.path.abspath(root)
+    token = hashlib.md5(root.encode()).hexdigest()[:10]
+    db = f"tse_store_{token}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{root}'")
+    return db
+
+
+def _register_bucketed(
+    spark: SparkSession, root: str, name: str, path: str, n_buckets: int
+) -> DataFrame:
+    """Re-register (idempotently) a bucketed forward table written by a
+    previous session and return it. Spark's bucket layout is just file
+    naming + catalog metadata, so an EXTERNAL ``CLUSTERED BY`` table
+    over the existing files restores the scan-reports-hash-partitioning
+    property that makes doc_id-keyed joins/windows exchange-free
+    (prototype-pinned in tests/test_fast_build.py)."""
+    db = _store_db(spark, root)
+    full = f"{db}.{name}"
+    if not spark.catalog.tableExists(full):
+        schema = spark.read.parquet(path).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {full} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO {int(n_buckets)} BUCKETS "
+            f"LOCATION '{os.path.abspath(path)}'"
+        )
+    return spark.table(full)
 
 
 def _write_lineage(store: SegmentStore, stage: str, payload: dict) -> None:
@@ -452,6 +504,28 @@ def build_index(
             .distinct()
         )
 
+    # forward-table write/read seam: plain parquet dirs, or (when
+    # cfg.bucket_tables) doc_id-bucketed tables in the SAME dirs —
+    # downstream doc_id-keyed joins/windows then plan without exchanges
+    def _write_forward(df: DataFrame, name: str, path: str) -> None:
+        if cfg.bucket_tables:
+            db = _store_db(spark, store.root)
+            (
+                df.write.format("parquet").mode("overwrite")
+                .bucketBy(int(cfg.bucket_tables), "doc_id")
+                .sortBy("doc_id")
+                .saveAsTable(f"{db}.{name}")
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    def _read_forward(name: str, path: str) -> DataFrame:
+        if cfg.bucket_tables:
+            return _register_bucketed(
+                spark, store.root, name, path, cfg.bucket_tables
+            )
+        return spark.read.parquet(path)
+
     # Independent stages run CONCURRENTLY (two threads submitting Spark
     # actions): docs_raw ∥ tokens→doc_term, then doc_stats ∥ postings.
     # On a cluster this keeps executors busy through each other's stage
@@ -500,9 +574,9 @@ def build_index(
                 .mapInPandas(tok_fn, "doc_id long, pos int, term string, offset int, length int, dup int")
                 .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
             )
-            tokens.write.mode("overwrite").parquet(store.tokens_path)
+            _write_forward(tokens, "tokens", store.tokens_path)
             _write_lineage(store, "tokens", {"tokenizer": cfg.tokenizer})
-        return spark.read.parquet(store.tokens_path)
+        return _read_forward("tokens", store.tokens_path)
 
     def job_doc_term() -> tuple[DataFrame, int | None]:
         if cfg.jvm_tokenize and cfg.write_tokens:
@@ -592,12 +666,19 @@ def build_index(
             # rides the write via observe(): exactly one doc_term row per
             # doc has first_idx == 0 (the term at token position 0) — no
             # separate distinct-count job over the table.
-            if cfg.cache_doc_term:
+            if cfg.cache_doc_term and not cfg.bucket_tables:
+                # bucketed mode re-reads the written table below (its scan
+                # carries the hash partitioning) — persisting the
+                # pre-write lineage would only cache a dead plan
                 doc_term = doc_term.persist()
             obs = Observation("doc_term_metrics")
-            doc_term.observe(
-                obs, F.sum((F.col("first_idx") == 0).cast("long")).alias("n_docs")
-            ).write.mode("overwrite").parquet(store.doc_term_path)
+            _write_forward(
+                doc_term.observe(
+                    obs, F.sum((F.col("first_idx") == 0).cast("long")).alias("n_docs")
+                ),
+                "doc_term",
+                store.doc_term_path,
+            )
             n_docs = int(obs.get["n_docs"] or 0)
             _write_lineage(
                 store,
@@ -608,8 +689,15 @@ def build_index(
                     "n_docs": n_docs,
                 },
             )
+            if cfg.bucket_tables:
+                # hand downstream the bucketed READ (scan reports doc_id
+                # hash partitioning → the doc_stats groupBy plans without
+                # an exchange), not the unpartitioned in-memory lineage
+                doc_term = _read_forward("doc_term", store.doc_term_path)
+                if cfg.cache_doc_term:
+                    doc_term = doc_term.persist()
             return doc_term, n_docs
-        return spark.read.parquet(store.doc_term_path), None
+        return _read_forward("doc_term", store.doc_term_path), None
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -711,7 +799,7 @@ def build_index(
             doc_stats = doc_stats.observe(
                 obs_ds, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("dl")
             )
-            doc_stats.write.mode("overwrite").parquet(store.doc_stats_path)
+            _write_forward(doc_stats, "doc_stats", store.doc_stats_path)
             got = obs_ds.get
             stats_n = int(got["n"] or 0)
             avg_doc_len = float(got["dl"] or 0) / max(stats_n, 1)
@@ -876,6 +964,7 @@ def build_index(
         "block_size": cfg.block_size,
         "postings_per_shard": cfg.postings_per_shard,
         "stopwords": stop_terms,
+        "bucket_tables": cfg.bucket_tables,
         "write_tokens": cfg.write_tokens,
         "copy_content": cfg.copy_content,
         "built_at": _utcnow(),

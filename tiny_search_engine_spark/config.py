@@ -117,6 +117,18 @@ class BuildConfig:
     # runs off the sorted stream (no agg buffers, no per-list argsort);
     # 'agg' = groupBy + collect_list. Identical output (tests pin it).
     posting_grouping: str = "sort"
+    # forward-side table layout: 0 = plain parquet dirs (default);
+    # N > 0 = write doc_term / doc_stats / tokens as hash-BUCKETED
+    # tables on doc_id (N buckets, bucket-sorted), the declarative
+    # co-located-join layout pipeline.layout.write_bucketed provides for
+    # corpus tables, wired into the segment store itself. Every
+    # doc_id-keyed join/groupBy/window the exact query paths run per
+    # batch (records window, doc_stats join, candidate-doc semi-joins)
+    # then plans WITHOUT a shuffle exchange — the scan reports hash
+    # partitioning. Readers re-register the external bucketed tables per
+    # session (SegmentStore._bucketed_table); production = Iceberg
+    # bucket(N, doc_id) partition transforms.
+    bucket_tables: int = 0
 
 
 @dataclass
