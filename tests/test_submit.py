@@ -183,3 +183,38 @@ def test_classify_subcommand(spark, tmp_path, capsys):
     # recover the language for most docs
     acc = got.filter(F.col("pred_label") == F.col("lang")).count() / 80
     assert acc >= 0.6, acc
+
+
+def test_prune_subcommand(spark, tmp_path, capsys):
+    """`tse_job prune`: store-to-store static pruning — summary reports
+    the posting-mass reduction, the pruned store serves WAND, and a
+    tail-term query (df <= m) returns results identical to the source
+    store."""
+    from tiny_search_engine_spark.build import BuildConfig, build_index
+    from tiny_search_engine_spark.config import QueryConfig
+    from tiny_search_engine_spark.jobs import main_prune
+    from tiny_search_engine_spark.query import QueryEngine
+
+    src = source_files(spark, 150, seed=13)
+    full = build_index(
+        spark, src, str(tmp_path / "full"),
+        BuildConfig(write_tokens=False),
+    )
+    out = str(tmp_path / "pruned")
+    rc = main_prune(["--store", full.root, "--out", out, "--m", "40"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["pruned_n_postings"] < summary["source_n_postings"]
+    assert summary["n_docs"] == full.meta()["n_docs"]
+    # pick a genuinely-tail term and pin bit-identical serving
+    ts = full.term_stats(spark)
+    term = (
+        ts.filter("df >= 3 AND df <= 40").orderBy("term_sign").first()["term"]
+    )
+    from tiny_search_engine_spark.build import SegmentStore
+
+    qe_f = QueryEngine(spark, full, QueryConfig(profile="standard"))
+    qe_p = QueryEngine(spark, SegmentStore(out), QueryConfig(profile="standard"))
+    rf = [(r["rank"], r["doc_id"], r["bm25"]) for r in qe_f.wand_topk([(0, term)], k=10).collect()]
+    rp = [(r["rank"], r["doc_id"], r["bm25"]) for r in qe_p.wand_topk([(0, term)], k=10).collect()]
+    assert rf and sorted(rf) == sorted(rp)

@@ -134,6 +134,9 @@ def main_build(argv: list[str]) -> int:
     p.add_argument("--copy-content", action="store_true", help="copy content into the store (default: id-map only)")
     p.add_argument("--block-size", type=int, default=128)
     p.add_argument("--postings-per-shard", type=int, default=1 << 20)
+    p.add_argument("--bucket-tables", type=int, default=0,
+                   help="write forward tables doc_id-bucketed into N buckets "
+                        "(exchange-free doc-side joins at query time; 0 = plain parquet)")
     p.add_argument("--verify-sha256", action="store_true", help="re-scan the source and assert per-row content sha256 equality")
     a = p.parse_args(argv)
 
@@ -150,6 +153,7 @@ def main_build(argv: list[str]) -> int:
         copy_content=a.copy_content,
         block_size=a.block_size,
         postings_per_shard=a.postings_per_shard,
+        bucket_tables=a.bucket_tables,
     )
     store = build_index(spark, src, a.out, cfg, resume=not a.no_resume)
     meta = store.meta()
@@ -374,6 +378,39 @@ def main_classify(argv: list[str]) -> int:
     return 0
 
 
+def main_prune(argv: list[str]) -> int:
+    """Impact-ordered static pruning of a built store (build.prune_store,
+    Carmel et al. 2001): keep each term's top-m postings by rounded BM25
+    impact and rebuild the compressed posting store — tail-term WAND
+    queries score bit-identically to the source store, hot terms trade
+    bounded recall for a ~m/avg_df-sized index."""
+    import os
+
+    from .build import SegmentStore, prune_store
+
+    p = argparse.ArgumentParser(prog="tse_job prune")
+    p.add_argument("--store", required=True, help="source segment store")
+    p.add_argument("--out", required=True, help="pruned store directory")
+    p.add_argument("--m", type=int, required=True, help="postings kept per term")
+    p.add_argument("--k1", type=float, default=1.2)
+    p.add_argument("--b", type=float, default=0.75)
+    a = p.parse_args(argv)
+
+    spark = job_session("tse_prune")
+    out = prune_store(spark, SegmentStore(a.store), a.out, m=a.m, k1=a.k1, b=a.b)
+    src_lin = os.path.join(SegmentStore(a.store).lineage_path, "postings.json")
+    out_lin = os.path.join(out.lineage_path, "postings.json")
+    summary = {"store": a.out, "m": a.m, "n_docs": out.meta()["n_docs"]}
+    for tag, path in (("source", src_lin), ("pruned", out_lin)):
+        if os.path.exists(path):
+            with open(path) as fh:
+                j = json.load(fh)
+            summary[f"{tag}_n_postings"] = j.get("n_postings")
+            summary[f"{tag}_bytes_total"] = j.get("bytes_total")
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
@@ -392,7 +429,9 @@ def main(argv: list[str] | None = None) -> int:
         return main_select(rest)
     if cmd == "classify":
         return main_classify(rest)
-    print(f"unknown command {cmd!r} (expected: build | query | grep | shards | select | classify)", file=sys.stderr)
+    if cmd == "prune":
+        return main_prune(rest)
+    print(f"unknown command {cmd!r} (expected: build | query | grep | shards | select | classify | prune)", file=sys.stderr)
     return 2
 
 
