@@ -255,11 +255,27 @@ def main() -> None:
         # flat ADC touches n_queries × corpus rows, routed touches
         # n_probe/n_centroids of that (1/4 here) — the gap widens linearly
         # with corpus size.
-        timed("knn_ivfpq", lambda: entrymod._q_knn_ivfpq(spark, sf_dir).count())
+        # NB: benches the op at its default routing='arrow' (the faster
+        # batch path), like the knn_ivf rows above; the registry twin
+        # _q_knn_ivfpq uses routing='cols' so its PLAN carries no python
+        # eval — same output (parity-pinned), different engine, and the
+        # cols variant costs ~+25% here (codegen per-centroid HOFs vs one
+        # Arrow matmul — the measured reason arrow stays the default)
+        pq_dim = len(emb.select("embedding").first()[0])
+        ivf_q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_vec_id"), "embedding"
+        )
+        timed(
+            "knn_ivfpq",
+            lambda: simsearch.knn_ivfpq(
+                emb, ivf_q, dim=pq_dim, k=entrymod.PQ_K, m=entrymod.PQ_M,
+                n_codes=entrymod.PQ_CODES, n_centroids=entrymod.IVF_CENTROIDS,
+                n_probe=entrymod.IVF_PROBE, refine=entrymod.PQ_REFINE,
+            ).count(),
+        )
         pq_batch = emb.filter(F.col("vec_id") < 500).select(
             F.col("vec_id").alias("query_vec_id"), "embedding"
         )
-        pq_dim = len(emb.select("embedding").first()[0])
         timed(
             "knn_pq_500q_flat",
             lambda: simsearch.knn_pq(
