@@ -289,6 +289,19 @@ def main() -> None:
                 n_centroids=16, n_probe=4, refine=3,
             ).count(),
         )
+        # the paper's actual IVFADC (per-list residual codebooks,
+        # kmeans-trained): same routed scan shape + one broadcast join
+        # for the codebooks — the recall winner at equal code budget
+        # (test_pipeline.py pins 0.94 vs 0.67); this row shows the
+        # serving cost is in the same family as the unit-code path
+        timed(
+            "knn_ivfpq_500q_residual",
+            lambda: simsearch.knn_ivfpq(
+                emb, pq_batch, dim=pq_dim, k=10, m=8, n_codes=8,
+                n_centroids=16, n_probe=4, refine=3,
+                codebook="kmeans", encode="residual",
+            ).count(),
+        )
         # cluster-bounded embedding dedup + dictionary-sized fuzzy correction
         timed("semantic_dedup", lambda: entrymod._q_semantic_dedup(spark, sf_dir).count())
         timed("spell_correct", lambda: entrymod._q_spell_correct(spark, sf_dir).count())

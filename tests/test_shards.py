@@ -167,3 +167,35 @@ def test_fused_and_join_paths_identical(corpus):
     assert a == b
     want, _, _ = _brute_chunks(rows, 8)
     assert a == want
+
+
+def test_derive_vocab_bounds(corpus, spark):
+    """max_vocab / min_freq make the broadcast-dict size bound explicit:
+    capped vocab keeps the TOP-ranked ids (df desc, term asc — dense,
+    stable prefix of the unbounded ranking), rare terms drop with
+    min_freq, and the OOV id absorbs everything cut."""
+    import pytest as _pytest
+
+    terms = (
+        ["alpha"] * 5 + ["beta"] * 4 + ["gamma"] * 3 + ["delta"] * 2
+        + ["eps", "zeta", "eta", "theta", "iota", "kappa", "lam", "mu"]
+    )
+    toks = spark.createDataFrame([(t,) for t in terms], "term string")
+    full = {r["term"]: r["token_id"] for r in shards.derive_vocab(toks).collect()}
+    capped = {
+        r["term"]: r["token_id"]
+        for r in shards.derive_vocab(toks, max_vocab=5).collect()
+    }
+    assert len(capped) == 5
+    # the capped vocab IS the top-5 prefix of the full ranking
+    assert capped == {t: i for t, i in full.items() if i < 5}
+    mf = {
+        r["term"]: r["token_id"]
+        for r in shards.derive_vocab(toks, min_freq=3).collect()
+    }
+    assert set(mf) == {"alpha", "beta", "gamma"}
+    assert sorted(mf.values()) == [0, 1, 2]  # ids stay dense after the cut
+    with _pytest.raises(ValueError):
+        shards.derive_vocab(toks, max_vocab=0)
+    with _pytest.raises(ValueError):
+        shards.derive_vocab(toks, min_freq=0)

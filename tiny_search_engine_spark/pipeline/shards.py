@@ -39,16 +39,34 @@ from .packing import pack_from_lengths
 _TOK_SCHEMA = "doc_id long, pos int, term string, offset int, length int, dup int"
 
 
-def derive_vocab(tokens: DataFrame) -> DataFrame:
+def derive_vocab(
+    tokens: DataFrame, max_vocab: int | None = None, min_freq: int = 1
+) -> DataFrame:
     """(term, token_id) with dense ids ranked by (df desc, term asc) —
-    deterministic on any engine (binary string collation both sides)."""
+    deterministic on any engine (binary string collation both sides).
+
+    ``max_vocab`` / ``min_freq`` make the model-size assumption EXPLICIT:
+    downstream the vocab is collect()ed into a broadcast dict for the
+    fused id-lookup pass (the same model-sized bound every tokenizer
+    broadcast makes — fine at 32-256k entries, driver-fatal on an
+    unbounded raw-term universe at 100 TB). Real pipelines should pass
+    ``max_vocab`` (the TakeOrdered cap means only that many rows can
+    ever reach the driver); the unbounded default is kept for the
+    small-corpus oracle paths, whose vocab IS the whole universe."""
+    if min_freq < 1:
+        raise ValueError(f"min_freq must be >= 1, got {min_freq}")
     w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
-    return (
-        tokens.groupBy("term")
-        .agg(F.count("*").alias("n"))
-        .withColumn("token_id", F.row_number().over(w) - 1)
-        .select("term", "token_id")
+    out = tokens.groupBy("term").agg(F.count("*").alias("n"))
+    if min_freq > 1:
+        out = out.filter(F.col("n") >= min_freq)
+    out = out.withColumn("token_id", F.row_number().over(w) - 1).select(
+        "term", "token_id"
     )
+    if max_vocab is not None:
+        if max_vocab < 1:
+            raise ValueError(f"max_vocab must be >= 1, got {max_vocab}")
+        out = out.filter(F.col("token_id") < max_vocab)
+    return out
 
 
 def _make_lower_terms_iterator(mode: str, id_col: str, text_col: str):
