@@ -198,6 +198,10 @@ def _register_bucketed(
             f"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO {int(n_buckets)} BUCKETS "
             f"LOCATION '{os.path.abspath(path)}'"
         )
+    else:
+        # the table may predate a rebuild of the same store dir in this
+        # session — drop any cached file listing before handing it out
+        spark.sql(f"REFRESH TABLE {full}")
     return spark.table(full)
 
 
