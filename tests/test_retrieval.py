@@ -872,3 +872,61 @@ def test_pruned_store_wand_beats_full_on_zipf(spark, zipf_docs, tmp_path):
     f = {(q, d) for q, _, d, _ in strip(qe_full.wand_topk(head_queries, k=10))}
     p = {(q, d) for q, _, d, _ in strip(qe_pruned.wand_topk(head_queries, k=10))}
     assert len(f & p) / len(f) >= 0.4
+
+
+def test_tiered_wand_topk_store_level(spark, zipf_docs, tmp_path):
+    """query.tiered_wand_topk — the production composition of
+    prune_store and WAND: tail-certificate queries are served from the
+    compacted store BIT-IDENTICALLY to full-store WAND, hot-term
+    queries fall back, and the merged output equals full-store WAND for
+    EVERY query (store twin of retrieval.tiered_topk's contract)."""
+    from tiny_search_engine_spark.build import BuildConfig, build_index, prune_store
+    from tiny_search_engine_spark.config import QueryConfig
+    from tiny_search_engine_spark.query import QueryEngine, tiered_wand_topk
+
+    rows = [
+        (f"r{i // 50}", f"f{i}.txt", "c0", "code", t)
+        for i, t in enumerate(_zipf_texts(seed=23))
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    m = 50
+    full = build_index(
+        spark, src, str(tmp_path / "full"),
+        BuildConfig(tokenizer="ws", write_tokens=False),
+    )
+    pruned = prune_store(spark, full, str(tmp_path / "pruned"), m=m)
+    dfs = {
+        r["term"]: r["df"]
+        for r in full.term_stats(spark).select("term", "df").collect()
+    }
+    tail = sorted(t for t, n in dfs.items() if 2 <= n <= m)
+    head = sorted(t for t, n in dfs.items() if n > m)
+    queries = [(i, f"{tail[3 * i]} {tail[3 * i + 1]}") for i in range(16)]
+    queries += [(100 + i, f"{head[i % len(head)]} {tail[60 + i]}") for i in range(4)]
+    queries.append((200, "zz_absent_term"))  # absent terms: tier-1 trivially
+    cfg = QueryConfig(profile="standard", compat="fixed")
+    got = tiered_wand_topk(spark, full, pruned, queries, k=10, cfg=cfg).collect()
+    flags = {}
+    for r in got:
+        flags.setdefault(r["query_id"], set()).add(r["tier1"])
+    assert all(len(v) == 1 for v in flags.values())
+    # certificate routing: every tail query tier1, every head query not
+    for qid in range(16):
+        assert flags[qid] == {True}, qid
+    for qid in range(100, 104):
+        assert flags[qid] == {False}, qid
+    # the merged output IS full-store WAND, row for row
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["bm25"], 9))
+        for r in QueryEngine(spark, full, cfg).wand_topk(queries, k=10).collect()
+    }
+    have = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["bm25"], 9))
+        for r in got
+    }
+    assert have == want
+    # a non-pruned store is rejected (no prune_m lineage)
+    with pytest.raises(ValueError, match="prune_m"):
+        tiered_wand_topk(spark, full, full, queries, k=10, cfg=cfg)
