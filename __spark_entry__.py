@@ -236,6 +236,56 @@ def _q_bm25_topk(spark, sf_dir):
 
 
 _WAND_STORES: dict[str, object] = {}
+_PRUNED_WAND_STORES: dict[str, object] = {}
+TIERED_WAND_M = 395  # same split point as tiered_topk: both tiers populate
+#                      at sf0.01 (6 tier-1 / 2 fallback) and sf0.001 (3 / 5)
+
+
+def _wand_store(spark, sf_dir):
+    """Memoized segment store over the deduped documents table (ws
+    tokenizer, stopwords, compressed doc-sharded postings) — shared by
+    the wand_store_topk and tiered_wand entries."""
+    import hashlib
+
+    from tiny_search_engine_spark.build import BuildConfig, build_index
+
+    if sf_dir not in _WAND_STORES:
+        src = _dedup_docs(spark, sf_dir).select(
+            F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.md5(F.col("text")).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "tse_wand_store_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        _WAND_STORES[sf_dir] = build_index(
+            spark, src, out,
+            BuildConfig(tokenizer="ws", stopwords=frozenset(STOPWORDS), write_tokens=False),
+        )
+    return _WAND_STORES[sf_dir]
+
+
+def _pruned_wand_store(spark, sf_dir):
+    """Memoized prune_store(m=TIERED_WAND_M) compaction of _wand_store."""
+    import hashlib
+
+    from tiny_search_engine_spark.build import prune_store
+
+    if sf_dir not in _PRUNED_WAND_STORES:
+        full = _wand_store(spark, sf_dir)
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "tse_wand_pruned_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        _PRUNED_WAND_STORES[sf_dir] = prune_store(
+            spark, full, out, m=TIERED_WAND_M
+        )
+    return _PRUNED_WAND_STORES[sf_dir]
 
 
 def _dedup_docs(spark, sf_dir):
@@ -261,24 +311,7 @@ def _q_wand_store(spark, sf_dir):
     from tiny_search_engine_spark.config import QueryConfig
     from tiny_search_engine_spark.query import QueryEngine
 
-    if sf_dir not in _WAND_STORES:
-        src = _dedup_docs(spark, sf_dir).select(
-            F.concat(F.lit("corpus/"), F.col("source")).alias("repo"),
-            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
-            F.md5(F.col("text")).alias("commit"),
-            F.col("lang"),
-            F.col("text").alias("content"),
-        )
-        out = os.path.join(
-            tempfile.gettempdir(),
-            "tse_wand_store_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:10],
-        )
-        shutil.rmtree(out, ignore_errors=True)
-        _WAND_STORES[sf_dir] = build_index(
-            spark, src, out,
-            BuildConfig(tokenizer="ws", stopwords=frozenset(STOPWORDS), write_tokens=False),
-        )
-    store = _WAND_STORES[sf_dir]
+    store = _wand_store(spark, sf_dir)
     eng = QueryEngine(spark, store, QueryConfig(profile="standard", compat="fixed"))
     # small margin so a rounded-score tie at the k boundary cannot change
     # the selected set between engine (internal-id tiebreak) and oracle
@@ -297,6 +330,42 @@ def _q_wand_store(spark, sf_dir):
         mapped.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def _q_tiered_wand(spark, sf_dir):
+    """Store-level champion serving under the value-hash gate
+    (query.tiered_wand_topk, round 4): the full wand store is compacted
+    by build.prune_store(m=TIERED_WAND_M); queries whose every matched
+    term has full-store df <= m carry the exactness certificate and are
+    served from the pruned postings BIT-identically (prune_store pins
+    n_docs/avgdl and unpruned-term idf), the rest fall back — so the
+    output is exact full BM25 and the SAME SQL the wand_store_topk
+    oracle uses verifies it, extended with the tier1 certificate column
+    (max matched-term df <= m, replayed relationally)."""
+    from tiny_search_engine_spark.config import QueryConfig
+    from tiny_search_engine_spark.query import tiered_wand_topk
+
+    full = _wand_store(spark, sf_dir)
+    pruned = _pruned_wand_store(spark, sf_dir)
+    res = tiered_wand_topk(
+        spark, full, pruned, QUERY_SET, k=TOPK + 5,
+        cfg=QueryConfig(profile="standard", compat="fixed"),
+    )
+    id_map = full.docs_raw(spark).select(
+        F.col("doc_id").alias("doc_id_hash"),
+        F.regexp_extract("path", r"doc/(\d+)", 1).cast("long").alias("doc_id"),
+    )
+    mapped = (
+        res.withColumnRenamed("doc_id", "doc_id_hash")
+        .join(F.broadcast(id_map), "doc_id_hash")
+        .select("query_id", "doc_id", F.round("bm25", 4).alias("bm25"), "tier1")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        mapped.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "bm25", "tier1")
     )
 
 
@@ -2071,6 +2140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank_pers": _q_doc_pagerank_pers,
         # -- rows-only in r3; value oracle added in round 4 --
         "knn_ivf_kmeans": _q_knn_ivf_kmeans,
+        # -- new in round 4: store-level champion serving --
+        "tiered_wand": _q_tiered_wand,
         # -- green in CORRECTNESS_r02.json; re-proving against current code --
         "token_counts": _q_token_counts,
         "term_stats": _q_term_stats,
@@ -3224,6 +3295,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, doc_id, bm25,
                      row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
               FROM scored) WHERE rank <= {TOPK}
+        """,
+        # tiered_wand == wand_store_topk's exact BM25 (the certificate
+        # contract: tier-1 answers are bit-identical, fallback is the
+        # full store) + the tier1 flag replayed relationally: max df of
+        # the query's matched non-stop terms <= m
+        "tiered_wand": f"""
+            WITH docs AS (
+              SELECT min(doc_id) AS doc_id, any_value(text) AS text
+              FROM documents GROUP BY text),
+            raw_toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                     length(rtrim(text, ' ' || chr(9) || chr(10) || chr(13))) AS trimmed_len
+              FROM docs),
+            dl AS (SELECT doc_id, trimmed_len AS doc_len FROM raw_toks WHERE len(toks) > 0),
+            toks AS (SELECT doc_id, lower(unnest(toks)) AS term FROM raw_toks),
+            doc_term AS (SELECT doc_id, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),
+            nn AS (SELECT count(*) AS c FROM dl),
+            ts AS (
+              SELECT term, sum(tf_d) AS ttf,
+                     {_IDF_SQL.format(n="(SELECT c FROM nn)")} AS idf
+              FROM doc_term WHERE NOT list_contains({stop_list}, term)
+              GROUP BY term),
+            adl AS (SELECT avg(doc_len) AS avg_dl FROM dl),
+            qt AS ({qterms}),
+            tdf AS (SELECT term, count(*) AS df FROM doc_term
+                    WHERE NOT list_contains({stop_list}, term) GROUP BY term),
+            cert AS (SELECT qt.query_id,
+                            coalesce(max(coalesce(tdf.df, 0)), 0) <= {TIERED_WAND_M} AS tier1
+                     FROM qt LEFT JOIN tdf USING (term) GROUP BY qt.query_id),
+            scored AS (
+              SELECT query_id, doc_id,
+                     round(sum(ts.idf
+                       * (tf_d * ({BM25_K1} + 1) / (tf_d + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doc_len / adl.avg_dl)))
+                       * (tf_q * ({BM25_K2} + 1) / (tf_q + {BM25_K2}))), 4) AS bm25
+              FROM doc_term JOIN qt USING (term) JOIN dl USING (doc_id) JOIN ts USING (term), adl
+              GROUP BY query_id, doc_id)
+            SELECT query_id, rank, doc_id, bm25, tier1 FROM (
+              SELECT s.query_id, s.doc_id, s.bm25, c.tier1,
+                     row_number() OVER (PARTITION BY s.query_id ORDER BY s.bm25 DESC, s.doc_id ASC) AS rank
+              FROM scored s JOIN cert c USING (query_id)) WHERE rank <= {TOPK}
         """,
         "term_hits_funnel": f"""
             WITH doc_term AS (SELECT doc_id, term, count(*) AS tf_d FROM ({_TOKENS_SQL}) GROUP BY 1, 2),
