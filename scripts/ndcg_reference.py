@@ -60,6 +60,22 @@ def main() -> None:
             ),
             flush=True,
         )
+    # the unpublished '#ifdef XGBOOST on' configuration: shipped LTR model
+    # as final ranker (engine_ndcg3_ltr docstring for the caveat)
+    t0 = time.time()
+    m, n = re_.engine_ndcg3_ltr(spark, store_stop, qs, labels)
+    print(
+        json.dumps(
+            {
+                "config": "xgb LTR rerank (shipped model) + stop",
+                "published_ndcg3": None,
+                "engine_ndcg3": round(m, 2),
+                "n_queries": n,
+                "seconds": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
     spark.stop()
 
 

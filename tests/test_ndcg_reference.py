@@ -57,3 +57,22 @@ def test_engine_ndcg3_pinned(spark, ref_store):
     # both within the published table's envelope (72.08 .. 77.94 ± noise)
     for m in (m_vsm, m_cov):
         assert 70.0 < m < 80.0
+
+
+def test_engine_ndcg3_ltr_rerank(spark, ref_store):
+    """The unpublished '#ifdef XGBOOST on' row (BASELINE.md: 71.95):
+    shipped-model LTR rerank of engine features. Pinned as a band — the
+    model's input distribution is segmentation-shifted (cilin vs the
+    missing jieba dicts), so the defensible claims are (a) it runs end
+    to end over the full corpus and (b) it lands inside the published
+    table's envelope, below the hand scorers it was meant to beat."""
+    if not os.path.exists(os.path.join(re_.REF_DIR, "dict", "xgb.ltr.model")):
+        pytest.skip("reference model absent")
+    qs = re_.reference_queries(spark)
+    labels = re_.reference_labels(spark, qs).cache()
+    try:
+        m, n = re_.engine_ndcg3_ltr(spark, ref_store, qs, labels)
+    finally:
+        labels.unpersist()
+    assert n == 487
+    assert 70.0 < m < 74.0, m  # measured 71.95; band for fp-tie drift

@@ -161,6 +161,41 @@ def build_reference_store(
     )
 
 
+def engine_ndcg3_ltr(
+    spark: SparkSession,
+    store: SegmentStore,
+    queries: list[tuple[int, str]],
+    labels: DataFrame,
+    k: int = 20,
+) -> tuple[float, int]:
+    """NDCG@3 with the reference's SHIPPED xgboost LTR model as the
+    final ranker (the '#ifdef XGBOOST on' configuration the reference
+    never published a row for): engine D11 feature maps -> pure-python
+    legacy-binary forest (ltr.load_xgb_model) -> distributed rerank.
+    NB the model was trained on jieba-segmented feature distributions;
+    under the cilin stand-in tokenizer its input distribution shifts, so
+    scoring BELOW the hand scorers here is the expected honest outcome,
+    not a reader bug (the reader itself is margin-pinned in
+    tests/test_misc_parity.py)."""
+    from . import ltr
+
+    register_cilin_tokenizer()
+    eng = QueryEngine(
+        spark,
+        store,
+        QueryConfig(profile="reference", compat="reference", emit_features=True),
+    )
+    feats = eng.search(queries, k=k).select("query_id", "doc_id", "features")
+    model = ltr.load_xgb_model(os.path.join(REF_DIR, "dict", "xgb.ltr.model"))
+    ranked = ltr.rerank(feats, model, ltr.load_feature_conf(), k=k)
+    per_q = ndcg_at_k(ranked, labels, k=3)
+    pos = labels.filter("label > 0").select("query_id").distinct()
+    row = per_q.join(pos, "query_id").agg(
+        F.avg("ndcg").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    return (float(row["m"]) * 100.0, int(row["n"]))
+
+
 def engine_ndcg3(
     spark: SparkSession,
     store: SegmentStore,
