@@ -305,9 +305,6 @@ def _q_wand_store(spark, sf_dir):
     semantics: char-based doc_len (last-token end,
     /root/reference/src/node_def.cpp:100-103), total-tf idf with the
     unsigned-wrap quirk, stopword-excluded postings."""
-    import hashlib
-
-    from tiny_search_engine_spark.build import BuildConfig, build_index
     from tiny_search_engine_spark.config import QueryConfig
     from tiny_search_engine_spark.query import QueryEngine
 
@@ -2566,7 +2563,19 @@ def _kmeans_centroid_literals() -> list[tuple[int, list[float]]] | None:
             )
             C = kmeans_codebook(X, IVF_CENTROIDS, n_iters=10, seed=42)
             return [(j, [float(x) for x in C[j]]) for j in range(IVF_CENTROIDS)]
-        except Exception:
+        except Exception as exc:
+            # a generation FAILURE (corrupt parquet, library drift, a
+            # kmeans precondition) must not crash oracle_sql() — that
+            # would take every oracle down — but it must not be silent
+            # either: without the warning the entry would quietly revert
+            # to rows-only and the value-oracle coverage claim with it
+            import sys as _sys
+
+            print(
+                f"WARNING: knn_ivf_kmeans oracle generation failed ({exc!r}); "
+                "entry degrades to rows-only",
+                file=_sys.stderr,
+            )
             return None
     return None
 

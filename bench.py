@@ -388,11 +388,15 @@ def main() -> None:
                 .select(F.col("id").alias("doc_id"))
                 .select(
                     "doc_id",
+                    # rank k = floor(u^(-1/(s-1))), u ∈ (0,1): pow > 1 so
+                    # floor >= 1 and rank-1 (w1, the Zipf head) IS
+                    # generated — a +1 here would shift every rank up and
+                    # leave w1 with df=0, de-poisoning the head queries
                     F.expr(
                         "array_join(transform(sequence(1, {L}), p -> "
                         "concat('w', cast(cast(least(cast({V} as double), pow("
                         "1.0 / ((pmod(xxhash64(doc_id * {L} + p), 1000000) + 0.5) / 1000000.0), "
-                        "{inv}) + 1.0) as long) as string))), ' ')".format(
+                        "{inv})) as long) as string))), ' ')".format(
                             L=L, V=V, inv=1.0 / (sexp - 1.0)
                         )
                     ).alias("text"),

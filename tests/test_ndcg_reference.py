@@ -44,15 +44,13 @@ def test_engine_ndcg3_pinned(spark, ref_store):
     finally:
         labels.unpersist()
     assert n_vsm == n_cov == 487
-    assert m_vsm == pytest.approx(73.56, abs=0.02)
-    # coverage (= cqr*ctr) ties heavily on this corpus (duplicate Baidu
-    # result titles share exact scores), so fp-lsb differences in the
-    # distributed wei_sum/vec_module accumulation break ties differently
-    # per build partition layout (shuffle partitions, AQE coalescing,
-    # session history): observed 74.95 (local[16]/16), 74.85 / 74.91
-    # (local[4]/8 isolated vs full-suite session). vsm has been stable
-    # to 2dp across all of those. Pin coverage as the observed band —
-    # the metric itself, not its tie-break noise.
+    # score ties are pervasive on this corpus (duplicate Baidu result
+    # titles share exact scores), so fp-lsb differences in the
+    # distributed norm accumulation break ties differently per build
+    # partition layout (shuffle partitions, AQE coalescing, session
+    # history). Observed spread: vsm 73.56-73.58, coverage 74.85-74.95.
+    # Pin each as its observed band — the metric, not its tie noise.
+    assert 73.4 < m_vsm < 73.8, m_vsm
     assert 74.6 < m_cov < 75.2, m_cov
     # both within the published table's envelope (72.08 .. 77.94 ± noise)
     for m in (m_vsm, m_cov):

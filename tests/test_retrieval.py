@@ -930,3 +930,43 @@ def test_tiered_wand_topk_store_level(spark, zipf_docs, tmp_path):
     # a non-pruned store is rejected (no prune_m lineage)
     with pytest.raises(ValueError, match="prune_m"):
         tiered_wand_topk(spark, full, full, queries, k=10, cfg=cfg)
+
+
+def test_prune_store_reuse_out_dir(spark, zipf_docs, tmp_path):
+    """Re-pruning into the SAME out_dir with a different m must not
+    serve stale stages: prune_store wipes the derived store up front, so
+    the second prune's postings/lineage reflect the new m (regression:
+    resume=True used to keep the old _SUCCESS-marked term_stats/postings
+    against the new doc_term)."""
+    import json
+    import os
+
+    from tiny_search_engine_spark.build import BuildConfig, build_index, prune_store
+
+    rows = [
+        (f"r{i // 50}", f"f{i}.txt", "c0", "code", t)
+        for i, t in enumerate(_zipf_texts(seed=31))
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    full = build_index(
+        spark, src, str(tmp_path / "full"),
+        BuildConfig(tokenizer="ws", write_tokens=False),
+    )
+    out = str(tmp_path / "pruned")
+    p1 = prune_store(spark, full, out, m=200)
+    n1 = json.load(open(os.path.join(p1.lineage_path, "postings.json")))["n_postings"]
+    p2 = prune_store(spark, full, out, m=20)
+    n2 = json.load(open(os.path.join(p2.lineage_path, "postings.json")))["n_postings"]
+    assert n2 < n1, (n1, n2)
+    assert p2.meta()["prune_m"] == 20
+    # collection stats stay pinned to the source on both prunes
+    assert p2.meta()["n_docs"] == full.meta()["n_docs"]
+    assert p2.meta()["avg_doc_len"] == full.meta()["avg_doc_len"]
+    # per-term lists in the re-pruned store are really <= 20
+    dt = p2.doc_term(spark)
+    from pyspark.sql import functions as F2
+
+    mx = dt.groupBy("term_sign").count().agg(F2.max("count")).collect()[0][0]
+    assert mx <= 20, mx

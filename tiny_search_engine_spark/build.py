@@ -187,8 +187,18 @@ def _register_bucketed(
     property that makes doc_id-keyed joins/windows exchange-free
     (prototype-pinned in tests/test_fast_build.py)."""
     db = _store_db(spark, root)
-    full = f"{db}.{name}"
-    if not spark.catalog.tableExists(full):
+    # the bucket count is part of the registration NAME: a store rebuilt
+    # (possibly by another process) with a different bucket_tables N then
+    # resolves to a different table instead of reusing a stale spec —
+    # a wrong bucket spec would let joins skip exchanges the files don't
+    # satisfy and silently drop rows, and fixing it in place would need
+    # a DROP that deletes files when the build session's table is
+    # MANAGED. Stale old-N registrations linger harmlessly.
+    full = f"{db}.{name}_b{int(n_buckets)}"
+    if spark.catalog.tableExists(full):
+        # may predate a same-N rebuild of the dir — refresh file listing
+        spark.sql(f"REFRESH TABLE {full}")
+    else:
         schema = spark.read.parquet(path).schema
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
@@ -198,10 +208,6 @@ def _register_bucketed(
             f"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO {int(n_buckets)} BUCKETS "
             f"LOCATION '{os.path.abspath(path)}'"
         )
-    else:
-        # the table may predate a rebuild of the same store dir in this
-        # session — drop any cached file listing before handing it out
-        spark.sql(f"REFRESH TABLE {full}")
     return spark.table(full)
 
 
@@ -518,7 +524,14 @@ def build_index(
                 df.write.format("parquet").mode("overwrite")
                 .bucketBy(int(cfg.bucket_tables), "doc_id")
                 .sortBy("doc_id")
-                .saveAsTable(f"{db}.{name}")
+                # bucket count in the table NAME (matching
+                # _register_bucketed — a rebuild with a different N is a
+                # different registration) while the explicit path keeps
+                # the files in the store's canonical <root>/<name> dir;
+                # the explicit path also makes the table EXTERNAL, so no
+                # catalog operation can ever delete store files
+                .option("path", path)
+                .saveAsTable(f"{db}.{name}_b{int(cfg.bucket_tables)}")
             )
         else:
             df.write.mode("overwrite").parquet(path)
@@ -1038,6 +1051,13 @@ def prune_store(
         .filter(F.col("_r") <= m)
         .select(*dt.columns)
     )
+    # the pruned store is a wholly derived artifact: wipe any previous
+    # contents of out_dir up front — the rebuild below runs with
+    # resume=True, and stale _SUCCESS markers from an earlier prune (a
+    # different m) would otherwise make it silently keep the old
+    # term_stats/postings against the new doc_term
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     out = SegmentStore(out_dir)
     pruned.write.mode("overwrite").parquet(out.doc_term_path)
@@ -1063,4 +1083,21 @@ def prune_store(
         write_tokens=False,
         copy_content=bool(meta.get("copy_content", True)),
     )
-    return build_index(spark, None, out_dir, cfg, resume=True)
+    out = build_index(spark, None, out_dir, cfg, resume=True)
+    # pin the COLLECTION stats to the source store (Carmel semantics:
+    # pruning changes which postings are stored, never the scoring
+    # model). idf already uses the source n_docs via the lineage pin
+    # above; meta's n_docs/avg_doc_len feed BM25's Kd at query time and
+    # would otherwise drift whenever a doc loses ALL its postings (e.g.
+    # all-hot-term boilerplate under aggressive m) — which would break
+    # the tier-1 bit-identity certificate tiered_wand_topk relies on.
+    out_meta = out.meta()
+    pruned_n = out_meta.get("n_docs")
+    out_meta["n_docs"] = int(meta["n_docs"])
+    out_meta["avg_doc_len"] = float(meta["avg_doc_len"])
+    out_meta["pruned_from"] = src.root
+    out_meta["prune_m"] = int(m)
+    out_meta["n_docs_with_postings"] = pruned_n
+    with open(out.meta_path, "w") as f:
+        json.dump(out_meta, f, indent=2)
+    return out

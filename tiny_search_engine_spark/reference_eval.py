@@ -188,11 +188,23 @@ def engine_ndcg3_ltr(
     feats = eng.search(queries, k=k).select("query_id", "doc_id", "features")
     model = ltr.load_xgb_model(os.path.join(REF_DIR, "dict", "xgb.ltr.model"))
     ranked = ltr.rerank(feats, model, ltr.load_feature_conf(), k=k)
-    per_q = ndcg_at_k(ranked, labels, k=3)
+    return _mean_over_scorable(ndcg_at_k(ranked, labels, k=3), labels)
+
+
+def _mean_over_scorable(per_q: DataFrame, labels: DataFrame) -> tuple[float, int]:
+    """Mean NDCG over ALL queries with a positive label: a scorable
+    query the engine returned nothing for scores 0 (left join +
+    coalesce) rather than silently dropping out of the mean — dropping
+    would INFLATE the metric exactly when retrieval fails hardest."""
     pos = labels.filter("label > 0").select("query_id").distinct()
-    row = per_q.join(pos, "query_id").agg(
-        F.avg("ndcg").alias("m"), F.count("*").alias("n")
-    ).collect()[0]
+    row = (
+        pos.join(per_q, "query_id", "left")
+        .agg(
+            F.avg(F.coalesce("ndcg", F.lit(0.0))).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
     return (float(row["m"]) * 100.0, int(row["n"]))
 
 
@@ -218,12 +230,6 @@ def engine_ndcg3(
         synonyms=syn,
     )
     ranked = eng.search(queries, k=k)
-    per_q = ndcg_at_k(ranked, labels, k=3)
-    # scorable = labeled queries with idcg > 0; per_q rows whose query has
-    # no positive label are excluded like the reference's shrunken counts
-    pos = labels.filter("label > 0").select("query_id").distinct()
-    scored = per_q.join(pos, "query_id")
-    row = scored.agg(
-        F.avg("ndcg").alias("m"), F.count("*").alias("n")
-    ).collect()[0]
-    return (float(row["m"]) * 100.0, int(row["n"]))
+    # scorable = labeled queries with idcg > 0 (the reference's shrunken
+    # 491-494 counts); zero-result scorable queries score 0, not dropped
+    return _mean_over_scorable(ndcg_at_k(ranked, labels, k=3), labels)
