@@ -2540,11 +2540,14 @@ def _kmeans_centroid_literals() -> list[tuple[int, list[float]]] | None:
     from tiny_search_engine_spark.hashing import xxhash64_signed
     from tiny_search_engine_spark.pipeline.simsearch import kmeans_codebook
 
-    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    for cand in (base, "/root/testdata/sf0.01", "/root/testdata/sf0.001"):
-        p = os.path.join(cand, "embeddings.parquet")
-        if not os.path.exists(p):
-            continue
+    # the oracle MUST train over the same embeddings the compared query
+    # runs on: the driver compares at sf0.01, so that's the pinned
+    # default; TSE_ORACLE_SF_DIR overrides for local check_oracles runs
+    # at another scale. NO cross-sf fallback — centroids from a
+    # different sf would value-mismatch with no hint why (ADVICE r4).
+    base = os.environ.get("TSE_ORACLE_SF_DIR") or "/root/testdata/sf0.01"
+    p = os.path.join(base, "embeddings.parquet")
+    if os.path.exists(p):
         try:
             import numpy as np
             import pyarrow.parquet as pq

@@ -57,6 +57,9 @@ def compare(name, spark_rows, duck_rows, cols_s, cols_d) -> list[str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    # data-dependent oracles (trained-codebook literals) must be
+    # generated for the SAME sf dir this compare runs at
+    os.environ["TSE_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(master="local[8]", shuffle_partitions=8,
                       extra_conf={"spark.driver.memory": "8g"})
     con = duckdb.connect()

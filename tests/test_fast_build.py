@@ -207,3 +207,62 @@ def test_bucketed_store_exchange_free_and_identical(spark, tmp_path):
     )
     eb2 = QueryEngine(spark, buck2, QueryConfig(profile="standard", compat="fixed"))
     assert strip(eb2.bm25_topk(qs, k=10), "bm25") == strip(eb.bm25_topk(qs, k=10), "bm25")
+
+
+def test_resume_rejects_bucket_layout_change(spark, tmp_path):
+    """Resuming an existing store under a different bucket_tables must
+    raise (ADVICE r4): resume skips _SUCCESS-marked stages, so adopting
+    the new N would register a bucket spec the files don't satisfy —
+    a bucketed scan then silently drops files with bucket id >= N."""
+    src = source_files(spark, 60, seed=11)
+    out = str(tmp_path / "store")
+    build_index(spark, src, out, BuildConfig(bucket_tables=8))
+    # resume with a smaller N: refused
+    with pytest.raises(ValueError, match="bucket_tables=8"):
+        build_index(spark, src, out, BuildConfig(bucket_tables=4))
+    # resume a bucketed store as plain: refused too (layout change)
+    with pytest.raises(ValueError, match="bucket_tables=8"):
+        build_index(spark, src, out, BuildConfig(bucket_tables=0))
+    # same N resumes fine; full rebuild may change layout
+    build_index(spark, src, out, BuildConfig(bucket_tables=8))
+    store = build_index(spark, src, out, BuildConfig(bucket_tables=4), resume=False)
+    assert store.meta()["bucket_tables"] == 4
+    assert store.doc_term(spark).count() > 0
+
+
+def test_register_bucketed_cross_checks_files(spark, tmp_path):
+    """_register_bucketed refuses a spec the on-disk filenames don't
+    satisfy: plain files under a bucketed registration, or a bucket
+    count smaller than the ids present (either would silently lose
+    rows in downstream bucketed scans)."""
+    from tiny_search_engine_spark.build import _register_bucketed
+
+    src = source_files(spark, 60, seed=12)
+    plain = build_index(spark, src, str(tmp_path / "plain"), BuildConfig())
+    with pytest.raises(ValueError, match="no bucket id"):
+        _register_bucketed(spark, plain.root, "doc_term", plain.doc_term_path, 8)
+    buck = build_index(
+        spark, src, str(tmp_path / "buck"), BuildConfig(bucket_tables=8)
+    )
+    with pytest.raises(ValueError, match="bucketed into"):
+        _register_bucketed(spark, buck.root, "doc_term", buck.doc_term_path, 4)
+
+
+def test_prune_store_refuses_non_store_dir(spark, tmp_path):
+    """prune_store must not rmtree an arbitrary non-store directory
+    (a mistyped --out); force=True overrides explicitly."""
+    from tiny_search_engine_spark.build import prune_store
+
+    src = source_files(spark, 60, seed=13)
+    store = build_index(spark, src, str(tmp_path / "src"), BuildConfig())
+    victim = tmp_path / "precious"
+    victim.mkdir()
+    (victim / "data.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to wipe"):
+        prune_store(spark, store, str(victim), m=5)
+    assert (victim / "data.txt").exists()
+    out = prune_store(spark, store, str(victim), m=5, force=True)
+    assert out.postings(spark).count() > 0
+    # re-prune over the (now) store dir needs no force
+    out2 = prune_store(spark, store, str(victim), m=5)
+    assert out2.postings(spark).count() > 0

@@ -177,6 +177,28 @@ def _store_db(spark: SparkSession, root: str) -> str:
     return db
 
 
+def _bucket_ids_on_disk(path: str) -> list[int] | None:
+    """Bucket ids encoded in the parquet file names under *path*
+    (Spark names bucketed outputs ``part-...-<uuid>_NNNNN.cXXX...``;
+    plain writes carry no ``_NNNNN`` suffix). Returns None when the
+    directory has no parquet files yet (nothing to cross-check)."""
+    import re
+
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return None
+    ids: list[int] = []
+    seen_parquet = False
+    for nm in names:
+        if not nm.endswith(".parquet") or nm.startswith(("_", ".")):
+            continue
+        seen_parquet = True
+        m = re.search(r"_(\d{5})\.c\d+", nm)
+        ids.append(int(m.group(1)) if m else -1)
+    return ids if seen_parquet else None
+
+
 def _register_bucketed(
     spark: SparkSession, root: str, name: str, path: str, n_buckets: int
 ) -> DataFrame:
@@ -186,6 +208,26 @@ def _register_bucketed(
     over the existing files restores the scan-reports-hash-partitioning
     property that makes doc_id-keyed joins/windows exchange-free
     (prototype-pinned in tests/test_fast_build.py)."""
+    # files-vs-spec cross-check: a bucketed scan materializes exactly
+    # n_buckets partitions from the FILENAME bucket ids, so a file with
+    # no bucket id (plain write) or id >= n_buckets (written under a
+    # larger N) would be silently dropped from every downstream
+    # join/query — refuse the registration instead of losing rows
+    ids = _bucket_ids_on_disk(path)
+    if ids is not None:
+        if any(i < 0 for i in ids):
+            raise ValueError(
+                f"{path}: parquet files carry no bucket id — the store was "
+                f"not written with bucket_tables={n_buckets}; rebuild with "
+                "resume=False or register without bucket_tables"
+            )
+        if ids and max(ids) >= int(n_buckets):
+            raise ValueError(
+                f"{path}: files are bucketed into >= {max(ids) + 1} buckets "
+                f"but the requested spec says {n_buckets} — a bucketed scan "
+                "would silently drop the higher-id files; use the bucket "
+                "count the store was built with"
+            )
     db = _store_db(spark, root)
     # the bucket count is part of the registration NAME: a store rebuilt
     # (possibly by another process) with a different bucket_tables N then
@@ -216,6 +258,31 @@ def _write_lineage(store: SegmentStore, stage: str, payload: dict) -> None:
     payload = {"stage": stage, "written_at": _utcnow(), **payload}
     with open(os.path.join(store.lineage_path, f"{stage}.json"), "w") as f:
         json.dump(payload, f, indent=2, default=str)
+
+
+def _prior_bucket_tables(store: SegmentStore) -> int | None:
+    """Bucket layout a partially- or fully-built store on disk was
+    written with: meta.json if the build completed, else the newest
+    forward-stage lineage that recorded one. None = no prior evidence
+    (fresh dir, or a pre-lineage store — callers then fall back to the
+    filename cross-check in _register_bucketed)."""
+    try:
+        return int(store.meta().get("bucket_tables", 0) or 0)
+    except (FileNotFoundError, json.JSONDecodeError, ValueError, TypeError):
+        pass
+    for stage in ("doc_term", "tokens", "doc_stats"):
+        p = os.path.join(store.lineage_path, f"{stage}.json")
+        try:
+            with open(p) as f:
+                payload = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        if "bucket_tables" in payload:
+            try:
+                return int(payload["bucket_tables"] or 0)
+            except (ValueError, TypeError):
+                continue
+    return None
 
 
 POSTINGS_SCHEMA = (
@@ -495,6 +562,22 @@ def build_index(
     # build+query session alternates explicitly
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     store = SegmentStore(out_dir)
+    # resume-vs-layout guard: resume skips any stage with a _SUCCESS
+    # marker, so resuming an existing store under a DIFFERENT
+    # bucket_tables would stamp the new N into meta over files bucketed
+    # (or not) for the old one — and a bucketed scan then silently drops
+    # every file whose filename bucket id >= N (row loss downstream), or
+    # dies on 'Invalid bucket file' for a plain store. Changing layout
+    # is a rebuild, not a resume: require resume=False (--no-resume).
+    if resume:
+        prior_bt = _prior_bucket_tables(store)
+        if prior_bt is not None and int(prior_bt) != int(cfg.bucket_tables or 0):
+            raise ValueError(
+                f"store at {out_dir} was built with bucket_tables={prior_bt} "
+                f"but this resume requests bucket_tables={int(cfg.bucket_tables or 0)}; "
+                "resuming cannot change the bucket layout — pass the prior "
+                "value, or rebuild from scratch with resume=False (--no-resume)"
+            )
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
     stage_seconds: dict[str, float] = {}
@@ -592,7 +675,7 @@ def build_index(
                 .withColumn("term_sign", F.xxhash64(F.lower(F.col("term"))))
             )
             _write_forward(tokens, "tokens", store.tokens_path)
-            _write_lineage(store, "tokens", {"tokenizer": cfg.tokenizer})
+            _write_lineage(store, "tokens", {"tokenizer": cfg.tokenizer, "bucket_tables": int(cfg.bucket_tables or 0)})
         return _read_forward("tokens", store.tokens_path)
 
     def job_doc_term() -> tuple[DataFrame, int | None]:
@@ -704,6 +787,7 @@ def build_index(
                     "fused_tokenize": tokens is None,
                     "jvm_tokenize": bool(tokens is None and used_jvm),
                     "n_docs": n_docs,
+                    "bucket_tables": int(cfg.bucket_tables or 0),
                 },
             )
             if cfg.bucket_tables:
@@ -820,7 +904,7 @@ def build_index(
             got = obs_ds.get
             stats_n = int(got["n"] or 0)
             avg_doc_len = float(got["dl"] or 0) / max(stats_n, 1)
-            _write_lineage(store, "doc_stats", {"n_docs": stats_n, "avg_doc_len": avg_doc_len})
+            _write_lineage(store, "doc_stats", {"n_docs": stats_n, "avg_doc_len": avg_doc_len, "bucket_tables": int(cfg.bucket_tables or 0)})
         else:
             lin = os.path.join(store.lineage_path, "doc_stats.json")
             if os.path.exists(lin):
@@ -1000,6 +1084,7 @@ def prune_store(
     m: int,
     k1: float = 1.2,
     b: float = 0.75,
+    force: bool = False,
 ) -> SegmentStore:
     """Impact-ordered static pruning of a built segment store (Carmel et
     al., SIGIR 2001) — the store-to-store twin of
@@ -1055,8 +1140,21 @@ def prune_store(
     # contents of out_dir up front — the rebuild below runs with
     # resume=True, and stale _SUCCESS markers from an earlier prune (a
     # different m) would otherwise make it silently keep the old
-    # term_stats/postings against the new doc_term
-    if os.path.isdir(out_dir):
+    # term_stats/postings against the new doc_term. But only wipe what
+    # IS a store: a mistyped out_dir must not delete an arbitrary tree
+    # (the CLI exposes this path as `tse_job prune --out`), so a
+    # non-empty dir with neither a meta file nor a lineage dir is
+    # refused unless the caller passes force=True (--force).
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        looks_like_store = os.path.exists(
+            SegmentStore(out_dir).meta_path
+        ) or os.path.isdir(SegmentStore(out_dir).lineage_path)
+        if not (looks_like_store or force):
+            raise ValueError(
+                f"refusing to wipe {out_dir}: non-empty and not a segment "
+                "store (no _meta.json / lineage); pass force=True "
+                "(CLI: --force) to overwrite anyway"
+            )
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     out = SegmentStore(out_dir)
@@ -1073,6 +1171,7 @@ def prune_store(
             "n_docs": int(meta["n_docs"]),
             "fused_tokenize": False,
             "jvm_tokenize": False,
+            "bucket_tables": 0,
         },
     )
     cfg = BuildConfig(

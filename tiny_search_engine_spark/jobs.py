@@ -394,10 +394,14 @@ def main_prune(argv: list[str]) -> int:
     p.add_argument("--m", type=int, required=True, help="postings kept per term")
     p.add_argument("--k1", type=float, default=1.2)
     p.add_argument("--b", type=float, default=0.75)
+    p.add_argument("--force", action="store_true",
+                   help="overwrite --out even when it is a non-empty "
+                        "directory that is not a segment store")
     a = p.parse_args(argv)
 
     spark = job_session("tse_prune")
-    out = prune_store(spark, SegmentStore(a.store), a.out, m=a.m, k1=a.k1, b=a.b)
+    out = prune_store(spark, SegmentStore(a.store), a.out, m=a.m, k1=a.k1,
+                      b=a.b, force=a.force)
     src_lin = os.path.join(SegmentStore(a.store).lineage_path, "postings.json")
     out_lin = os.path.join(out.lineage_path, "postings.json")
     summary = {"store": a.out, "m": a.m, "n_docs": out.meta()["n_docs"]}

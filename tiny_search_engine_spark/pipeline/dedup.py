@@ -34,6 +34,20 @@ from .textstats import WS_SPLIT
 
 _LOG = logging.getLogger(__name__)
 
+# previous hot-shingle census kept cached for reuse within ONE pair
+# computation; the next _shingle_pair_counts call evicts it so a
+# long-lived session never accumulates census blocks (ADVICE r4).
+# persist() (not localCheckpoint) keeps lineage, so a still-held result
+# plan from an earlier call recomputes instead of failing after evict.
+_PREV_HOT: list[DataFrame] = []
+
+
+def release_cached() -> None:
+    """Evict the cached hot-shingle census from executor storage (safe
+    any time — plans that still reference it recompute from lineage)."""
+    while _PREV_HOT:
+        _PREV_HOT.pop().unpersist()
+
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-duplicate groups keyed by md5(text): (fingerprint, n_docs,
@@ -311,9 +325,9 @@ def _shingle_pair_counts(
     if max_shingle_df is not None:
         # df census -> hot set -> broadcast anti-join, mirroring the
         # posting skew census in build.py (pow2 doc-range sharding). The
-        # hot set stays a DATAFRAME: localCheckpoint materializes the
-        # census once so the anti-join's broadcast build side reads a
-        # checkpointed relation instead of re-running the exploded
+        # hot set stays a DATAFRAME: persist() (materialized by the
+        # count action just below) lets the anti-join's broadcast build
+        # side read cached blocks instead of re-running the exploded
         # pipeline — and, unlike the previous collect()-and-reinline
         # form, the set itself never round-trips through the driver.
         # Bounded by occurrences/cap in friendly data, but against
@@ -321,11 +335,16 @@ def _shingle_pair_counts(
         # whole shingle universe — at 100 TB that must not be a driver
         # materialization. Only two scalar counts (dropped shingles /
         # occurrence mass) reach the driver, for the log line.
+        # The PREVIOUS call's census is evicted here (not ours — the
+        # caller's returned plan still references it lazily), so blocks
+        # never pile up across calls in a long-lived session.
+        release_cached()
         hot = (
             sh.groupBy("sh").agg(F.count("*").alias("sdf"))
             .filter(F.col("sdf") > max_shingle_df)
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        _PREV_HOT.append(hot)
         n_hot, occ_hot = hot.agg(
             F.count(F.lit(1)), F.coalesce(F.sum("sdf"), F.lit(0))
         ).first()
