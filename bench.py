@@ -45,29 +45,27 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def cpu_canary() -> float:
-        """Single-thread spin, seconds for 20M iterations. This sandbox VM
-        has multi-minute throttle windows where everything (JVM + python)
-        runs 10-100x slower; the canary records the machine state alongside
-        the timings so a throttled run is identifiable, and the heavy
-        sections below are best-of-2 so one clean window wins."""
+    def cpu_canary(iters: int = 20_000_000) -> float:
+        """Single-thread spin, seconds per *iters* iterations. This sandbox
+        VM has multi-minute throttle windows where everything (JVM +
+        python) runs 10-100x slower; the canary records the machine state
+        alongside the timings so a throttled run is identifiable, and
+        EVERY row below is best-of-2 so one clean window wins."""
         t0 = time.time()
         x = 0
-        for i in range(20_000_000):
+        for i in range(iters):
             x += i * i
         return round(time.time() - t0, 3)
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
+    row_canaries: list[float] = []
 
     def timed_best2(name: str, fn):
-        """Run twice, keep the best wall time (both runs + a per-item CPU
-        canary recorded in extra) — the throttle-window discipline used by
-        scripts/scaling_bench.py; a mid-suite throttle window is visible
-        as a slow canary next to the slow run."""
+        """Run twice, keep the best wall time; both raw runs + a light
+        per-row CPU canary (5M spin, ~0.25s clean) ride in extra — the
+        throttle-window discipline from scripts/scaling_bench.py, applied
+        to the WHOLE suite since round 5 (VERDICT r4: a single dirty
+        window must never masquerade as a regression). A row whose best
+        run sits next to a slow canary is self-identifying as throttled."""
         t0 = time.time()
         out = fn(0)
         t1 = round(time.time() - t0, 3)
@@ -76,8 +74,14 @@ def main() -> None:
         t2 = round(time.time() - t0, 3)
         timings[name] = min(t1, t2)
         extra[f"{name}_runs"] = [t1, t2]
-        extra[f"{name}_canary_s"] = cpu_canary()
+        c = cpu_canary(5_000_000)
+        extra[f"{name}_canary5m_s"] = c
+        row_canaries.append(c)
         return out
+
+    def timed(name: str, fn):
+        # every plain row is best-of-2 too
+        return timed_best2(name, lambda run: fn())
 
     extra["cpu_canary_before_s"] = cpu_canary()
 
@@ -138,12 +142,12 @@ def main() -> None:
         # read the bucketed scan's hash partitioning — one hash exchange
         # left (the per-query rank window). The build pays one extra
         # write-time shuffle; every query batch saves one after that.
-        bstore = timed(
+        bstore = timed_best2(
             "index_build_bucketed",
-            lambda: build_index(
+            lambda run: build_index(
                 spark,
                 src,
-                os.path.join(work, "store_bucketed"),
+                os.path.join(work, f"store_bucketed{run}"),
                 BuildConfig(
                     tokenizer="code",
                     stopwords=frozenset(make_stopwords()),
@@ -431,6 +435,10 @@ def main() -> None:
         )
     finally:
         extra["cpu_canary_after_s"] = cpu_canary()
+        if row_canaries:
+            sc = sorted(row_canaries)
+            extra["row_canary_median_s"] = sc[len(sc) // 2]
+            extra["row_canary_max_s"] = sc[-1]
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
 
