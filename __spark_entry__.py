@@ -999,6 +999,30 @@ def _q_knn_ivfpq(spark, sf_dir):
     )
 
 
+def _q_knn_ivfpq_residual(spark, sf_dir):
+    """The paper's actual IVFADC (Jégou et al. 2011 §V): kmeans IVF
+    centroids + per-LIST PQ codebooks trained on the residuals
+    ``unit(x) − centroid`` (simsearch.residual_codebooks). Training is
+    iterative, but — like knn_ivf_kmeans — given the CONVERGED
+    centroids and per-list codebooks everything downstream (assignment,
+    residual encode, LUT build, ADC scan, exact rerank) is relational:
+    the oracle (_sql_knn_ivfpq_residual) retrains both codebooks at
+    oracle-generation time via the bit-exact python xxhash64 sample and
+    the SHARED numpy cores (kmeans_codebook + residual_codebooks_np),
+    inlines them as SQL literals, and value-checks the whole path.
+    Recall superiority over unit codes is pinned in test_pipeline.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return simsearch.knn_ivfpq(
+        emb, queries, dim=dim, k=PQ_K, m=PQ_M, n_codes=PQ_CODES,
+        n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE, refine=PQ_REFINE,
+        codebook="kmeans", encode="residual", routing="cols",
+    )
+
+
 def _q_event_rollup(spark, sf_dir):
     """ROLLUP(event_type, hour) lattice in one pass (pipeline.events) —
     the grouping-sets surface the reference lacks (SURVEY.md §F)."""
@@ -2135,7 +2159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_ndcg": _q_eval_ndcg,
         "eval_mrr_recall": _q_eval_mrr_recall,
         "event_windowed": _q_event_windowed,
-        # -- [round-5 insertions land here, inside the window] --
+        # -- round-5 additions, inside the window --
+        # full IVFADC (kmeans IVF + per-list residual codebooks) upgraded
+        # rows-only -> VALUE oracle via retrained inlined literals
+        "knn_ivfpq_residual": _q_knn_ivfpq_residual,
         # -- oldest r3-green block (CORRECTNESS_r03 proof on record): next to re-prove --
         "phrase_match": _q_phrase_match,
         "more_like_this": _q_more_like_this,
@@ -2533,52 +2560,98 @@ def _kmeans_centroid_literals() -> list[tuple[int, list[float]]] | None:
     numpy core simsearch.kmeans_codebook produces the identical
     codebook the engine trains inside queries(). Returns None when no
     testdata parquet is reachable (the oracle entry is then skipped)."""
+    out = _trained_oracle_literals()
+    return None if out is None else out[0]
+
+
+def _oracle_embedding_sample():
+    """The deterministic training sample, rebuilt OUTSIDE Spark: raw
+    float64 rows of the pinned sf dir's embeddings table in
+    (python-xxhash64(vec_id), vec_id) order, truncated to the engines'
+    sample_size default — bit-identical to the
+    ``orderBy(F.xxhash64(id), id).limit(4096)`` collect inside
+    ivf_centroids_kmeans / residual_codebooks (xxhash64 parity pinned
+    in tests/test_hashing.py). Returns (X_raw ndarray, dim) or None.
+
+    The oracle MUST train over the same embeddings the compared query
+    runs on: the driver compares at sf0.01, so that's the pinned
+    default; TSE_ORACLE_SF_DIR overrides for local check_oracles runs
+    at another scale. NO cross-sf fallback — codebooks from a
+    different sf would value-mismatch with no hint why (ADVICE r4)."""
     import struct
 
     from tiny_search_engine_spark.hashing import xxhash64_signed
-    from tiny_search_engine_spark.pipeline.simsearch import kmeans_codebook
 
-    # the oracle MUST train over the same embeddings the compared query
-    # runs on: the driver compares at sf0.01, so that's the pinned
-    # default; TSE_ORACLE_SF_DIR overrides for local check_oracles runs
-    # at another scale. NO cross-sf fallback — centroids from a
-    # different sf would value-mismatch with no hint why (ADVICE r4).
     base = os.environ.get("TSE_ORACLE_SF_DIR") or "/root/testdata/sf0.01"
     p = os.path.join(base, "embeddings.parquet")
-    if os.path.exists(p):
-        try:
-            import numpy as np
-            import pyarrow.parquet as pq
+    if not os.path.exists(p):
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq
 
-            tbl = pq.read_table(p, columns=["vec_id", "embedding"])
-            ids = tbl.column("vec_id").to_pylist()
-            embs = tbl.column("embedding").to_pylist()
-            order = sorted(
-                range(len(ids)),
-                key=lambda i: (
-                    xxhash64_signed(struct.pack("<q", ids[i])), ids[i]
-                ),
-            )[:4096]  # ivf_centroids_kmeans sample_size default
-            X = np.array(
-                [np.asarray(embs[i], dtype=np.float64) for i in order]
-            )
+    tbl = pq.read_table(p, columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    embs = tbl.column("embedding").to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (xxhash64_signed(struct.pack("<q", ids[i])), ids[i]),
+    )[:4096]  # ivf_centroids_kmeans / residual_codebooks sample_size default
+    X = np.array([np.asarray(embs[i], dtype=np.float64) for i in order])
+    return X, int(X.shape[1])
+
+
+def _trained_oracle_literals():
+    """(centroids, per-list residual codebooks, dim) for the
+    knn_ivf_kmeans and knn_ivfpq_residual value oracles — both trained
+    here, outside Spark, over the same deterministic sample via the
+    SHARED numpy cores (simsearch.kmeans_codebook /
+    residual_codebooks_np), then inlined as SQL literals by the _sql_*
+    generators. Memoized: training runs once per process. Returns None
+    when the pinned testdata parquet is unreachable (the entries then
+    degrade to rows-only) or on a generation failure (warned, never
+    crashes oracle_sql() — that would take every oracle down)."""
+    if "_literals" in _TRAINED_CACHE:
+        return _TRAINED_CACHE["_literals"]
+    from tiny_search_engine_spark.pipeline.simsearch import (
+        kmeans_codebook,
+        residual_codebooks_np,
+    )
+
+    out = None
+    try:
+        sample = _oracle_embedding_sample()
+        if sample is not None:
+            X, dim = sample
             C = kmeans_codebook(X, IVF_CENTROIDS, n_iters=10, seed=42)
-            return [(j, [float(x) for x in C[j]]) for j in range(IVF_CENTROIDS)]
-        except Exception as exc:
-            # a generation FAILURE (corrupt parquet, library drift, a
-            # kmeans precondition) must not crash oracle_sql() — that
-            # would take every oracle down — but it must not be silent
-            # either: without the warning the entry would quietly revert
-            # to rows-only and the value-oracle coverage claim with it
-            import sys as _sys
+            cents = [(j, [float(x) for x in C[j]]) for j in range(IVF_CENTROIDS)]
+            try:
+                rcbs = residual_codebooks_np(
+                    X, cents, dim, m=PQ_M, n_codes=PQ_CODES, seed=42
+                )
+            except Exception as rexc:
+                import sys as _sys
 
-            print(
-                f"WARNING: knn_ivf_kmeans oracle generation failed ({exc!r}); "
-                "entry degrades to rows-only",
-                file=_sys.stderr,
-            )
-            return None
-    return None
+                print(
+                    f"WARNING: residual codebook training failed ({rexc!r}); "
+                    "knn_ivfpq_residual degrades to rows-only",
+                    file=_sys.stderr,
+                )
+                rcbs = None
+            out = (cents, rcbs, dim)
+    except Exception as exc:
+        import sys as _sys
+
+        print(
+            f"WARNING: trained-codebook oracle generation failed ({exc!r}); "
+            "knn_ivf_kmeans / knn_ivfpq_residual degrade to rows-only",
+            file=_sys.stderr,
+        )
+        out = None
+    _TRAINED_CACHE["_literals"] = out
+    return out
+
+
+_TRAINED_CACHE: dict = {}
 
 
 def _sql_knn_ivf_kmeans() -> str | None:
@@ -2622,6 +2695,108 @@ def _sql_knn_ivf_kmeans() -> str | None:
                    row_number() OVER (PARTITION BY query_vec_id
                                       ORDER BY cosine DESC, vec_id ASC) AS rank
             FROM scored) WHERE rank <= {IVF_K}
+    """
+
+
+def _sql_knn_ivfpq_residual() -> str | None:
+    """Value oracle for knn_ivfpq(codebook='kmeans', encode='residual')
+    — full IVFADC with per-list residual codebooks. The trained
+    centroids AND the per-list per-subspace codebooks (retrained at
+    oracle-generation time via _trained_oracle_literals; repr
+    round-trips float64 exactly) ride in as literal tables; everything
+    else mirrors the engine relationally:
+
+    * corpus assignment / query probes: raw-vector cosine rounded 6,
+      ties lowest cid (same as _sql_knn_ivf_kmeans);
+    * residual = unit(x) − centroid, full-dim, then subspace slices;
+    * encode: argmin over round(subspace L2², 6), ties lowest code;
+    * LUTs unrounded, ADC = round(sum over subspaces, 6);
+    * shortlist refine·k by (adc asc, vec_id asc); exact cosine rerank.
+    """
+    lits = _trained_oracle_literals()
+    if lits is None or lits[1] is None:
+        return None
+    cents, rcbs, dim = lits
+    m, n_codes, refine, k = PQ_M, PQ_CODES, PQ_REFINE, PQ_K
+    dsub = dim // m
+    c_values = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for cid, cv in cents
+    )
+    cb_values = ", ".join(
+        f"({cid}, {j}, {cc}, [{', '.join(repr(x) for x in rcbs[cid][j][cc])}]::DOUBLE[])"
+        for cid, _ in cents
+        for j in range(m)
+        for cc in range(n_codes)
+    )
+    return f"""
+        WITH c AS (SELECT * FROM (VALUES {c_values}) AS t(cid, cv)),
+        cbr AS (SELECT * FROM (VALUES {cb_values}) AS t(cid, j, cc, cbv)),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id, v,
+                     list_transform(v, x -> x / (CASE WHEN n > 0 THEN n ELSE 1 END)) AS uv
+              FROM (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+                    FROM e)),
+        ec AS (SELECT e.vec_id, c.cid,
+                      round(list_dot_product(e.v, c.cv)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+               FROM e, c),
+        assign AS (SELECT vec_id, cid AS centroid_id FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+            FROM ec) WHERE rn = 1),
+        qp AS (SELECT query_vec_id, cid AS centroid_id FROM (
+            SELECT ec.vec_id AS query_vec_id, ec.cid,
+                   row_number() OVER (PARTITION BY ec.vec_id ORDER BY ec.cos DESC, ec.cid ASC) AS rn
+            FROM ec WHERE ec.vec_id < 5) WHERE rn <= {IVF_PROBE}),
+        r AS (SELECT uu.vec_id, a.centroid_id,
+                     list_transform(range(1, {dim + 1}), t -> uu.uv[t] - c.cv[t]) AS res
+              FROM u uu JOIN assign a ON a.vec_id = uu.vec_id
+                        JOIN c ON c.cid = a.centroid_id),
+        d AS (SELECT r.vec_id, r.centroid_id, jj.j, cbr.cc,
+                     round(list_sum(list_transform(range(1, {dsub + 1}),
+                           t -> (r.res[jj.j * {dsub} + t] - cbr.cbv[t])
+                              * (r.res[jj.j * {dsub} + t] - cbr.cbv[t]))), 6) AS dist
+              FROM r CROSS JOIN range(0, {m}) AS jj(j)
+              JOIN cbr ON cbr.cid = r.centroid_id AND cbr.j = jj.j),
+        codes AS (SELECT vec_id, centroid_id, j, cc FROM (
+            SELECT vec_id, centroid_id, j, cc,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY dist ASC, cc ASC) AS rn
+            FROM d) WHERE rn = 1),
+        qr AS (SELECT qp.query_vec_id AS qid, qp.centroid_id,
+                      list_transform(range(1, {dim + 1}), t -> uq.uv[t] - c.cv[t]) AS rq
+               FROM qp JOIN u uq ON uq.vec_id = qp.query_vec_id
+                       JOIN c ON c.cid = qp.centroid_id),
+        lut AS (SELECT qr.qid, qr.centroid_id, jj.j, cbr.cc,
+                       list_sum(list_transform(range(1, {dsub + 1}),
+                           t -> (qr.rq[jj.j * {dsub} + t] - cbr.cbv[t])
+                              * (qr.rq[jj.j * {dsub} + t] - cbr.cbv[t]))) AS lv
+                FROM qr CROSS JOIN range(0, {m}) AS jj(j)
+                JOIN cbr ON cbr.cid = qr.centroid_id AND cbr.j = jj.j),
+        adc AS (SELECT lut.qid, codes.vec_id, round(sum(lut.lv), 6) AS adc
+                FROM codes JOIN lut ON lut.centroid_id = codes.centroid_id
+                                   AND lut.j = codes.j AND lut.cc = codes.cc
+                GROUP BY lut.qid, codes.vec_id),
+        short AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adc ASC, vec_id ASC) AS rn
+            FROM adc) WHERE rn <= {refine * k}),
+        scored AS (SELECT s.qid AS query_vec_id, s.vec_id,
+                          round(list_dot_product(ce.v, qe.v)
+                                / (sqrt(list_dot_product(ce.v, ce.v))
+                                   * sqrt(list_dot_product(qe.v, qe.v))), 6) AS cosine
+                   FROM short s
+                   JOIN e ce ON ce.vec_id = s.vec_id
+                   JOIN e qe ON qe.vec_id = s.qid)
+        SELECT query_vec_id, rank, vec_id, cosine FROM (
+            SELECT query_vec_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY query_vec_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored) WHERE rank <= {k}
     """
 
 
@@ -3089,8 +3264,11 @@ def _sql_more_like_this() -> str:
 def _emb_dim(default: int = 64) -> int:
     """Embedding width for the LSH oracles, read from the same parquet the
     engine queries derive it from (oracle and engine cannot drift). The
-    driver compares at sf0.01; SPARK_GRAFT_SF_DIR overrides for local runs."""
-    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    driver compares at sf0.01; TSE_ORACLE_SF_DIR (set by check_oracles)
+    or SPARK_GRAFT_SF_DIR override for local runs."""
+    base = os.environ.get("TSE_ORACLE_SF_DIR") or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
     for cand in (base, "/root/testdata/sf0.01", "/root/testdata/sf0.001"):
         p = os.path.join(cand, "embeddings.parquet")
         if os.path.exists(p):
@@ -4316,9 +4494,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_key": _sql_zorder_key(),
     }
-    # data-dependent oracle: needs the testdata parquet at generation time
-    # (trained-centroid literals); absent → the entry stays rows-only
+    # data-dependent oracles: need the testdata parquet at generation time
+    # (trained-codebook literals); absent → the entries stay rows-only
     km = _sql_knn_ivf_kmeans()
     if km is not None:
         out["knn_ivf_kmeans"] = km
+    rm = _sql_knn_ivfpq_residual()
+    if rm is not None:
+        out["knn_ivfpq_residual"] = rm
     return out

@@ -547,26 +547,51 @@ def residual_codebooks(
     _top_centroids_udf's own semantics (cosine rounded to 6, stable
     ties to the lowest cid), k-means ties by index. A list with no
     sample members falls back to the global residual pool so every list
-    has a live codebook. Iterative training → rows-only check territory
-    (the knn_ivf_kmeans situation); recall superiority over unit-vector
-    codes at equal m/n_codes is pinned in tests."""
-    dsub = dim // m
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
+    has a live codebook. The numpy core (residual_codebooks_np) takes
+    RAW sample rows and normalizes internally, so the driver's DuckDB
+    value oracle can replay training bit-identically from the same
+    parquet bytes (the kmeans_codebook discipline); recall superiority
+    over unit-vector codes at equal m/n_codes is pinned in tests."""
     rows = (
-        corpus.select(F.col(id_col), _unit(F.col(vec_col)).alias("v"))
+        corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
         .limit(int(sample_size))
         .collect()
     )
-    X = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    X_raw = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return residual_codebooks_np(
+        X_raw, centroids, dim, m=m, n_codes=n_codes, n_iters=n_iters, seed=seed
+    )
+
+
+def residual_codebooks_np(
+    X_raw: "np.ndarray",
+    centroids: list[tuple[int, list[float]]],
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> dict[int, list[list[list[float]]]]:
+    """Pure-numpy core of residual_codebooks: RAW float64 sample rows in
+    (xxhash64-sample order), per-list per-subspace codebooks out.
+    Factored out — like kmeans_codebook — so the knn_ivfpq_residual
+    DuckDB oracle replays the SAME training over the same deterministic
+    sample outside Spark and inlines the converged codebooks as SQL
+    literals; encode/LUT/ADC downstream are plain relational algebra."""
+    dsub = dim // m
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
     C = np.array([cv for _, cv in centroids], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)
     cn[cn == 0] = 1.0
-    xn = np.linalg.norm(X, axis=1)
+    xn = np.linalg.norm(X_raw, axis=1)
     xn[xn == 0] = 1.0
-    cos = np.round(X @ C.T / (xn[:, None] * cn[None, :]), 6)
+    X = X_raw / xn[:, None]
+    # assignment replays the router on the RAW vector (scale-invariant
+    # cosine, rounded 6, stable ties to lowest cid) like the engine
+    cos = np.round(X_raw @ C.T / (xn[:, None] * cn[None, :]), 6)
     assign = cids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
     out: dict[int, list[list[list[float]]]] = {}
     for li, cid in enumerate(cids):
