@@ -313,7 +313,9 @@ def test_kmeans_oracle_centroids_match_spark_training(spark, monkeypatch):
     sf_dir = "/root/testdata/sf0.001"
     if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         pytest.skip("driver testdata absent")
-    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    # oracle generation pins to the compare sf via TSE_ORACLE_SF_DIR
+    # (ADVICE r4: no cross-sf fallback)
+    monkeypatch.setenv("TSE_ORACLE_SF_DIR", sf_dir)
     spec = importlib.util.spec_from_file_location(
         "spark_entry_for_test", "/root/repo/__spark_entry__.py"
     )
@@ -326,6 +328,17 @@ def test_kmeans_oracle_centroids_match_spark_training(spark, monkeypatch):
     assert [cid for cid, _ in lits] == [cid for cid, _ in want]
     for (_, lv), (_, wv) in zip(lits, want):
         assert lv == wv  # bit-identical float64s, not approx
+    # same discipline for the residual per-list PQ codebooks backing the
+    # knn_ivfpq_residual value oracle
+    tr = se._trained_oracle_literals()
+    assert tr is not None and tr[1] is not None
+    cents, rcbs, dim = tr
+    want_rcbs = simsearch.residual_codebooks(
+        emb, want, dim, m=se.PQ_M, n_codes=se.PQ_CODES, seed=42
+    )
+    assert set(rcbs) == set(want_rcbs)
+    for cid in want_rcbs:
+        assert rcbs[cid] == want_rcbs[cid]  # bit-identical
 
 
 def test_ivf_assign_is_argmax(spark):
