@@ -446,3 +446,94 @@ def test_hh_stream_kill_between_write_and_commit(spark, tmp_path):
     }
     assert got == want  # doubled counts would make alpha 25, beta 20
     assert ("alpha", 15) in got and ("beta", 15) in got
+
+
+def test_incremental_prune_equals_full_reprune(spark, tmp_path):
+    """prune_store_incremental after a delta compaction must equal a
+    full prune_store of the new store run under the SAME selection
+    snapshot (the original prune's sel_avgdl/sel_idf) — unchanged
+    terms' champion lists carry over byte-for-byte, changed terms are
+    re-windowed; and tiered_wand_topk over (new full, incrementally
+    pruned) stays exact across the delta-then-prune cycle."""
+    from pyspark.sql import functions as F
+
+    from tiny_search_engine_spark.build import (
+        _snapshot_idf,
+        prune_store,
+        prune_store_incremental,
+    )
+    from tiny_search_engine_spark.config import QueryConfig
+    from tiny_search_engine_spark.query import QueryEngine, tiered_wand_topk
+    from tiny_search_engine_spark.streaming import compact_incremental
+    from tiny_search_engine_spark.streaming.ingest import delta_dir
+    from tiny_search_engine_spark.build import with_doc_id
+    from tiny_search_engine_spark.synth import make_queries
+
+    cfg = BuildConfig(stopwords=frozenset(make_stopwords()), postings_per_shard=64)
+    base_src = source_files(spark, 80, seed=47)
+    base = build_index(spark, base_src, str(tmp_path / "base"), cfg)
+    p0 = prune_store(spark, base, str(tmp_path / "p0"), m=8)
+
+    new_docs = source_files(spark, 100, seed=47).join(
+        base_src, ["repo", "path", "commit"], "left_anti"
+    )
+    replacement = base_src.limit(8).withColumn(
+        "content", F.concat(F.lit("changed body "), F.col("content"))
+    )
+    store_root = str(tmp_path / "live")
+    dd = delta_dir(store_root)
+    new_docs.write.mode("overwrite").parquet(os.path.join(dd, "epoch=0"))
+    replacement.write.mode("overwrite").parquet(os.path.join(dd, "epoch=1"))
+    s1 = compact_incremental(spark, base, store_root, str(tmp_path / "s1"), cfg)
+
+    delta_ids = with_doc_id(
+        new_docs.unionByName(replacement)
+    ).select("doc_id").distinct()
+    p1_inc = prune_store_incremental(
+        spark, s1, p0, delta_ids, str(tmp_path / "p1_inc")
+    )
+    # the full twin: same m, same selection snapshot
+    p1_full = prune_store(
+        spark, s1, str(tmp_path / "p1_full"), m=8,
+        sel_avgdl=p0.meta()["sel_avgdl"],
+        sel_idf=_snapshot_idf(spark, base, s1),
+        sel_idf_from=base.root,
+    )
+    assert _postings_map(spark, p1_inc) == _postings_map(spark, p1_full)
+    ts_i = {r["term_sign"]: (r["df"], r["ttf"], round(r["idf"], 9))
+            for r in p1_inc.term_stats(spark).collect()}
+    ts_f = {r["term_sign"]: (r["df"], r["ttf"], round(r["idf"], 9))
+            for r in p1_full.term_stats(spark).collect()}
+    assert ts_i == ts_f
+    assert p1_inc.meta()["n_docs"] == s1.meta()["n_docs"]
+    assert p1_inc.meta()["prune_m"] == 8
+    assert p1_inc.meta()["sel_idf_from"] == base.root
+
+    # at least one term must actually have been carried over AND one
+    # re-windowed, or the test proves nothing
+    changed = (
+        s1.doc_term(spark).join(F.broadcast(delta_ids), "doc_id")
+        .select("term_sign").distinct()
+    )
+    n_changed = changed.count()
+    n_carried = (
+        p0.doc_term(spark).join(changed, "term_sign", "left_anti")
+        .select("term_sign").distinct().count()
+    )
+    assert n_changed > 0 and n_carried > 0
+
+    # serving stays exact across the delta-then-prune cycle
+    qs = [(i, q) for i, q in enumerate(make_queries(12, seed=3))]
+    qcfg = QueryConfig(profile="standard", compat="fixed")
+    served = tiered_wand_topk(spark, s1, p1_inc, qs, k=10, cfg=qcfg)
+    full_eng = QueryEngine(spark, s1, qcfg)
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["bm25"], 9))
+        for r in full_eng.wand_topk(qs, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["bm25"], 9))
+        for r in served.collect()
+    }
+    assert got == want
+    assert served.filter(F.col("tier1")).count() > 0

@@ -1077,6 +1077,56 @@ def build_index(
     return store
 
 
+def _impact_topm(
+    dt: DataFrame,
+    idf: DataFrame,
+    avgdl: float,
+    m: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Per-term top-``m`` postings by rounded BM25 impact (idf from the
+    given stats snapshot, ties to lowest doc_id) — the shared selection
+    window of prune_store and prune_store_incremental. One term-keyed
+    exchange with WindowGroupLimit partial pushdown; rank over the
+    ROUNDED impact so an ulp can't change survival."""
+    from pyspark.sql import Window
+
+    impact = F.round(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.lit(float(avgdl)))),
+        6,
+    )
+    w = Window.partitionBy("term_sign").orderBy(F.desc("_imp"), F.asc("doc_id"))
+    return (
+        dt.join(idf, "term_sign", "left")
+        .withColumn("_imp", F.coalesce(impact, F.lit(0.0)))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= m)
+        .select(*dt.columns)
+    )
+
+
+def _snapshot_idf(
+    spark: SparkSession, snap_store: SegmentStore, cur_store: SegmentStore
+) -> DataFrame:
+    """Selection-snapshot idf for incremental pruning: every CURRENT
+    term gets the snapshot store's idf when the term existed at snapshot
+    time, else its current idf (new terms). Deterministic and identical
+    whether used by prune_store_incremental or a full prune_store run
+    with sel_idf — which is what makes the two provably equal."""
+    cur = cur_store.term_stats(spark).select(
+        "term_sign", F.col("idf").alias("_idf_cur")
+    )
+    old = snap_store.term_stats(spark).select(
+        "term_sign", F.col("idf").alias("_idf_snap")
+    )
+    return cur.join(old, "term_sign", "left").select(
+        "term_sign", F.coalesce("_idf_snap", "_idf_cur").alias("idf")
+    )
+
+
 def prune_store(
     spark: SparkSession,
     src: SegmentStore,
@@ -1085,6 +1135,9 @@ def prune_store(
     k1: float = 1.2,
     b: float = 0.75,
     force: bool = False,
+    sel_avgdl: float | None = None,
+    sel_idf: DataFrame | None = None,
+    sel_idf_from: str | None = None,
 ) -> SegmentStore:
     """Impact-ordered static pruning of a built segment store (Carmel et
     al., SIGIR 2001) — the store-to-store twin of
@@ -1109,33 +1162,28 @@ def prune_store(
     ulp can't change survival), then the ordinary posting build over
     ≤ m·V rows. The pruned store serves block-max WAND exactly like
     the full one — smaller lists, fewer shards, less decode work.
+
+    ``sel_avgdl`` / ``sel_idf`` override the SELECTION scoring snapshot
+    (which postings of a hot term survive) without touching the serving
+    stats — prune_store_incremental passes the ORIGINAL prune's
+    snapshot here so its full-twin is provably equal; ``sel_idf_from``
+    records the snapshot's provenance in meta. Defaults: the source
+    store's own stats (a fresh snapshot).
     """
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     import shutil
 
-    from pyspark.sql import Window
-
     meta = src.meta()
     avgdl = float(meta["avg_doc_len"]) or 1.0
+    sel_avgdl = float(sel_avgdl) if sel_avgdl is not None else avgdl
     dt = src.doc_term(spark)
-    idf = src.term_stats(spark).select("term_sign", "idf")
-    impact = F.round(
-        F.col("idf")
-        * (F.col("tf") * (k1 + 1))
-        / (F.col("tf") + k1 * (1 - b + b * F.col("doc_len") / F.lit(avgdl))),
-        6,
+    idf = (
+        sel_idf
+        if sel_idf is not None
+        else src.term_stats(spark).select("term_sign", "idf")
     )
-    w = Window.partitionBy("term_sign").orderBy(
-        F.desc("_imp"), F.asc("doc_id")
-    )
-    pruned = (
-        dt.join(idf, "term_sign", "left")
-        .withColumn("_imp", F.coalesce(impact, F.lit(0.0)))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= m)
-        .select(*dt.columns)
-    )
+    pruned = _impact_topm(dt, idf, sel_avgdl, m, k1, b)
     # the pruned store is a wholly derived artifact: wipe any previous
     # contents of out_dir up front — the rebuild below runs with
     # resume=True, and stale _SUCCESS markers from an earlier prune (a
@@ -1197,6 +1245,131 @@ def prune_store(
     out_meta["pruned_from"] = src.root
     out_meta["prune_m"] = int(m)
     out_meta["n_docs_with_postings"] = pruned_n
+    # selection snapshot provenance: which scoring picked the champions
+    # (prune_store_incremental reuses it so unchanged terms never churn)
+    out_meta["sel_avgdl"] = float(sel_avgdl)
+    out_meta["sel_idf_from"] = sel_idf_from or src.root
+    with open(out.meta_path, "w") as f:
+        json.dump(out_meta, f, indent=2)
+    return out
+
+
+def prune_store_incremental(
+    spark: SparkSession,
+    src: SegmentStore,
+    prev_pruned: SegmentStore,
+    delta_ids: DataFrame,
+    out_dir: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    force: bool = False,
+) -> SegmentStore:
+    """Delta-bounded maintenance of a pruned champion store: after a
+    compaction folded delta docs into the new full store *src* (see
+    streaming.ingest.compact_incremental / delete_docs), re-run the
+    top-m selection ONLY for terms whose posting lists changed —
+    every other term's champion list is carried over from
+    *prev_pruned* byte-for-byte. At 100 TB the champion tier is
+    maintainable per delta segment instead of re-windowing the whole
+    vocabulary per delta.
+
+    Provable contract: the output equals a FULL ``prune_store(src, m)``
+    run under the SAME selection snapshot (the original prune's
+    sel_avgdl + sel_idf, chained through meta) — pinned in
+    tests/test_streaming.py. The snapshot pins only which HOT-term
+    postings survive; serving stats (meta n_docs/avg_doc_len, idf of
+    unpruned terms) come from *src* exactly like prune_store, so
+    tiered_wand_topk's tier-1 bit-identity certificate over the NEW
+    full store is unaffected. Re-prune from scratch (fresh snapshot)
+    when the corpus has drifted enough that champion quality matters.
+
+    ``delta_ids`` = the doc_ids added, replaced or deleted since
+    *prev_pruned* was built (one ``doc_id`` column; the compaction's
+    delta set). Changed terms are found by semi-joining BOTH the old
+    and the new full store's doc_term against it — broadcast-sized by
+    the delta, never a full-vocabulary pass.
+
+    Scale shape: one broadcast semi-join per side for the changed-term
+    census, a term-keyed anti-join to carry unchanged champions, and
+    the _impact_topm window over changed terms only (delta-vocabulary
+    bounded), then the ordinary posting rebuild.
+    """
+    import shutil
+
+    prev_meta = prev_pruned.meta()
+    m = prev_meta.get("prune_m")
+    if m is None:
+        raise ValueError(f"{prev_pruned.root} is not a prune_store output")
+    old_root = prev_meta.get("pruned_from")
+    snap_root = prev_meta.get("sel_idf_from", old_root)
+    sel_avgdl = float(prev_meta.get("sel_avgdl", prev_meta["avg_doc_len"]))
+    old_src = SegmentStore(old_root)
+    snap_store = SegmentStore(snap_root)
+
+    meta = src.meta()
+    ids = F.broadcast(delta_ids.select("doc_id").distinct())
+    new_dt = src.doc_term(spark)
+    changed = (
+        new_dt.join(ids, "doc_id").select("term_sign")
+        .union(old_src.doc_term(spark).join(ids, "doc_id").select("term_sign"))
+        .distinct()
+    )
+    sel_idf = _snapshot_idf(spark, snap_store, src)
+    rewindowed = _impact_topm(
+        new_dt.join(changed, "term_sign", "left_semi"), sel_idf, sel_avgdl, m, k1, b
+    )
+    carried = prev_pruned.doc_term(spark).join(changed, "term_sign", "left_anti")
+    pruned = carried.select(*new_dt.columns).unionByName(
+        rewindowed.select(*new_dt.columns)
+    )
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        looks_like_store = os.path.exists(
+            SegmentStore(out_dir).meta_path
+        ) or os.path.isdir(SegmentStore(out_dir).lineage_path)
+        if not (looks_like_store or force):
+            raise ValueError(
+                f"refusing to wipe {out_dir}: non-empty and not a segment "
+                "store (no _meta.json / lineage); pass force=True to "
+                "overwrite anyway"
+            )
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    out = SegmentStore(out_dir)
+    pruned.write.mode("overwrite").parquet(out.doc_term_path)
+    shutil.copytree(src.docs_raw_path, out.docs_raw_path, dirs_exist_ok=True)
+    _write_lineage(
+        out,
+        "doc_term",
+        {
+            "pruned_from": src.root,
+            "prune_m": m,
+            "incremental_from": prev_pruned.root,
+            "n_docs": int(meta["n_docs"]),
+            "fused_tokenize": False,
+            "jvm_tokenize": False,
+            "bucket_tables": 0,
+        },
+    )
+    cfg = BuildConfig(
+        tokenizer=meta["tokenizer"],
+        stopwords=frozenset(meta.get("stopwords", [])),
+        block_size=int(meta["block_size"]),
+        postings_per_shard=int(meta["postings_per_shard"]),
+        write_tokens=False,
+        copy_content=bool(meta.get("copy_content", True)),
+    )
+    out = build_index(spark, None, out_dir, cfg, resume=True)
+    out_meta = out.meta()
+    pruned_n = out_meta.get("n_docs")
+    out_meta["n_docs"] = int(meta["n_docs"])
+    out_meta["avg_doc_len"] = float(meta["avg_doc_len"])
+    out_meta["pruned_from"] = src.root
+    out_meta["prune_m"] = int(m)
+    out_meta["n_docs_with_postings"] = pruned_n
+    out_meta["sel_avgdl"] = float(sel_avgdl)
+    out_meta["sel_idf_from"] = snap_root
+    out_meta["incremental_from"] = prev_pruned.root
     with open(out.meta_path, "w") as f:
         json.dump(out_meta, f, indent=2)
     return out
