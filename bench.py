@@ -407,9 +407,12 @@ def main() -> None:
                 )
                 .localCheckpoint()
             )
-            m = max(50, n_z // 50)
             queries = [(i, f"w{200 + 3 * i} w{201 + 3 * i}") for i in range(180)]
             queries += [(180 + i, f"w{1 + i} w{400 + 3 * i}") for i in range(20)]
+            # m derived from the query log (choose_tier_m, VERDICT r4
+            # ask #5): smallest depth serving >= 85% of this load tier-1
+            m = retrieval.choose_tier_m(zdocs, queries, target_tier1=0.85)
+            extra["tiered_zipf_m_auto"] = m
             out = retrieval.tiered_topk(zdocs, queries, m=m, k=20)
             agg = out.groupBy("tier1").count().collect()
             n_t1 = sum(r["count"] for r in agg if r["tier1"])

@@ -970,3 +970,99 @@ def test_prune_store_reuse_out_dir(spark, zipf_docs, tmp_path):
 
     mx = dt.groupBy("term_sign").count().agg(F2.max("count")).collect()[0][0]
     assert mx <= 20, mx
+
+
+def test_choose_tier_m_hits_target_on_zipf(spark, zipf_docs):
+    """choose_tier_m derives m from a target tier-1 rate over the query
+    log: the returned m must achieve >= target tier-1 fraction under
+    tiered_topk (guaranteed — it is the exact per-query max-df
+    quantile), and m-1 must NOT (minimality), on the Zipf fixture's
+    tail-skewed, 10%-head-poisoned load."""
+    dfs = {
+        r["term"]: r["n"]
+        for r in zipf_docs.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    head = sorted(t for t, n in dfs.items() if n > 60)
+    tail = sorted(t for t, n in dfs.items() if 2 <= n <= 60)
+    queries = [(i, f"{tail[3 * i]} {tail[3 * i + 1]}") for i in range(40)]
+    queries += [
+        (40 + i, f"{head[i % len(head)]} {tail[5 * i + 2]}") for i in range(10)
+    ]
+    target = 0.8
+    m = retrieval.choose_tier_m(zipf_docs, queries, target_tier1=target)
+    maxdfs = sorted(
+        max(dfs.get(t, 0) for t in q.split()) for _, q in queries
+    )
+    frac_at = lambda mm: sum(1 for v in maxdfs if v <= mm) / len(maxdfs)
+    assert frac_at(m) >= target, (m, frac_at(m))
+    assert m == 1 or frac_at(m - 1) < target, (m, frac_at(m - 1))
+    # and the serving path agrees with the prediction
+    out = retrieval.tiered_topk(zipf_docs, queries, m=m, k=10)
+    flags = {
+        r["query_id"]: r["tier1"]
+        for r in out.select("query_id", "tier1").distinct().collect()
+    }
+    served = sum(flags.values()) / len(flags)
+    assert served >= target, served
+    # the tail-only slice should be servable with a SMALL m: the helper
+    # must not return a head-sized depth
+    assert m <= max(dfs[t] for t in tail)
+
+
+def test_choose_prune_m_store_level(spark, tiny_store, tmp_path):
+    """Store-level choose_prune_m: prune_store at the returned m serves
+    >= target of the query log tier-1 under tiered_wand_topk, with
+    results still exact full BM25."""
+    from tiny_search_engine_spark.build import prune_store
+    from tiny_search_engine_spark.config import QueryConfig
+    from tiny_search_engine_spark.query import (
+        QueryEngine,
+        choose_prune_m,
+        tiered_wand_topk,
+    )
+    from tiny_search_engine_spark.synth import make_queries
+
+    qs = [(i, q) for i, q in enumerate(make_queries(30, seed=11))]
+    target = 0.7
+    m = choose_prune_m(spark, tiny_store, qs, target_tier1=target)
+    pruned = prune_store(spark, tiny_store, str(tmp_path / "pr"), m=m)
+    qcfg = QueryConfig(profile="standard", compat="fixed")
+    served = tiered_wand_topk(spark, tiny_store, pruned, qs, k=10, cfg=qcfg)
+    rows = served.collect()
+    # the >= target guarantee is over the WHOLE query log (queries with
+    # zero result rows are still routed); replay the certificate
+    from tiny_search_engine_spark.tokenizer import tokenize_with_stats
+
+    mode = tiny_store.meta()["tokenizer"]
+    df_map = {
+        r["term_sign"]: r["df"]
+        for r in tiny_store.term_stats(spark).select("term_sign", "df").collect()
+    }
+    cert = {
+        qid: all(
+            df_map.get(s, 0) <= m for s in tokenize_with_stats(q, mode)[2]
+        )
+        for qid, q in qs
+    }
+    frac = sum(cert.values()) / len(cert)
+    assert frac >= target, (m, frac)
+    # and the serving flags agree with the certificate where rows exist
+    flags = {}
+    for r in rows:
+        flags.setdefault(r["query_id"], r["tier1"])
+    for qid, fl in flags.items():
+        assert fl == cert[qid], (qid, fl)
+    want = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["bm25"], 9))
+        for r in QueryEngine(spark, tiny_store, qcfg).wand_topk(qs, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["bm25"], 9))
+        for r in rows
+    }
+    assert got == want

@@ -410,6 +410,68 @@ def _impact_table(
     )
 
 
+def choose_tier_m(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    target_tier1: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Derive the champion-list depth ``m`` from a target tier-1 rate
+    over a query log (VERDICT r4 ask #5): a query is tier-1 iff every
+    matched term's document frequency is ≤ m, so its binding constraint
+    is its MAX matched-term df — and the smallest m achieving a ≥
+    ``target_tier1`` tier-1 fraction is exactly the ceil(target·n)-th
+    smallest of the per-query max-df values (a quantile of the query
+    log's df distribution). Guaranteed: ``tiered_topk(docs, queries,
+    m=choose_tier_m(docs, queries, t))`` serves ≥ t of these queries
+    from tier 1 (pinned in test_retrieval.py).
+
+    Scale shape: one distinct-token df census (term-keyed agg), one
+    broadcast join against the query-term table, a per-query max agg,
+    then an exact order-statistic via sort+limit — ONE scalar reaches
+    the driver regardless of corpus size; the intermediate is bounded
+    by the query-log size."""
+    if not 0.0 < target_tier1 <= 1.0:
+        raise ValueError(f"target_tier1 must be in (0, 1], got {target_tier1}")
+    if not queries:
+        raise ValueError("empty query log")
+    import math
+
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [
+            (int(qid), t)
+            for qid, q in queries
+            for t in sorted({w for w in q.split() if w})
+        ],
+        "query_id long, term string",
+    )
+    # the SAME df definition tiered_topk's certificate uses (docs
+    # containing the term, via the shared tokens view)
+    dfc = (
+        tokens_view(docs, id_col=id_col, text_col=text_col)
+        .select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("_df"))
+    )
+    mx = (
+        qt.join(dfc, "term", "left")
+        .groupBy("query_id")
+        .agg(F.max(F.coalesce(F.col("_df"), F.lit(0))).alias("_maxdf"))
+    )
+    # queries with NO terms (all-whitespace) never reach qt — they are
+    # trivially tier-1; count them into the quantile's numerator
+    n = len({qid for qid, _ in queries})
+    n_trivial = n - mx.count()
+    need = max(0, math.ceil(target_tier1 * n) - n_trivial)
+    if need == 0:
+        return 1
+    row = mx.orderBy(F.asc("_maxdf")).limit(need).agg(F.max("_maxdf")).first()
+    return max(int(row[0] or 0), 1)
+
+
 def tiered_topk(
     docs: DataFrame,
     queries: list[tuple[int, str]],
