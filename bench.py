@@ -189,6 +189,50 @@ def main() -> None:
         peng.search(queries[990:992], k=20).count()
         timed_best2("search_pipeline_20q", lambda run: peng.search(queries[:20], k=20).count())
 
+        # D12 rerank throughput: the SHIPPED 500-tree model over a
+        # 500-query x 200-candidate batch (the funnel width the engine
+        # feeds rerank), featurizer vectorized via Arrow-batch DataFrame
+        # extraction — no per-row python
+        def _ltr_bench():
+            from tiny_search_engine_spark import ltr
+
+            ids = ltr.load_feature_conf()
+            names = list(ids.keys())
+            try:
+                model = ltr.load_xgb_model("/root/reference/dict/xgb.ltr.model")
+            except Exception:
+                model = ltr.LinearModel(
+                    weights={nm: 1.0 / (i + 1) for i, nm in enumerate(names)}
+                )
+            cand = (
+                spark.range(500 * 200)
+                .withColumn("query_id", F.col("id") % 500)
+                .withColumn("doc_id", (F.col("id") / 500).cast("long"))
+                .withColumn(
+                    "features",
+                    F.create_map(
+                        *[
+                            x
+                            for i, nm in enumerate(names)
+                            for x in (
+                                F.lit(nm),
+                                (
+                                    F.pmod(
+                                        F.xxhash64(F.col("id") * (i + 1)),
+                                        F.lit(1000),
+                                    )
+                                    / 1000.0
+                                ).cast("double"),
+                            )
+                        ]
+                    ),
+                )
+                .select("query_id", "doc_id", "features")
+            )
+            return ltr.rerank(cand, model, ids, k=20).count()
+
+        timed("ltr_rerank_500q", _ltr_bench)
+
         # ---- pipeline ops over the driver documents/embeddings tables ----
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

@@ -335,19 +335,24 @@ def rerank(
     closure state, predictions run batch-per-Arrow-chunk."""
     ids = ids or load_feature_conf()
     n = max(ids.values()) + 1 if ids else 0
-    names = list(ids.keys())
-    fids = np.array([ids[nm] for nm in names], dtype=np.int64)
 
     @F.pandas_udf(T.DoubleType())
     def score_udf(feats: pd.Series) -> pd.Series:
+        # vectorized featurization (VERDICT r4 ask #7): one DataFrame
+        # build from the Arrow map batch + one fancy-indexed assignment
+        # per column block — no per-row per-feature Python loop. A
+        # missing key / None value means "feature absent" = 0.0 (the
+        # model's missing default), exactly like the dense fill it
+        # replaces.
         X = np.zeros((len(feats), n), dtype=np.float64)
-        for i, fm in enumerate(feats):
-            if fm is None:
-                continue
-            for nm, fid in zip(names, fids):
-                v = fm.get(nm)
-                if v is not None:
-                    X[i, fid] = v
+        if len(feats):
+            fm = pd.DataFrame(
+                [{} if v is None else v for v in feats.tolist()]
+            )
+            cols = [c for c in fm.columns if c in ids]
+            if cols:
+                vals = fm[cols].to_numpy(dtype=np.float64, na_value=0.0)
+                X[:, [ids[c] for c in cols]] = vals
         return pd.Series(model.predict(X))
 
     from pyspark.sql import Window
