@@ -74,3 +74,30 @@ def test_engine_ndcg3_ltr_rerank(spark, ref_store):
         labels.unpersist()
     assert n == 487
     assert 70.0 < m < 74.0, m  # measured 71.95; band for fp-tie drift
+
+
+def test_engine_ndcg3_mp_granularity_negative_result(spark, tmp_path_factory):
+    """Round-5 granularity experiment (BASELINE.md): MP-style
+    longest-match segmentation (no sub-word enrichment) does NOT recover
+    the published +4.36 v0.7 synonym gain — the synonym delta stays
+    slightly negative (measured 74.64 -> 74.31, delta -0.33). Pinned as
+    bands so the recorded negative result stays a fact about the code,
+    not a one-off run."""
+    out = str(tmp_path_factory.mktemp("refeval_mp") / "store_mp")
+    store = re_.build_reference_store(spark, out, use_stopwords=True, seg_mode="mp")
+    qs = re_.reference_queries(spark)
+    labels = re_.reference_labels(spark, qs).cache()
+    try:
+        m_base, n1 = re_.engine_ndcg3(
+            spark, store, qs, labels, ranker="coverage", use_synonyms=False
+        )
+        m_syn, n2 = re_.engine_ndcg3(
+            spark, store, qs, labels, ranker="coverage", use_synonyms=True
+        )
+    finally:
+        labels.unpersist()
+    assert n1 == n2 == 487
+    assert 74.3 < m_base < 75.0, m_base  # measured 74.64; fp-tie band
+    assert 74.0 < m_syn < 74.7, m_syn    # measured 74.31
+    # the experiment's conclusion: no synonym gain at MP granularity
+    assert m_syn - m_base < 1.0, (m_base, m_syn)

@@ -67,12 +67,28 @@ def load_ref_stopwords(path: str = REF_STOPWORDS) -> frozenset[str]:
 
 def register_cilin_tokenizer(
     clusters: list[list[str]] | None = None,
+    seg_mode: str = "search",
 ) -> str:
-    """Register the corpus tokenizer: dictionary search-mode segmentation
-    (jieba cut_for_search semantics) over the cilin wordlist. Idempotent;
-    returns the registry name for BuildConfig/QueryEngine."""
+    """Register the corpus tokenizer over the cilin wordlist. Idempotent;
+    returns the registry name for BuildConfig/QueryEngine.
+
+    ``seg_mode='search'`` — dictionary search-mode segmentation (jieba
+    cut_for_search semantics), the default replication tokenizer.
+    ``seg_mode='mp'`` — longest-match only (jieba MP/MIX-style coarse
+    granularity, no 2/3-char sub-word enrichment): the VERDICT r4 ask #6
+    experiment arm — synonym clusters are whole cilin words, so coarser
+    segments give synonym expansion terms a chance to match whole-word
+    postings instead of being diluted into sub-words."""
+    from .tokenizer import DictTokenizer
+
     clusters = clusters if clusters is not None else load_cilin_clusters()
     vocab = {t for cl in clusters for t in cl}
+    if seg_mode == "mp":
+        name = TOKENIZER_NAME + "_mp"
+        register_tokenizer(name, DictTokenizer(vocab))
+        return name
+    if seg_mode != "search":
+        raise ValueError(f"unknown seg_mode {seg_mode!r}")
     register_tokenizer(TOKENIZER_NAME, DictSearchTokenizer(vocab))
     return TOKENIZER_NAME
 
@@ -147,11 +163,14 @@ def build_reference_store(
     out_dir: str,
     corpus_path: str = REF_CORPUS,
     use_stopwords: bool = True,
+    seg_mode: str = "search",
 ) -> SegmentStore:
     """Build the engine index over the reference corpus with the cilin
     tokenizer (and optionally the reference stopword list — V0.1's row
-    predates stopwords, so that variant builds without them)."""
-    name = register_cilin_tokenizer()
+    predates stopwords, so that variant builds without them).
+    ``seg_mode`` picks the segmentation granularity (see
+    register_cilin_tokenizer)."""
+    name = register_cilin_tokenizer(seg_mode=seg_mode)
     stop = load_ref_stopwords() if use_stopwords else frozenset()
     return build_index(
         spark,
