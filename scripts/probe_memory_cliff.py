@@ -157,7 +157,10 @@ def main() -> None:
         # with n). Recorded as lsh_docs so the row can't overclaim.
         lsh_docs = min(n_docs, 1_000_000)
         envelope["lsh_docs"] = lsh_docs
-        docs_txt = src.limit(lsh_docs).select(
+        # NOT src.limit(lsh_docs): GlobalLimit collapses the scan to one
+        # partition and the whole dedup would run on a single task. A
+        # fresh generator at the capped size keeps the partitioning.
+        docs_txt = source_files(spark, lsh_docs, seed=42).select(
             "repo", "path", "commit", "lang", "content"
         )
         from tiny_search_engine_spark.build import with_doc_id
