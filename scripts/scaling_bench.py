@@ -420,6 +420,13 @@ machine noise, not software.
 | when (UTC) | width | build docs/sec | query qps |
 |---|---|---|---|
 {chr(10).join(f"| {r['ts']} | local[{r['cpus']}] | {r['docs_per_sec']} | {r['qps']} |" for r in hist_rows)}
+
+## Memory envelope
+
+Multi-million-doc single-JVM envelope (build + auto-m prune + tiered
+serving + LSH dedup, per-phase heap high-water): see `BENCH/MEMORY.md`
+(`scripts/probe_memory_cliff.py`; raw phases in
+`BENCH/memory_envelope.json`).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
