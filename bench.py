@@ -173,6 +173,29 @@ def main() -> None:
             lambda run: beng.bm25_topk(queries[:500], k=20).count(),
         )
 
+        # champion-tier store serving: m derived from the 500-query load
+        # (choose_prune_m, target 0.9 tier-1), impact-ordered prune, then
+        # certificate-routed WAND — tail queries scan the compacted
+        # postings, head queries fall back, output exact full BM25
+        from tiny_search_engine_spark.build import prune_store
+        from tiny_search_engine_spark.query import choose_prune_m, tiered_wand_topk
+
+        m_auto = choose_prune_m(spark, store, queries[:500], target_tier1=0.9)
+        extra["tiered_wand_m_auto"] = m_auto
+        pstore2 = timed_best2(
+            "prune_store_auto",
+            lambda run: prune_store(
+                spark, store, os.path.join(work, f"pruned{run}"), m=m_auto
+            ),
+        )
+        qcfg = QueryConfig(profile="standard", compat="fixed")
+        timed_best2(
+            "tiered_wand_500q",
+            lambda run: tiered_wand_topk(
+                spark, store, pstore2, queries[:500], k=20, cfg=qcfg
+            ).count(),
+        )
+
         # ---- full feature pipeline needs the positional token table +
         # content (parity store; smaller corpus) ----
         psrc = source_files(spark, max(2000, n_synth // 5), seed=42).cache()
