@@ -224,9 +224,14 @@ def main() -> None:
             try:
                 model = ltr.load_xgb_model("/root/reference/dict/xgb.ltr.model")
             except Exception:
-                model = ltr.LinearModel(
-                    weights={nm: 1.0 / (i + 1) for i, nm in enumerate(names)}
-                )
+                import numpy as np
+
+                # LinearModel.predict does X @ weights — build the dense
+                # vector in feature-id order, not a name dict
+                w = np.zeros(max(ids.values()) + 1)
+                for i, nm in enumerate(names):
+                    w[ids[nm]] = 1.0 / (i + 1)
+                model = ltr.LinearModel(weights=w)
             cand = (
                 spark.range(500 * 200)
                 .withColumn("query_id", F.col("id") % 500)

@@ -56,17 +56,34 @@ def main() -> None:
         },
     )
     rt = spark._jvm.java.lang.Runtime.getRuntime()
+    pools = spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+
+    def _heap_pools():
+        for i in range(pools.size()):
+            p = pools.get(i)
+            if p.getType().name() == "HEAP":
+                yield p
+
+    def reset_peaks() -> None:
+        for p in _heap_pools():
+            p.resetPeakUsage()
 
     def heap_gb() -> dict:
         total = rt.totalMemory() / 2**30
         free = rt.freeMemory() / 2**30
+        # TRUE in-phase high-water: sum of per-pool peak usage since the
+        # last resetPeakUsage() — a post-phase totalMemory sample would
+        # miss any transient a GC collected before the phase returned
+        peak = sum(p.getPeakUsage().getUsed() for p in _heap_pools()) / 2**30
         return {
+            "heap_peak_gb": round(peak, 2),
             "heap_used_gb": round(total - free, 2),
             "heap_total_gb": round(total, 2),
             "heap_max_gb": round(rt.maxMemory() / 2**30, 2),
         }
 
     def phase(name: str, fn):
+        reset_peaks()
         t0 = time.time()
         out = fn()
         rec = {"phase": name, "seconds": round(time.time() - t0, 2), **heap_gb()}

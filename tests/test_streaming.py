@@ -3,6 +3,8 @@ compaction == batch build over the same corpus."""
 
 import os
 
+import pytest
+
 from tiny_search_engine_spark.build import BuildConfig, build_index
 from tiny_search_engine_spark.streaming import compact, ingest_available_now
 from tiny_search_engine_spark.synth import make_stopwords, source_files
@@ -537,3 +539,34 @@ def test_incremental_prune_equals_full_reprune(spark, tmp_path):
     }
     assert got == want
     assert served.filter(F.col("tier1")).count() > 0
+
+    # in-place refresh must be refused — the lazy selection plan reads
+    # the previous pruned store, so wiping it first would destroy the
+    # input (and possibly the only champion copy)
+    with pytest.raises(ValueError, match="input store"):
+        prune_store_incremental(spark, s1, p1_inc, delta_ids, p1_inc.root)
+
+    # SECOND delta cycle: chained incrementals must still equal the full
+    # snapshot-pinned twin — in particular for terms BORN in delta 1 and
+    # untouched by delta 2 (their selection idf is the current store's,
+    # which drifts with n_docs, so they re-window every incremental)
+    more_docs = source_files(spark, 115, seed=47).join(
+        source_files(spark, 100, seed=47), ["repo", "path", "commit"], "left_anti"
+    )
+    dd2 = delta_dir(str(tmp_path / "live2"))
+    more_docs.write.mode("overwrite").parquet(os.path.join(dd2, "epoch=0"))
+    s2 = compact_incremental(
+        spark, s1, str(tmp_path / "live2"), str(tmp_path / "s2"), cfg
+    )
+    delta2_ids = with_doc_id(more_docs).select("doc_id").distinct()
+    p2_inc = prune_store_incremental(
+        spark, s2, p1_inc, delta2_ids, str(tmp_path / "p2_inc")
+    )
+    p2_full = prune_store(
+        spark, s2, str(tmp_path / "p2_full"), m=8,
+        sel_avgdl=p0.meta()["sel_avgdl"],
+        sel_idf=_snapshot_idf(spark, base, s2),
+        sel_idf_from=base.root,
+    )
+    assert _postings_map(spark, p2_inc) == _postings_map(spark, p2_full)
+    assert p2_inc.meta()["sel_idf_from"] == base.root

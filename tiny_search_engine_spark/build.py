@@ -228,6 +228,23 @@ def _register_bucketed(
                 "would silently drop the higher-id files; use the bucket "
                 "count the store was built with"
             )
+    # filename ids can't catch the SMALLER-N case (files written with
+    # N=4 under a spec of 8 all have ids < 8, but hold hash%4 rows that
+    # a hash%8 scan would mis-join silently) — the stage lineage records
+    # the true bucket count since round 5; cross-check when present
+    lin_path = os.path.join(root, "lineage", f"{name}.json")
+    try:
+        with open(lin_path) as fh:
+            lin_bt = int(json.load(fh).get("bucket_tables"))
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        lin_bt = None
+    if lin_bt is not None and lin_bt != int(n_buckets):
+        raise ValueError(
+            f"{path}: stage lineage says the files were written with "
+            f"bucket_tables={lin_bt} but the requested registration says "
+            f"{n_buckets} — a mismatched bucket spec silently mis-joins "
+            "rows; use the recorded count"
+        )
     db = _store_db(spark, root)
     # the bucket count is part of the registration NAME: a store rebuilt
     # (possibly by another process) with a different bucket_tables N then
@@ -1077,6 +1094,42 @@ def build_index(
     return store
 
 
+def _wipe_derived_out_dir(
+    out_dir: str, force: bool, inputs: tuple[str, ...] = ()
+) -> None:
+    """Shared out_dir preparation for the prune family: refuse to wipe
+    (a) any of the INPUT store roots — the selection plan is lazy, so an
+    in-place out_dir would delete the very files the write then reads
+    (FileNotFound at best, silent row loss at worst) — and (b) a
+    non-empty directory that is not a segment store, unless force=True
+    (a mistyped --out must not delete an arbitrary tree). A previous
+    DERIVED store at out_dir is wiped: stale _SUCCESS markers from an
+    earlier prune (different m) would otherwise resume-skip stages
+    against the new doc_term."""
+    import shutil
+
+    out_abs = os.path.abspath(out_dir)
+    for inp in inputs:
+        if inp and os.path.abspath(inp) == out_abs:
+            raise ValueError(
+                f"out_dir {out_dir} is an input store of this operation; "
+                "pruning is store-to-store — write to a fresh directory "
+                "and swap afterwards"
+            )
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        looks_like_store = os.path.exists(
+            SegmentStore(out_dir).meta_path
+        ) or os.path.isdir(SegmentStore(out_dir).lineage_path)
+        if not (looks_like_store or force):
+            raise ValueError(
+                f"refusing to wipe {out_dir}: non-empty and not a segment "
+                "store (no _meta.json / lineage); pass force=True "
+                "(CLI: --force) to overwrite anyway"
+            )
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+
 def _impact_topm(
     dt: DataFrame,
     idf: DataFrame,
@@ -1184,27 +1237,9 @@ def prune_store(
         else src.term_stats(spark).select("term_sign", "idf")
     )
     pruned = _impact_topm(dt, idf, sel_avgdl, m, k1, b)
-    # the pruned store is a wholly derived artifact: wipe any previous
-    # contents of out_dir up front — the rebuild below runs with
-    # resume=True, and stale _SUCCESS markers from an earlier prune (a
-    # different m) would otherwise make it silently keep the old
-    # term_stats/postings against the new doc_term. But only wipe what
-    # IS a store: a mistyped out_dir must not delete an arbitrary tree
-    # (the CLI exposes this path as `tse_job prune --out`), so a
-    # non-empty dir with neither a meta file nor a lineage dir is
-    # refused unless the caller passes force=True (--force).
-    if os.path.isdir(out_dir) and os.listdir(out_dir):
-        looks_like_store = os.path.exists(
-            SegmentStore(out_dir).meta_path
-        ) or os.path.isdir(SegmentStore(out_dir).lineage_path)
-        if not (looks_like_store or force):
-            raise ValueError(
-                f"refusing to wipe {out_dir}: non-empty and not a segment "
-                "store (no _meta.json / lineage); pass force=True "
-                "(CLI: --force) to overwrite anyway"
-            )
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
+    # the pruned store is a wholly derived artifact: wipe-with-guards
+    # (in-place refusal + non-store refusal; see _wipe_derived_out_dir)
+    _wipe_derived_out_dir(out_dir, force, inputs=(src.root,))
     out = SegmentStore(out_dir)
     pruned.write.mode("overwrite").parquet(out.doc_term_path)
     # share the id-map bytes; tokens (if any) are NOT carried — the
@@ -1309,9 +1344,22 @@ def prune_store_incremental(
     meta = src.meta()
     ids = F.broadcast(delta_ids.select("doc_id").distinct())
     new_dt = src.doc_term(spark)
+    # terms BORN after the snapshot must re-window every incremental,
+    # even when this delta left them untouched: their selection idf is
+    # the CURRENT store's (no snapshot value exists — _snapshot_idf
+    # coalesces to current), which drifts as n_docs grows, so a carried
+    # list from an earlier incremental could diverge from the full
+    # snapshot-pinned twin at a rounding tie. Bounded by the vocabulary
+    # born since the snapshot (a term_stats-level anti-join, compact),
+    # not the full vocabulary.
+    born_after = (
+        src.term_stats(spark).select("term_sign")
+        .join(snap_store.term_stats(spark).select("term_sign"), "term_sign", "left_anti")
+    )
     changed = (
         new_dt.join(ids, "doc_id").select("term_sign")
         .union(old_src.doc_term(spark).join(ids, "doc_id").select("term_sign"))
+        .union(born_after)
         .distinct()
     )
     sel_idf = _snapshot_idf(spark, snap_store, src)
@@ -1323,18 +1371,9 @@ def prune_store_incremental(
         rewindowed.select(*new_dt.columns)
     )
 
-    if os.path.isdir(out_dir) and os.listdir(out_dir):
-        looks_like_store = os.path.exists(
-            SegmentStore(out_dir).meta_path
-        ) or os.path.isdir(SegmentStore(out_dir).lineage_path)
-        if not (looks_like_store or force):
-            raise ValueError(
-                f"refusing to wipe {out_dir}: non-empty and not a segment "
-                "store (no _meta.json / lineage); pass force=True to "
-                "overwrite anyway"
-            )
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
+    _wipe_derived_out_dir(
+        out_dir, force, inputs=(src.root, prev_pruned.root, old_root, snap_root)
+    )
     out = SegmentStore(out_dir)
     pruned.write.mode("overwrite").parquet(out.doc_term_path)
     shutil.copytree(src.docs_raw_path, out.docs_raw_path, dirs_exist_ok=True)

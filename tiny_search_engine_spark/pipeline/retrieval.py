@@ -456,10 +456,14 @@ def choose_tier_m(
         .groupBy("term")
         .agg(F.count("*").alias("_df"))
     )
+    # localCheckpoint: the count below AND the quantile action both read
+    # mx — without it the corpus-wide df census would execute twice
+    # (query-log-bounded relation, cheap to materialize)
     mx = (
         qt.join(dfc, "term", "left")
         .groupBy("query_id")
         .agg(F.max(F.coalesce(F.col("_df"), F.lit(0))).alias("_maxdf"))
+        .localCheckpoint()
     )
     # queries with NO terms (all-whitespace) never reach qt — they are
     # trivially tier-1; count them into the quantile's numerator

@@ -916,6 +916,36 @@ def assert_content_sha256(spark: SparkSession, store: SegmentStore, source_df: D
     ).count()
 
 
+def _query_term_census(
+    spark: SparkSession,
+    store: SegmentStore,
+    queries: list[tuple[int, str]],
+) -> tuple[dict[int, set[int]], dict[int, int]]:
+    """Shared certificate input for tiered_wand_topk and choose_prune_m:
+    (signs_by_q, df_map) — per-qid matched-term signs (last text wins
+    for a duplicated qid, matching how serving routes) and the FULL
+    store df of every batch term via ONE bucket-pruned term_stats
+    lookup. Keeping both consumers on one helper keeps the m the sizer
+    picks aligned with the certificate serving actually applies."""
+    mode = store.meta()["tokenizer"]
+    signs_by_q: dict[int, set[int]] = {}
+    all_signs: set[int] = set()
+    for qid, q in queries:
+        _, _, tmap = tokenize_with_stats(q, mode)
+        signs_by_q[qid] = set(tmap.keys())
+        all_signs.update(tmap.keys())
+    df_map: dict[int, int] = {}
+    if all_signs:
+        df_map = {
+            r["term_sign"]: r["df"]
+            for r in store.term_stats(spark)
+            .filter(_in_expr("term_sign", sorted(all_signs)))
+            .select("term_sign", "df")
+            .collect()
+        }
+    return signs_by_q, df_map
+
+
 def choose_prune_m(
     spark: SparkSession,
     store: SegmentStore,
@@ -939,22 +969,7 @@ def choose_prune_m(
         raise ValueError("empty query log")
     import math
 
-    mode = store.meta()["tokenizer"]
-    signs_by_q: dict[int, set[int]] = {}
-    all_signs: set[int] = set()
-    for qid, q in queries:
-        _, _, tmap = tokenize_with_stats(q, mode)
-        signs_by_q.setdefault(qid, set()).update(tmap.keys())
-        all_signs.update(tmap.keys())
-    df_map: dict[int, int] = {}
-    if all_signs:
-        df_map = {
-            r["term_sign"]: r["df"]
-            for r in store.term_stats(spark)
-            .filter(_in_expr("term_sign", sorted(all_signs)))
-            .select("term_sign", "df")
-            .collect()
-        }
+    signs_by_q, df_map = _query_term_census(spark, store, queries)
     maxdfs = sorted(
         max((df_map.get(s, 0) for s in signs), default=0)
         for signs in signs_by_q.values()
@@ -1005,26 +1020,12 @@ def tiered_wand_topk(
         )
     eng_full = QueryEngine(spark, full_store, cfg)
     eng_pruned = QueryEngine(spark, pruned_store, cfg)
-    mode = full_store.meta()["tokenizer"]
-    signs_by_q: dict[int, set[int]] = {}
-    all_signs: set[int] = set()
-    for qid, q in queries:
-        _, _, tmap = tokenize_with_stats(q, mode)
-        signs_by_q[qid] = set(tmap.keys())
-        all_signs.update(tmap.keys())
-    if not all_signs:
+    signs_by_q, df_map = _query_term_census(spark, full_store, queries)
+    if not any(signs_by_q.values()):
         empty = spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, bm25 double"
         )
         return empty.withColumn("tier1", F.lit(True))
-    signs = sorted(all_signs)
-    df_map = {
-        r["term_sign"]: r["df"]
-        for r in full_store.term_stats(spark)
-        .filter(_in_expr("term_sign", signs))
-        .select("term_sign", "df")
-        .collect()
-    }
     tier1 = [
         (qid, q)
         for qid, q in queries
