@@ -218,3 +218,63 @@ def test_prune_subcommand(spark, tmp_path, capsys):
     rf = [(r["rank"], r["doc_id"], r["bm25"]) for r in qe_f.wand_topk([(0, term)], k=10).collect()]
     rp = [(r["rank"], r["doc_id"], r["bm25"]) for r in qe_p.wand_topk([(0, term)], k=10).collect()]
     assert rf and sorted(rf) == sorted(rp)
+
+
+def test_prune_subcommand_auto_m_and_incremental(spark, tmp_path, capsys):
+    """`tse_job prune --auto-m-queries/--target-tier1` derives m from the
+    workload (choose_prune_m), and `--incremental --prev --delta-ids`
+    routes through prune_store_incremental, inheriting the previous
+    store's m and snapshot."""
+    from tiny_search_engine_spark.build import (
+        BuildConfig,
+        SegmentStore,
+        build_index,
+        with_doc_id,
+    )
+    from tiny_search_engine_spark.jobs import main_prune
+    from tiny_search_engine_spark.query import choose_prune_m
+    from tiny_search_engine_spark.synth import make_queries
+
+    src_df = source_files(spark, 120, seed=29)
+    full = build_index(
+        spark, src_df, str(tmp_path / "full"), BuildConfig(write_tokens=False)
+    )
+    qfile = tmp_path / "q.tsv"
+    qfile.write_text(
+        "".join(f"{i}\t{q}\n" for i, q in enumerate(make_queries(20, seed=3)))
+    )
+    out = str(tmp_path / "pruned")
+    rc = main_prune([
+        "--store", full.root, "--out", out,
+        "--auto-m-queries", str(qfile), "--target-tier1", "0.75",
+    ])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    auto = next(ln for ln in lines if "auto_m" in ln)
+    want_m = choose_prune_m(
+        spark, full,
+        [(i, q) for i, q in enumerate(make_queries(20, seed=3))],
+        0.75,
+    )
+    assert auto["auto_m"] == want_m
+
+    # incremental: extend the corpus, rebuild full, maintain the champion
+    more = source_files(spark, 150, seed=29)
+    delta = more.join(src_df, ["repo", "path", "commit"], "left_anti")
+    full2 = build_index(
+        spark, more, str(tmp_path / "full2"), BuildConfig(write_tokens=False)
+    )
+    dpath = str(tmp_path / "delta_ids")
+    with_doc_id(delta).select("doc_id").write.parquet(dpath)
+    out2 = str(tmp_path / "pruned2")
+    rc = main_prune([
+        "--store", full2.root, "--out", out2,
+        "--incremental", "--prev", out, "--delta-ids", dpath,
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["m"] == want_m
+    inc = SegmentStore(out2)
+    assert inc.meta()["prune_m"] == want_m
+    assert inc.meta()["incremental_from"] == out
+    assert inc.postings(spark).count() > 0

@@ -383,15 +383,35 @@ def main_prune(argv: list[str]) -> int:
     Carmel et al. 2001): keep each term's top-m postings by rounded BM25
     impact and rebuild the compressed posting store — tail-term WAND
     queries score bit-identically to the source store, hot terms trade
-    bounded recall for a ~m/avg_df-sized index."""
+    bounded recall for a ~m/avg_df-sized index.
+
+    ``--m`` is either explicit or derived from a serving workload
+    (``--auto-m-queries`` + ``--target-tier1``: query.choose_prune_m's
+    exact per-query max-df quantile — the smallest depth guaranteeing
+    the target tier-1 rate under tiered_wand_topk). ``--incremental
+    --prev <pruned store> --delta-ids <parquet with doc_id>`` maintains
+    an existing champion store per delta instead of re-windowing the
+    whole vocabulary (build.prune_store_incremental)."""
     import os
 
-    from .build import SegmentStore, prune_store
+    from .build import SegmentStore, prune_store, prune_store_incremental
+    from .query import choose_prune_m
 
     p = argparse.ArgumentParser(prog="tse_job prune")
     p.add_argument("--store", required=True, help="source segment store")
     p.add_argument("--out", required=True, help="pruned store directory")
-    p.add_argument("--m", type=int, required=True, help="postings kept per term")
+    p.add_argument("--m", type=int, default=None, help="postings kept per term")
+    p.add_argument("--auto-m-queries", default=None,
+                   help="derive m from this query log (qid\\tquery per "
+                        "line, or bare queries; '-' = stdin)")
+    p.add_argument("--target-tier1", type=float, default=0.8,
+                   help="tier-1 rate target for --auto-m-queries")
+    p.add_argument("--incremental", action="store_true",
+                   help="maintain an existing pruned store per delta "
+                        "(requires --prev and --delta-ids)")
+    p.add_argument("--prev", default=None, help="previous pruned store (incremental)")
+    p.add_argument("--delta-ids", default=None,
+                   help="parquet with the delta doc_id column (incremental)")
     p.add_argument("--k1", type=float, default=1.2)
     p.add_argument("--b", type=float, default=0.75)
     p.add_argument("--force", action="store_true",
@@ -400,9 +420,26 @@ def main_prune(argv: list[str]) -> int:
     a = p.parse_args(argv)
 
     spark = job_session("tse_prune")
-    out = prune_store(spark, SegmentStore(a.store), a.out, m=a.m, k1=a.k1,
-                      b=a.b, force=a.force)
-    src_lin = os.path.join(SegmentStore(a.store).lineage_path, "postings.json")
+    src = SegmentStore(a.store)
+    if a.incremental:
+        if not (a.prev and a.delta_ids):
+            p.error("--incremental requires --prev and --delta-ids")
+        delta_ids = spark.read.parquet(a.delta_ids).select("doc_id")
+        out = prune_store_incremental(
+            spark, src, SegmentStore(a.prev), delta_ids, a.out,
+            k1=a.k1, b=a.b, force=a.force,
+        )
+        a.m = out.meta()["prune_m"]
+    else:
+        if a.m is None and a.auto_m_queries:
+            queries = _read_queries(a.auto_m_queries)
+            a.m = choose_prune_m(spark, src, queries, a.target_tier1)
+            print(json.dumps({"auto_m": a.m, "target_tier1": a.target_tier1}))
+        if a.m is None:
+            p.error("one of --m / --auto-m-queries is required")
+        out = prune_store(spark, src, a.out, m=a.m, k1=a.k1,
+                          b=a.b, force=a.force)
+    src_lin = os.path.join(src.lineage_path, "postings.json")
     out_lin = os.path.join(out.lineage_path, "postings.json")
     summary = {"store": a.out, "m": a.m, "n_docs": out.meta()["n_docs"]}
     for tag, path in (("source", src_lin), ("pruned", out_lin)):
